@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Graft.table
+
+/** Relational core: scans, filters, equi-joins, counts, top-k.
+  *
+  * Covers SURVEY.md §2 operators S8 (SQL table scan, sqlgraph.py:863-901),
+  * P1/P2 (predicate query, sqlgraph.py:689-719), P3/J9 (foreign-key
+  * filter/graph, sqlgraph.py:1729-1882), A5/A8 (counts / distinct keys,
+  * sqlgraph.py:582-584, 984-989), W3/W4/W5 (ordered iteration, LIMIT,
+  * top-k, sqlgraph.py:863-901; graphquery.py:354-365).
+  *
+  * Money arithmetic is done in DECIMAL so results are exact and
+  * order-independent (safe under Spark partial aggregation AND identical
+  * to the DuckDB oracle), then cast to double for output.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  val defs: Map[String, Q] = Map(
+    // Flagship pricing-summary aggregate (A5-family counts + sums).
+    "q1_agg" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(28, 4)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // S8: full scan + projection + stable order + limit (keyset-style page).
+    "s8_scan_page" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+
+    // P1/P2: equality + range predicates pushed to the parquet scan.
+    "p1_filter" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_discount") > 0.05)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // P3/J9: foreign-key graph hop customer -> nation -> region, aggregated.
+    "j9_fk_graph" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // 3-way join + group-by (TPC-H Q3 shape); big-big join shuffles on the
+    // join key, dims would be broadcast on a cluster.
+    "q3_join" -> { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(28, 4)))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // A5/A8: counts, count-distinct, distinct key lists.
+    "a5_counts" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    "a8_distinct_keys" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"))
+        .distinct()
+        .orderBy("segment")
+    },
+
+    // W5: top-k per group via row_number with a total tie-break order.
+    "w5_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s8_scan_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "p1_filter" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "j9_fk_graph" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "a5_counts" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+
+    "a8_distinct_keys" ->
+      """SELECT DISTINCT c_mktsegment AS segment FROM customer
+        |ORDER BY segment""".stripMargin,
+
+    "w5_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+  )
+}
