@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (Relational.defs, Relational.oracle)
+    (Relational.defs, Relational.oracle),
+    (IntervalsQ.defs, IntervalsQ.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Intervals
+
+/** Distributed interval-overlap join — the Spark re-expression of the
+  * reference's nested-containment-list query (pygr `intervaldb.c:413-665`,
+  * `cnestedlist.pyx:446-543`; see SURVEY.md §2.3 J1/J2).
+  *
+  * Two strategies:
+  *
+  *  - `rangeJoin`: equi-join on the partition keys with the overlap
+  *    range predicate attached. Catalyst executes it as a hash /
+  *    sort-merge join on the keys and post-filters the range — fine
+  *    when keys are selective (many distinct seq ids / users).
+  *
+  *  - `binned`: both sides are mapped onto fixed-width coordinate bins
+  *    (intervals explode to every bin they touch; points land in one),
+  *    and the join runs equi on (keys..., bin). This bounds the rows
+  *    compared per task by bin population, not by key population —
+  *    the strategy that survives 100TB with few, huge keys (a genome
+  *    has ~25 chromosomes; a shuffle keyed only on chromosome would
+  *    put 1/25th of the data in one task). Duplicate (a,b) matches
+  *    from shared bins are eliminated by keeping only the bin that
+  *    owns `greatest(aStart, bStart)` — each matching pair survives
+  *    in exactly one bin, no distinct/shuffle needed.
+  *
+  * Both sides keep their own column names; callers ensure no clashes
+  * outside the shared key columns.
+  */
+object IntervalJoin {
+
+  /** Overlap join with the range predicate piggybacked on the key join. */
+  def rangeJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                aStart: String, aEnd: String,
+                bStart: String, bEnd: String): DataFrame = {
+    val cond = keys.map(k => a(k) === b(k)).reduce(_ && _) &&
+      Intervals.overlaps(a(aStart), a(aEnd), b(bStart), b(bEnd))
+    keys.foldLeft(a.join(b, cond))((df, k) => df.drop(b(k)))
+  }
+
+  /** Binned interval×interval overlap join (the 100TB path). */
+  def binned(a: DataFrame, b: DataFrame, keys: Seq[String],
+             aStart: String, aEnd: String,
+             bStart: String, bEnd: String,
+             binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val ab = explodeBins(a, aStart, aEnd, binWidth)
+    val bb = explodeBins(b, bStart, bEnd, binWidth)
+    val joinCols = keys :+ "__bin"
+    ab.join(bb, joinCols)
+      .where(Intervals.overlaps(col(aStart), col(aEnd), col(bStart), col(bEnd)))
+      // each pair matches once: in the bin containing the later start
+      .where(col("__bin") === pfloor(greatest(col(aStart), col(bStart)), binWidth))
+      .drop("__bin")
+  }
+
+  /** Binned interval×point join: point tables carry one coordinate, so
+    * each point lands in exactly one bin and no dedup pass is needed.
+    */
+  def binnedPoints(intervals: DataFrame, points: DataFrame, keys: Seq[String],
+                   iStart: String, iEnd: String, p: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val ib = explodeBins(intervals, iStart, iEnd, binWidth)
+    val pb = points.withColumn("__bin", pfloor(col(p), binWidth))
+    val joinCols = keys :+ "__bin"
+    ib.join(pb, joinCols)
+      .where(Intervals.containsPoint(col(iStart), col(iEnd), col(p)))
+      .drop("__bin")
+  }
+
+  private def pfloor(c: Column, w: Long): Column = floor(c / w).cast("long")
+
+  private def explodeBins(df: DataFrame, s: String, e: String, w: Long): DataFrame =
+    df.withColumn(
+      "__bin",
+      explode(sequence(pfloor(col(s), w),
+                       pfloor(col(e) - lit(1L), w))))
+}

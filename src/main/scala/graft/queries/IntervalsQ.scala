@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.align.AlignmentStore
+import graft.core.Graft.table
+import graft.core.Intervals
+import graft.operators.{Coverage, IntervalJoin, Sessionize}
+
+/** Interval-engine operators mapped onto the `events` table.
+  *
+  * The testdata has no genomic alignments, so interval inputs are
+  * DERIVED deterministically from events (identically in the oracle
+  * SQL): "error" events open a window of 2-12 minutes; "click" events
+  * are points; a synthetic pairwise alignment table maps each error
+  * window onto a dest axis. This exercises the real operators —
+  * binned interval join (J1), slice+clip with orientation-aware dest
+  * adjustment (J2/P6/F8), per-target merge (A1/J3), gap-rule
+  * sessionization (A2), sweep-line coverage (A3), longest run (A7),
+  * interval algebra (J12) — against SQL oracles.
+  */
+object IntervalsQ {
+
+  /** events with `ts` as epoch seconds. The driver data stores ts as
+    * parquet TIMESTAMP(NANOS) which Spark 4 only reads via the
+    * nanosAsLong legacy conf (runtime-settable), giving a Long we
+    * integer-divide — double division would lose precision at 1e18.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+  }
+
+  private def sec(c: String) = expr(s"$c div 1000000000")
+
+  /** error-event windows: [ws, ws + 120 + (event_id%10)*60) per user. */
+  private def errorWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("wnd_id"),
+        sec("ts").as("ws"),
+        (sec("ts") + lit(120L) + (col("event_id") % 10) * 60L).as("we"))
+
+  /** Synthetic pairwise alignment blocks derived from error windows. */
+  private def alignBlocks(s: SparkSession, dir: String): DataFrame =
+    errorWindows(s, dir).select(
+      concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+      col("ws").as("src_start"), col("we").as("src_end"),
+      concat(lit("d"), (col("wnd_id") % 20).cast("string")).as("dest_id"),
+      ((col("wnd_id") % 500) * 1000L).as("dest_start"),
+      ((col("wnd_id") % 500) * 1000L + (col("we") - col("ws"))).as("dest_end"),
+      when(col("wnd_id") % 3 === 0, -1).otherwise(1).as("dest_ori"),
+      col("wnd_id").as("block_id"))
+
+  val defs: Map[String, Q] = Map(
+    // J1: binned interval×point overlap join (NCList lookup analog).
+    "j1_interval_join" -> { (s, dir) =>
+      val clicks = events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), sec("ts").as("p"))
+      IntervalJoin.binnedPoints(errorWindows(s, dir), clicks,
+          Seq("user_id"), "ws", "we", "p", 3600L)
+        .groupBy("user_id", "wnd_id")
+        .agg(count(lit(1)).as("n_clicks"), min("p").as("first_click"))
+        .orderBy("user_id", "wnd_id")
+    },
+
+    // J2+P6: alignment slice — overlap join vs per-user query window,
+    // clip to window, orientation-aware dest coordinate shift.
+    "j2_slice_clip" -> { (s, dir) =>
+      val store = new AlignmentStore(alignBlocks(s, dir))
+      val queries = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice(queries, binWidth = 172800L).orderBy("q_id", "block_id")
+    },
+
+    // A1/J3: per-target-lane bounds merge (mergeSeq).
+    "a1_merge_span" -> { (s, dir) =>
+      alignBlocks(s, dir)
+        .groupBy("dest_id", "dest_ori")
+        .agg(min("dest_start").as("dest_start"), max("dest_end").as("dest_end"),
+             count(lit(1)).as("n_blocks"))
+        .orderBy("dest_id", "dest_ori")
+    },
+
+    // A2: gap-rule sessionization of each user's event stream.
+    "a2_sessionize" -> { (s, dir) =>
+      val pts = events(s, dir)
+        .select(col("user_id"), sec("ts").as("p"))
+      Sessionize.merge(pts, Seq("user_id"), "p", "p", 1800L)
+        .orderBy("user_id", "session")
+    },
+
+    // A3: sweep-line coverage over each user's error windows.
+    "a3_coverage" -> { (s, dir) =>
+      Coverage.stats(errorWindows(s, dir), Seq("user_id"), "ws", "we")
+        .orderBy("user_id")
+    },
+
+    // A7: longest run of consecutive active days per user.
+    "a7_longest_run" -> { (s, dir) =>
+      val days = events(s, dir)
+        .select(col("user_id"), floor(sec("ts") / 86400L).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("streak"))
+        .orderBy("user_id")
+    },
+
+    // J12: interval algebra on consecutive error windows per user.
+    "j12_interval_algebra" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ws", "wnd_id")
+      errorWindows(s, dir)
+        .withColumn("nws", lead(col("ws"), 1).over(w))
+        .withColumn("nwe", lead(col("we"), 1).over(w))
+        .where(col("nws").isNotNull)
+        .select(col("user_id"), col("wnd_id"),
+          Intervals.intersectLen(col("ws"), col("we"), col("nws"), col("nwe")).as("isect"),
+          Intervals.spanLen(col("ws"), col("we"), col("nws"), col("nwe")).as("span"),
+          (col("nws") - col("we")).as("gap"),
+          Intervals.overlaps(col("ws"), col("we"), col("nws"), col("nwe")).as("does_overlap"))
+        .orderBy("user_id", "wnd_id")
+    }
+  )
+
+  private val wndSql =
+    """SELECT user_id, event_id AS wnd_id, epoch_ms(ts)//1000 AS ws,
+      |  epoch_ms(ts)//1000 + 120 + (event_id % 10)*60 AS we
+      |FROM events WHERE event_type = 'error'""".stripMargin
+
+  private val blocksSql =
+    """SELECT 'u' || CAST(user_id AS VARCHAR) AS src_id, ws AS src_start, we AS src_end,
+      |  'd' || CAST(wnd_id % 20 AS VARCHAR) AS dest_id,
+      |  (wnd_id % 500) * 1000 AS dest_start,
+      |  (wnd_id % 500) * 1000 + (we - ws) AS dest_end,
+      |  CASE WHEN wnd_id % 3 = 0 THEN -1 ELSE 1 END AS dest_ori,
+      |  wnd_id AS block_id
+      |FROM w""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j1_interval_join" ->
+      s"""WITH w AS ($wndSql),
+        |c AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events WHERE event_type = 'click')
+        |SELECT w.user_id, wnd_id, COUNT(*) AS n_clicks, MIN(p) AS first_click
+        |FROM w JOIN c ON w.user_id = c.user_id AND p >= ws AND p < we
+        |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
+
+    "j2_slice_clip" ->
+      s"""WITH w AS ($wndSql),
+        |a AS ($blocksSql),
+        |q AS (SELECT user_id AS q_id, 'u' || CAST(user_id AS VARCHAR) AS src_id,
+        |  MIN(epoch_ms(ts)//1000) + 5*86400 AS q_start,
+        |  MIN(epoch_ms(ts)//1000) + 15*86400 AS q_end
+        |  FROM events GROUP BY user_id)
+        |SELECT q_id, a.src_id,
+        |  GREATEST(src_start, q_start) AS src_start,
+        |  LEAST(src_end, q_end) AS src_end,
+        |  dest_id,
+        |  CASE WHEN dest_ori >= 0 THEN dest_start + (GREATEST(src_start, q_start) - src_start)
+        |       ELSE dest_start + (src_end - LEAST(src_end, q_end)) END AS dest_start,
+        |  CASE WHEN dest_ori >= 0 THEN dest_end - (src_end - LEAST(src_end, q_end))
+        |       ELSE dest_end - (GREATEST(src_start, q_start) - src_start) END AS dest_end,
+        |  dest_ori, block_id
+        |FROM a JOIN q ON a.src_id = q.src_id
+        |  AND src_start < q_end AND q_start < src_end
+        |ORDER BY q_id, block_id""".stripMargin,
+
+    "a1_merge_span" ->
+      s"""WITH w AS ($wndSql),
+        |a AS ($blocksSql)
+        |SELECT dest_id, dest_ori, MIN(dest_start) AS dest_start,
+        |  MAX(dest_end) AS dest_end, COUNT(*) AS n_blocks
+        |FROM a GROUP BY dest_id, dest_ori ORDER BY dest_id, dest_ori""".stripMargin,
+
+    "a2_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),
+        |m AS (SELECT user_id, p,
+        |  CASE WHEN MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR p > MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1800
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |t AS (SELECT user_id, p,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY p, p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session
+        |  FROM m)
+        |SELECT user_id, session, MIN(p) AS session_start, MAX(p) AS session_end,
+        |  COUNT(*) AS n_members
+        |FROM t GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+    "a3_coverage" ->
+      s"""WITH w AS ($wndSql),
+        |ev AS (SELECT user_id, ws AS pos, 1 AS delta FROM w
+        |       UNION ALL SELECT user_id, we, -1 FROM w),
+        |agg AS (SELECT user_id, pos, CAST(SUM(delta) AS BIGINT) AS delta
+        |        FROM ev GROUP BY user_id, pos),
+        |scan AS (SELECT user_id, pos,
+        |  CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY pos) AS BIGINT) AS depth,
+        |  LEAD(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos
+        |  FROM agg)
+        |SELECT user_id, MAX(depth) AS max_depth,
+        |  CAST(SUM(CASE WHEN depth >= 1 THEN next_pos - pos ELSE 0 END) AS BIGINT) AS covered
+        |FROM scan WHERE next_pos IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a7_longest_run" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts)//1000//86400 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d),
+        |g AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island)
+        |SELECT user_id, MAX(len) AS streak FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "j12_interval_algebra" ->
+      s"""WITH w AS ($wndSql),
+        |p AS (SELECT user_id, wnd_id, ws, we,
+        |  LEAD(ws) OVER (PARTITION BY user_id ORDER BY ws, wnd_id) AS nws,
+        |  LEAD(we) OVER (PARTITION BY user_id ORDER BY ws, wnd_id) AS nwe
+        |  FROM w)
+        |SELECT user_id, wnd_id,
+        |  GREATEST(LEAST(we, nwe) - GREATEST(ws, nws), 0) AS isect,
+        |  GREATEST(we, nwe) - LEAST(ws, nws) AS span,
+        |  nws - we AS gap,
+        |  (ws < nwe AND nws < we) AS does_overlap
+        |FROM p WHERE nws IS NOT NULL
+        |ORDER BY user_id, wnd_id""".stripMargin
+  )
+}

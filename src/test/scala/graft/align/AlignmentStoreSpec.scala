@@ -1,0 +1,76 @@
+package graft.align
+
+import graft.SparkSuite
+
+/** Ports the reference's NLMSA golden cases to explicit-orientation
+  * coordinates: pygr `tests/nlmsa_test.py:10-33` (sign-encoded NCList
+  * goldens) and `tests/nlmsa_test.py:153-167` (`test_simple` coord
+  * ingest + slice). Sign-encoded `(-20,-5)` on the src axis becomes
+  * forward coords `[5,20)` with relative orientation flipped.
+  */
+class AlignmentStoreSpec extends SparkSuite {
+
+  private def mkQueries(qs: (Long, String, Long, Long)*) = {
+    import spark.implicits._
+    qs.toDF("q_id", "src_id", "q_start", "q_end")
+  }
+
+  private def collectSlice(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("block_id")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getString(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+      .toSeq
+
+  test("test_simple: msa[a[0:8]] -> b[0:8] (nlmsa_test.py:153-167)") {
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 8L), ("b", 0L, 8L, 1)),
+      (("a", 12L, 20L), ("c", 0L, 8L, 1))))
+    val got = collectSlice(store.slice(mkQueries((0L, "a", 0L, 8L))))
+    assert(got === Seq(("a", 0L, 8L, "b", 0L, 8L, 1)))
+    // and the inverse direction (bidirectional build): msa[b[0:8]] -> a
+    val gotB = collectSlice(store.slice(mkQueries((0L, "b", 0L, 8L))))
+    assert(gotB === Seq(("b", 0L, 8L, "a", 0L, 8L, 1)))
+  }
+
+  test("NCList golden with reverse orientation (nlmsa_test.py:14-22)") {
+    // sign world: ivals (0,10,1,-110,-100) and (-20,-5,2,300,315)
+    // explicit-ori world: a[0,10)->t1[100,110) ori=-1 ; a[5,20)->t2[300,315) ori=-1
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 10L), ("t1", 100L, 110L, -1)),
+      (("a", 5L, 20L), ("t2", 300L, 315L, -1))),
+      bidirectional = false)
+    // query [0,10): hits both; second clipped to [5,10) with dest
+    // trimmed from the LOW end (reverse orientation): [310,315)
+    val got = collectSlice(store.slice(mkQueries((0L, "a", 0L, 10L))))
+    assert(got === Seq(
+      ("a", 0L, 10L, "t1", 100L, 110L, -1),
+      ("a", 5L, 10L, "t2", 310L, 315L, -1)))
+    // query [11,20) misses block 0, clips block 1 to [11,20):
+    // reverse dest drops (11-5)=6 from the HIGH end -> [300,309)
+    val got2 = collectSlice(store.slice(mkQueries((0L, "a", 11L, 20L))))
+    assert(got2 === Seq(("a", 11L, 20L, "t2", 300L, 309L, -1)))
+  }
+
+  test("mergeSeq merges per target lane (cnestedlist.pyx:324-347)") {
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 10L), ("b", 50L, 60L, 1)),
+      (("a", 20L, 30L), ("b", 80L, 90L, 1)),
+      (("a", 40L, 50L), ("c", 0L, 10L, 1))),
+      bidirectional = false)
+    val merged = store.mergeSeq(store.slice(mkQueries((0L, "a", 0L, 100L))))
+      .orderBy("dest_id")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(merged.toSeq === Seq(
+      ("b", 0L, 30L, 50L, 90L, 2L),
+      ("c", 40L, 50L, 0L, 10L, 1L)))
+  }
+
+  test("inverse store swaps axes (cnestedlist.pyx:2041-2047)") {
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 8L), ("b", 100L, 108L, -1))), bidirectional = false)
+    val got = collectSlice(store.inverse.slice(mkQueries((0L, "b", 100L, 108L))))
+    assert(got === Seq(("b", 100L, 108L, "a", 0L, 8L, -1)))
+  }
+}
