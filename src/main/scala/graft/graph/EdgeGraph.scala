@@ -1,0 +1,51 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Graph => XGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph interface over a (src, dst [, edge attrs...]) DataFrame —
+  * the Spark form of the reference's graph family: `dictGraph`
+  * (pygr `mapping.py:92-235`), `SQLGraph` over a 3-column table
+  * (`sqlgraph.py:1391-1554`), FK graphs (`sqlgraph.py:1729-1882`).
+  * SURVEY.md §2.3 J4/J9.
+  *
+  * Node ids are caller-chosen (string-prefix heterogeneous ids or
+  * disjoint long ranges); analytics that need GraphX require long ids.
+  */
+class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") {
+
+  /** g[node] → {target: edgeInfo} (pygr `mapping.py:137-195`). */
+  def adjacency(node: Any): DataFrame =
+    edges.filter(col(src) === lit(node))
+
+  /** Inverse graph = alias swap (pygr `sqlgraph.py:1466-1480`). */
+  def inverse: EdgeGraph = {
+    val others = edges.columns.filterNot(c => c == src || c == dst).map(col)
+    new EdgeGraph(
+      edges.select(Seq(col(dst).as(src), col(src).as(dst)) ++ others: _*), src, dst)
+  }
+
+  /** Out-degree per source node. */
+  def outDegrees: DataFrame =
+    edges.groupBy(col(src).as("node")).agg(count(lit(1)).as("out_deg"))
+
+  /** Undirected edge set (both directions, deduped). */
+  def undirected: DataFrame = {
+    val e = edges.select(col(src), col(dst))
+    e.union(e.select(col(dst).as(src), col(src).as(dst))).distinct()
+  }
+
+  /** Connected components via GraphX (per the project's
+    * "GraphX for analytics" approach): returns (node, comp) where comp
+    * is the smallest vertex id in the component. Requires long ids.
+    */
+  def connectedComponents(spark: SparkSession): DataFrame = {
+    val pairs = edges
+      .select(col(src).cast("long"), col(dst).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val cc = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
+      .connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("node", "comp")
+  }
+}

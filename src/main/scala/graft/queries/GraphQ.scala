@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft.table
+import graft.graph.{EdgeGraph, MotifEdge, MotifQuery}
+
+/** Graph operators over testdata-derived edge tables.
+  *
+  * Edge sets (identical in the oracle SQL):
+  *  - supplier→part: distinct (l_suppkey, l_partkey) from lineitem,
+  *    part ids offset by 1,000,000 into a disjoint long range;
+  *  - sparse subgraph for connected components: lineitem rows with
+  *    l_quantity=1 AND l_linenumber=7 (221 nodes / 63 components at
+  *    sf0.01 — non-trivial);
+  *  - heterogeneous attribute edges (customer→nation→region) with
+  *    string-prefixed node ids for the motif GQI variants.
+  *
+  * Covers SURVEY.md J4 (adjacency), J5 (subgraph isomorphism), J6
+  * (attribute edge sources), U2 (motif union), A9 (splice-graph-style
+  * exact-coordinate construction), plus GraphX analytics (degrees,
+  * connected components).
+  */
+object GraphQ {
+
+  private val POFF = 1000000L
+
+  private def suppPartEdges(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"), (col("l_partkey") + POFF).as("dst"))
+      .distinct()
+
+  private def sparseEdges(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_quantity") === 1.0 && col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("src"), (col("l_partkey") + POFF).as("dst"))
+      .distinct()
+
+  val defs: Map[String, Q] = Map(
+    // J4: g[node] → {target: edgeInfo} adjacency with edge attributes.
+    "j4_adjacency" -> { (s, dir) =>
+      new EdgeGraph(table(s, dir, "lineitem")
+          .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"),
+                  col("l_quantity")))
+        .adjacency(42L)
+        .groupBy(col("dst").as("partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("partkey")
+    },
+
+    // J5: motif (s1)->(p)<-(s2): supplier pairs sharing >= 5 parts.
+    "j5_motif" -> { (s, dir) =>
+      val e = suppPartEdges(s, dir)
+      MotifQuery.find(Seq(
+          MotifEdge("s1", "p", e),
+          MotifEdge("s2", "p", e)))
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy("s1", "s2")
+    },
+
+    // J6: heterogeneous attribute-edge motif c->n->r with a node filter.
+    "j6_attr_edges" -> { (s, dir) =>
+      val cn = table(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      val nr = table(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      val asia = table(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+        .select(concat(lit("r"), col("r_regionkey")).as("rid"))
+      MotifQuery.find(Seq(
+          MotifEdge("c", "n", cn),
+          MotifEdge("n", "r", nr)))
+        .join(broadcast(asia), col("r") === col("rid"))
+        .groupBy(col("n").as("nation_node"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("nation_node")
+    },
+
+    // U2: union of two motif solution sets (pairs sharing parts OR
+    // suppliers co-located in a nation).
+    "u2_motif_union" -> { (s, dir) =>
+      val shared = MotifQuery.find(Seq(
+          MotifEdge("s1", "p", suppPartEdges(s, dir)),
+          MotifEdge("s2", "p", suppPartEdges(s, dir))))
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 8).select("s1", "s2")
+      val sn = table(s, dir, "supplier").select(
+        col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))
+      val coloc = MotifQuery.find(Seq(
+          MotifEdge("s1", "n", sn),
+          MotifEdge("s2", "n", sn)))
+        .where(col("s1") < col("s2")).select("s1", "s2")
+      shared.union(coloc).distinct().orderBy("s1", "s2")
+    },
+
+    // A9: splice-graph-style construction — exact-coordinate match of
+    // consecutive line numbers within each order cluster.
+    "a9_linegraph" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val l2 = l.select(col("l_orderkey").as("o2"),
+        col("l_linenumber").as("ln2"), col("l_partkey").as("p_to"))
+      l.join(l2, col("l_orderkey") === col("o2") &&
+               col("ln2") === col("l_linenumber") + 1)
+        .groupBy(col("l_partkey").as("p_from"), col("p_to"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .orderBy("p_from", "p_to")
+    },
+
+    // GraphX analytics: degrees.
+    "g2_degrees" -> { (s, dir) =>
+      new EdgeGraph(suppPartEdges(s, dir)).outDegrees
+        .select(col("node").as("suppkey"), col("out_deg"))
+        .orderBy("suppkey")
+    },
+
+    // GraphX analytics: connected components on the sparse subgraph.
+    "g1_connected_components" -> { (s, dir) =>
+      new EdgeGraph(sparseEdges(s, dir)).connectedComponents(s)
+        .orderBy("node")
+    }
+  )
+
+  private val sp = "SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem"
+
+  val oracle: Map[String, String] = Map(
+    "j4_adjacency" ->
+      """SELECT l_partkey AS partkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_suppkey = 42
+        |GROUP BY l_partkey ORDER BY partkey""".stripMargin,
+
+    "j5_motif" ->
+      s"""WITH e AS ($sp)
+        |SELECT a.src AS s1, b.src AS s2, COUNT(*) AS n_shared
+        |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |GROUP BY a.src, b.src HAVING COUNT(*) >= 5
+        |ORDER BY s1, s2""".stripMargin,
+
+    "j6_attr_edges" ->
+      """SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS nation_node,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY nation_node ORDER BY nation_node""".stripMargin,
+
+    "u2_motif_union" ->
+      s"""WITH e AS ($sp),
+        |shared AS (
+        |  SELECT a.src AS s1, b.src AS s2 FROM e a
+        |  JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY a.src, b.src HAVING COUNT(*) >= 8),
+        |coloc AS (
+        |  SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey)
+        |SELECT s1, s2 FROM (SELECT * FROM shared UNION SELECT * FROM coloc)
+        |ORDER BY s1, s2""".stripMargin,
+
+    "a9_linegraph" ->
+      """SELECT a.l_partkey AS p_from, b.l_partkey AS p_to, COUNT(*) AS n
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |GROUP BY p_from, p_to HAVING COUNT(*) >= 3
+        |ORDER BY p_from, p_to""".stripMargin,
+
+    "g2_degrees" ->
+      s"""WITH e AS ($sp)
+        |SELECT src AS suppkey, COUNT(*) AS out_deg FROM e
+        |GROUP BY src ORDER BY suppkey""".stripMargin,
+
+    "g1_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+        |  FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1),
+        |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM ud),
+        |walk(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
+        |SELECT n AS node, MIN(lbl) AS comp FROM walk
+        |GROUP BY n ORDER BY node""".stripMargin
+  )
+}

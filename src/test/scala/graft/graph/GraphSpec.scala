@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Motif semantics mirror pygr `tests/graph_test.py:88-160`: basic
+  * path queries, cyclic query graphs (closure edges as filters),
+  * per-step filters, and injective matching.
+  */
+class GraphSpec extends SparkSuite {
+
+  private def edgesDF(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  //   1 -> 2 -> 3 -> 1  (triangle)  and  2 -> 4
+  private lazy val g = edgesDF((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
+
+  private def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(r.getLong).toList).toSet
+
+  test("path motif a->b->c enumerates all injective chains") {
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("a", "b", g), MotifEdge("b", "c", g))), "a", "b", "c")
+    assert(got === Set(
+      List(1L, 2L, 3L), List(1L, 2L, 4L), List(2L, 3L, 1L), List(3L, 1L, 2L)))
+  }
+
+  test("cyclic motif: closure edge filters to the triangle") {
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("a", "b", g), MotifEdge("b", "c", g),
+      MotifEdge("c", "a", g))), "a", "b", "c") // c->a closes the cycle
+    assert(got === Set(List(1L, 2L, 3L), List(2L, 3L, 1L), List(3L, 1L, 2L)))
+  }
+
+  test("non-injective matching allows repeated data nodes") {
+    val gg = edgesDF((1L, 2L), (2L, 1L))
+    val inj = rows(MotifQuery.find(Seq(
+      MotifEdge("a", "b", gg), MotifEdge("b", "c", gg))), "a", "b", "c")
+    assert(inj === Set.empty) // a==c forced, injective forbids
+    val rel = rows(MotifQuery.find(Seq(
+      MotifEdge("a", "b", gg), MotifEdge("b", "c", gg)), injective = false),
+      "a", "b", "c")
+    assert(rel === Set(List(1L, 2L, 1L), List(2L, 1L, 2L)))
+  }
+
+  test("per-step filter prunes bindings (graphquery.py:500-503)") {
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("a", "b", g, filter = Some(col("b") =!= 2L)),
+      MotifEdge("b", "c", g))), "a", "b", "c")
+    assert(got === Set(List(2L, 3L, 1L), List(3L, 1L, 2L)))
+  }
+
+  test("heterogeneous edge sources per motif edge") {
+    val e1 = edgesDF((10L, 20L))
+    val e2 = edgesDF((20L, 30L))
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("x", "y", e1), MotifEdge("y", "z", e2))), "x", "y", "z")
+    assert(got === Set(List(10L, 20L, 30L)))
+  }
+
+  test("EdgeGraph: adjacency, inverse, degrees, connected components") {
+    val e = edgesDF((1L, 2L), (2L, 3L), (10L, 11L))
+    val eg = new EdgeGraph(e)
+    assert(eg.adjacency(2L).collect().map(_.getLong(1)).toSet === Set(3L))
+    assert(eg.inverse.adjacency(2L).collect().map(_.getLong(1)).toSet === Set(1L))
+    assert(eg.outDegrees.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 1L), (2L, 1L), (10L, 1L)))
+    val cc = eg.connectedComponents(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}
