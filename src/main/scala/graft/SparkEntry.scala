@@ -15,7 +15,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.defs, Relational.oracle),
     (IntervalsQ.defs, IntervalsQ.oracle),
-    (GraphQ.defs, GraphQ.oracle)
+    (GraphQ.defs, GraphQ.oracle),
+    (TextQ.defs, TextQ.oracle),
+    (DedupQ.defs, DedupQ.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** MinHash + banded LSH near-duplicate detection — the scale path for
+  * corpus dedup (shingle → minhash signature → band bucket →
+  * bucket-join), plus exact n-gram Jaccard verification of candidate
+  * pairs. The idiomatic replacement for the reference's external
+  * similarity join (BLAST, pygr `blast.py:86-413`; SURVEY.md J8):
+  * candidates are found by equi-joins on band buckets (shuffle
+  * bounded by bucket population), never by an all-pairs comparison.
+  *
+  * Hashes are md5-hex strings: deterministic, engine-portable, and
+  * lexicographic min == numeric min on fixed-length hex.
+  */
+object MinHashLSH {
+
+  /** Per-doc minhash signature columns sig0..sig{k-1} over word
+    * n-gram shingles of `toksCol`.
+    */
+  def signatures(docs: DataFrame, idCol: String, toksCol: String,
+                 k: Int = 8, shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
+    val minPerSeed = sh
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
+      .select(col(idCol), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min("h").as("m"))
+    val aggs = (0 until k).map(i => min(when(col("seed") === i, col("m"))).as(s"sig$i"))
+    minPerSeed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band, bucket) rows: bucket = md5 of the band's signature
+    * concat; `bands` must divide k evenly.
+    */
+  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val rows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * r until (b + 1) * r).map(i => col(s"sig$i")): _*)).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(rows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Distinct candidate pairs (i < j) sharing any band bucket. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col(idCol).as("i"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("j"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** Exact Jaccard (basis points) between shingle sets of id pairs.
+    * `pairs` has (i, j); `docs` has (idCol, toksCol).
+    */
+  def jaccardBp(pairs: DataFrame, docs: DataFrame, idCol: String,
+                toksCol: String, shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // intersection via shingle equi-join (shuffle keyed on shingle, so
+    // per-task work is bounded by shingle popularity, not corpus size),
+    // then restricted to the candidate pairs
+    val inter = sh.select(col(idCol).as("i"), col("sh"))
+      .join(sh.select(col(idCol).as("j"), col("sh")), Seq("sh"))
+      .where(col("i") < col("j"))
+      .join(pairs, Seq("i", "j"), "left_semi")
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), "i")
+      .join(sizes.select(col(idCol).as("j"), col("sz").as("szj")), "j")
+      .select(col("i"), col("j"),
+        TextFunctions.bp(col("inter"), col("szi") + col("szj") - col("inter"))
+          .as("jac_bp"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft.table
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.similarity.CosineSim
+import graft.text.TextFunctions.tokens
+
+/** Near-duplicate detection and similarity search — the LLM-pipeline
+  * operator family (SURVEY.md §7.7): MinHash+LSH banded dedup with
+  * exact Jaccard verification, SimHash fingerprints, embedding
+  * near-dup pairs (bucketed), and brute-force cosine top-k ANN
+  * baseline. All hashing md5-based so the DuckDB oracle reproduces
+  * results bit-for-bit; Jaccard in integer basis points.
+  */
+object DedupQ {
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  val defs: Map[String, Q] = Map(
+    // d2: shingle → minhash (k=8) → 4 bands → bucket join → verify.
+    "d2_minhash_lsh" -> { (s, dir) =>
+      val docs = docToks(s, dir)
+      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id")
+      MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        .orderBy("i", "j")
+    },
+
+    // d3: 32-bit simhash fingerprints.
+    "d3_simhash" -> { (s, dir) =>
+      SimHash.simhash(docToks(s, dir), "doc_id", "toks").orderBy("doc_id")
+    },
+
+    // d4: embedding near-dup pairs, blocked by label (IVF-cell analog).
+    "d4_embed_neardup" -> { (s, dir) =>
+      CosineSim.neardupPairs(table(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 0.4)
+        .orderBy("i", "j")
+    },
+
+    // n1: brute-force cosine top-3 for the first 20 vectors.
+    "n1_ann_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      CosineSim.topK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q", "rank")
+    }
+  )
+
+  private val tkSql =
+    """SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |              t -> t <> '') AS toks
+      |FROM documents""".stripMargin
+
+  private val shSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+      |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh
+      |FROM tk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d2_minhash_lsh" ->
+      s"""WITH tk AS ($tkSql),
+        |sh AS ($shSql),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        |  FROM sh CROSS JOIN range(8) r(seed)),
+        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
+        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
+        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
+        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
+        |  FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT c.i, c.j,
+        |  CASE WHEN (za.sz + zb.sz - COALESCE(ic, 0)) = 0 THEN 0
+        |    ELSE (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) END AS jac_bp
+        |FROM cand c
+        |LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+        |JOIN sz za ON za.doc_id = c.i
+        |JOIN sz zb ON zb.doc_id = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH tk AS ($tkSql),
+        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN range(32) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d4_embed_neardup" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.label AS bk, a.vec_id AS i, b.vec_id AS j,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT bk, i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin,
+
+    "n1_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT q, n,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q JOIN c ON q <> n),
+        |r AS (SELECT q, n, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk FROM s)
+        |SELECT q, rk AS rank, n AS neighbor, cos FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft.table
+import graft.text.TextFunctions._
+
+/** Text-analysis operators over `documents` — the training-data
+  * pipeline surface (language-ID, quality scoring, token stats,
+  * fingerprinting, exact dedup). All metrics are integer basis points
+  * or md5-hex values, so Spark and the DuckDB oracle agree exactly.
+  */
+object TextQ {
+
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+
+  val defs: Map[String, Q] = Map(
+    // t1: heuristic language-ID by marker-word scoring, argmax with
+    // deterministic (score desc, lang asc) tie-break.
+    "t1_langid" -> { (s, dir) =>
+      val scored = docToks(s, dir).select(col("doc_id"),
+        explode(array(langMarkers.map { case (l, ws) =>
+          struct(lit(l).as("lang"),
+                 markerHits(col("toks"), ws).cast("long").as("score"))
+        }: _*)).as("ls"))
+        .select(col("doc_id"), col("ls.lang").as("lang"), col("ls.score").as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // t2: quality scoring — type-token ratio, space density, length
+    // bonus, combined; all integer basis points.
+    "t2_quality" -> { (s, dir) =>
+      docToks(s, dir)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("ttr_bp", bp(col("n_uniq"), col("n_tokens")))
+        .withColumn("space_bp",
+          bp(col("n_chars") - length(regexp_replace(col("text"), " ", "")).cast("long"),
+             col("n_chars")))
+        .withColumn("qual_bp",
+          floor((col("ttr_bp") + least(col("n_tokens") * 100L, lit(10000L))) / 2).cast("long"))
+        .select("doc_id", "n_chars", "n_tokens", "ttr_bp", "space_bp", "qual_bp")
+        .orderBy("doc_id")
+    },
+
+    // t3: token counting.
+    "t3_tokens" -> { (s, dir) =>
+      docToks(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+    },
+
+    // t4: content fingerprint (min shingle hash).
+    "t4_fingerprint" -> { (s, dir) =>
+      docToks(s, dir)
+        .select(col("doc_id"), fingerprint(col("toks"), 3).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // d1: exact dedup on a normalized key (first-5-token prefix hash):
+    // duplicate groups with their keeper (min doc_id).
+    "d1_exact_dedup" -> { (s, dir) =>
+      docToks(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 5))).as("khash"))
+        .groupBy("khash")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+        .where(col("n_dups") > 1)
+        .orderBy("khash")
+    },
+
+    // m1: multimodal/binary column plumbing — opaque bytes + typed
+    // metadata (length, content hash).
+    "m1_binary_meta" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          col("source"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val toksSql =
+    """SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |              t -> t <> '') AS toks
+      |FROM documents""".stripMargin
+
+  private val markerSql: String = langMarkers.map { case (l, ws) =>
+    val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, '$l' AS lang,
+       |  CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS score
+       |FROM tk""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val oracle: Map[String, String] = Map(
+    "t1_langid" ->
+      s"""WITH tk AS ($toksSql),
+        |sc AS ($markerSql),
+        |r AS (SELECT doc_id, lang, score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM sc)
+        |SELECT doc_id, lang AS lang_pred, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH tk AS ($toksSql),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_sp
+        |  FROM tk),
+        |b AS (SELECT doc_id, n_chars, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0 ELSE (10000 * n_uniq) // n_tokens END AS ttr_bp,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE (10000 * n_sp) // n_chars END AS space_bp
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_tokens, ttr_bp, space_bp,
+        |  (ttr_bp + LEAST(n_tokens * 100, 10000)) // 2 AS qual_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "t3_tokens" ->
+      s"""WITH tk AS ($toksSql)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH tk AS ($toksSql),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        |  FROM tk)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS fp
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      s"""WITH tk AS ($toksSql),
+        |k AS (SELECT doc_id,
+        |  md5(array_to_string(list_slice(toks, 1, 5), ' ')) AS khash
+        |  FROM tk)
+        |SELECT khash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+        |FROM k GROUP BY khash HAVING COUNT(*) > 1
+        |ORDER BY khash""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash, source
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

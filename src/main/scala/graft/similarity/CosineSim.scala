@@ -1,0 +1,56 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * `cosine` is a pure fold expression (left-to-right, double
+  * arithmetic — deterministic and engine-portable). `topK` is the
+  * brute-force baseline: broadcast the query set, scan the corpus
+  * once, rank per query. `neardupPairs` blocks on a caller-provided
+  * bucket column (label, LSH bucket, IVF cell) so the self-join never
+  * goes all-pairs across the full corpus — the 100TB path is
+  * bucketing first, brute force within buckets.
+  */
+object CosineSim {
+
+  /** Left-to-right dot product fold on double-cast arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * queries(qCol, vecCol) × corpus(idCol, vecCol); self-matches
+    * (same id value) are excluded. Output: (q, rank, neighbor, cos).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, qCol: String,
+           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
+    val scored = q.join(broadcast(c), col("q") =!= col("neighbor"))
+      .select(col("q"), col("neighbor"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q", "rank", "neighbor", "cos")
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, blocked by
+    * `bucketCol` (the IVF/LSH analog: only same-bucket pairs are
+    * compared).
+    */
+  def neardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(bucketCol).as("bk"), col(idCol).as("i"), col(vecCol).as("vi"))
+    val b = corpus.select(col(bucketCol).as("bk"), col(idCol).as("j"), col(vecCol).as("vj"))
+    a.join(b, Seq("bk"))
+      .where(col("i") < col("j"))
+      .select(col("bk"), col("i"), col("j"), cosine(col("vi"), col("vj")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, n-gram shingling, language-ID scoring, quality
+  * metrics, content fingerprints. All pure `functions._` expressions
+  * (whole-stage codegen'd, no UDFs) and all deterministic across
+  * engines: hashing is md5-hex, ratios are integer basis points
+  * (10000*a div b) so no float rounding-mode ever enters a result.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles of a token array (space-joined), distinct.
+    * Guarded: Spark's `sequence(1, stop)` DESCENDS when stop < 1, so
+    * short docs must short-circuit to an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Content fingerprint: lexicographic min of shingle md5s — a
+    * 1-seed minhash; equal-content (and usually near-equal) docs
+    * collide. Hex string, comparable across engines.
+    */
+  def fingerprint(toks: Column, n: Int = 3): Column =
+    array_min(transform(shingles(toks, n), s => md5(s)))
+
+  /** Count of tokens that appear in a marker-word list. */
+  def markerHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Ratio in integer basis points: floor(10000*num / den), 0 when
+    * den=0. floor of a double quotient of ints is exact for operands
+    * < 2^40, so this matches integer division in any engine.
+    */
+  def bp(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(lit(10000L) * num / den).cast("long"))
+
+  /** Marker-word sets per language for the heuristic language-ID
+    * (n-gram/stopword scoring; the reference's analogous
+    * content-based classifier is `guess_seqtype`, `sequtil.py:7-26`).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni"))
+}
