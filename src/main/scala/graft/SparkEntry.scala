@@ -17,7 +17,9 @@ object SparkEntry {
     (IntervalsQ.defs, IntervalsQ.oracle),
     (GraphQ.defs, GraphQ.oracle),
     (TextQ.defs, TextQ.oracle),
-    (DedupQ.defs, DedupQ.oracle)
+    (DedupQ.defs, DedupQ.oracle),
+    (SeqQ.defs, SeqQ.oracle),
+    (AlignFnQ.defs, AlignFnQ.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.annot.AnnotationDb
+import graft.core.Graft.table
+import graft.queries.SeqQ.{dnaSql, withDna}
+
+/** Alignment-derived metrics and annotation joins over the doc-DNA
+  * corpus: pairwise identity (A6), longest conserved run (A7/P8),
+  * per-position letter iteration (W2), -log10 score transform (F6),
+  * and the annotation↔sequence interval join with strand-aware
+  * sequence extraction (J10).
+  */
+object AlignFnQ {
+
+  /** Aligned doc pairs (i even, j=i+1) with both DNA strings. */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = withDna(s, dir).select(col("doc_id"), col("dna"))
+    d.where(col("doc_id") % 2 === 0).select(col("doc_id").as("i"), col("dna").as("s1"))
+      .join(d.select((col("doc_id") - 1).as("i"), col("dna").as("s2")), "i")
+  }
+
+  private val pairsSql =
+    s"""WITH d AS ($dnaSql),
+      |pr AS (SELECT a.doc_id AS i, a.dna AS s1, b.dna AS s2
+      |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // A6: pairwise %identity over the aligned region (letter compare).
+    "a6_identity" -> { (s, dir) =>
+      pairs(s, dir)
+        .withColumn("matches",
+          size(filter(sequence(lit(1), lit(64)),
+            p => col("s1").substr(p, lit(1)) === col("s2").substr(p, lit(1)))).cast("long"))
+        .select(col("i"), col("matches"),
+          floor(lit(10000L) * col("matches") / 64L).cast("long").as("identity_bp"))
+        .orderBy("i")
+    },
+
+    // A7/P8: longest conserved segment (max run of matching letters,
+    // earliest on ties) — the gaps-and-islands form of pygr
+    // `conservedSegment`, `sequence.py:727-787`.
+    "p8_conserved_run" -> { (s, dir) =>
+      val matched = pairs(s, dir)
+        .select(col("i"), explode(sequence(lit(1), lit(64))).as("p"),
+          col("s1"), col("s2"))
+        .where(col("s1").substr(col("p"), lit(1)) === col("s2").substr(col("p"), lit(1)))
+        .select(col("i"), col("p").cast("long").as("p"))
+      val w = Window.partitionBy("i").orderBy("p")
+      val runs = matched
+        .withColumn("island", col("p") - row_number().over(w))
+        .groupBy("i", "island")
+        .agg(count(lit(1)).as("run_len"), min("p").as("run_start"))
+      val best = Window.partitionBy("i")
+        .orderBy(col("run_len").desc, col("run_start"))
+      runs.withColumn("rk", row_number().over(best))
+        .where(col("rk") === 1)
+        .select("i", "run_start", "run_len")
+        .orderBy("i")
+    },
+
+    // W2: per-position letter iterator over a slice.
+    "w2_letters" -> { (s, dir) =>
+      withDna(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("dna"))
+        .select(col("doc_id"), col("p").cast("long").as("pos"),
+          col("dna").substr(col("p"), lit(1)).as("letter"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // F6: e-value style -log10 transform.
+    "f6_neglog" -> { (s, dir) =>
+      // libm log10 differs in the last ulp across engines — quantize
+      // to integer micro-units so the oracle hash-matches.
+      IntervalsQ.events(s, dir)
+        .where(col("value") > 0)
+        .select(col("event_id"),
+          floor(-log10(col("value")) * 1e6).cast("long").as("neglog_u"))
+        .orderBy("event_id")
+    },
+
+    // J10: annotations (typed intervals on sequences) ⋈ query windows,
+    // clipped, with strand-aware sequence extraction.
+    "j10_annotation_join" -> { (s, dir) =>
+      val d = withDna(s, dir)
+      val seqs = d.select(concat(lit("doc_"), col("doc_id")).as("seq_id"), col("dna").as("seq"))
+      val annots = d.select(col("doc_id"), concat(lit("doc_"), col("doc_id")).as("seq_id"))
+        .select(col("seq_id"), explode(array(
+          struct(concat(col("seq_id"), lit(":a1")).as("annot_id"), lit("exon").as("annot_type"),
+            lit(5L).as("start"), lit(20L).as("stop"), lit(1).as("ori")),
+          struct(concat(col("seq_id"), lit(":a2")).as("annot_id"), lit("exon").as("annot_type"),
+            lit(30L).as("start"), lit(60L).as("stop"), lit(-1).as("ori")),
+          struct(concat(col("seq_id"), lit(":g1")).as("annot_id"), lit("gene").as("annot_type"),
+            lit(0L).as("start"), lit(63L).as("stop"), lit(1).as("ori")))).as("a"))
+        .select(col("seq_id"), col("a.annot_id").as("annot_id"),
+          col("a.annot_type").as("annot_type"), col("a.start").as("start"),
+          col("a.stop").as("stop"), col("a.ori").as("ori"))
+      val queries = seqs.select(col("seq_id").as("q_id"), col("seq_id"),
+        lit(10L).as("q_start"), lit(40L).as("q_end"))
+      val db = new AnnotationDb(annots)
+      db.withSequence(db.sliceAnnotations(queries), seqs)
+        .select("q_id", "annot_id", "annot_type", "c_start", "c_end", "ori", "aseq")
+        .orderBy("annot_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a6_identity" ->
+      s"""$pairsSql
+        |SELECT i,
+        |  CAST(len(list_filter(range(1, 65), p -> substr(s1, CAST(p AS INT), 1) = substr(s2, CAST(p AS INT), 1))) AS BIGINT) AS matches,
+        |  (10000 * CAST(len(list_filter(range(1, 65), p -> substr(s1, CAST(p AS INT), 1) = substr(s2, CAST(p AS INT), 1))) AS BIGINT)) // 64 AS identity_bp
+        |FROM pr ORDER BY i""".stripMargin,
+
+    "p8_conserved_run" ->
+      s"""$pairsSql,
+        |m AS (SELECT i, p FROM pr, UNNEST(range(1, 65)) AS t(p)
+        |  WHERE substr(s1, CAST(p AS INT), 1) = substr(s2, CAST(p AS INT), 1)),
+        |isl AS (SELECT i, p, p - ROW_NUMBER() OVER (PARTITION BY i ORDER BY p) AS island FROM m),
+        |runs AS (SELECT i, island, COUNT(*) AS run_len, MIN(p) AS run_start
+        |  FROM isl GROUP BY i, island),
+        |best AS (SELECT i, run_start, run_len,
+        |  ROW_NUMBER() OVER (PARTITION BY i ORDER BY run_len DESC, run_start) AS rk
+        |  FROM runs)
+        |SELECT i, run_start, run_len FROM best WHERE rk = 1 ORDER BY i""".stripMargin,
+
+    "w2_letters" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT doc_id, p AS pos, substr(dna, CAST(p AS INT), 1) AS letter
+        |FROM d, UNNEST(range(1, 17)) AS t(p)
+        |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+
+    "f6_neglog" ->
+      """SELECT event_id, CAST(floor(-log10(value) * 1e6) AS BIGINT) AS neglog_u
+        |FROM events WHERE value > 0 ORDER BY event_id""".stripMargin,
+
+    "j10_annotation_join" ->
+      s"""WITH d AS ($dnaSql),
+        |sq AS (SELECT 'doc_' || doc_id AS seq_id, dna AS seq FROM d),
+        |an AS (
+        |  SELECT seq_id, seq_id || ':a1' AS annot_id, 'exon' AS annot_type,
+        |    5 AS start, 20 AS stop, 1 AS ori FROM sq
+        |  UNION ALL SELECT seq_id, seq_id || ':a2', 'exon', 30, 60, -1 FROM sq
+        |  UNION ALL SELECT seq_id, seq_id || ':g1', 'gene', 0, 63, 1 FROM sq),
+        |sl AS (SELECT seq_id AS q_id, seq_id, annot_id, annot_type,
+        |    GREATEST(start, 10) AS c_start, LEAST(stop, 40) AS c_end, ori
+        |  FROM an WHERE start < 40 AND 10 < stop),
+        |wseq AS (SELECT q_id, annot_id, annot_type, c_start, c_end, ori,
+        |    substr(seq, CAST(c_start AS INT) + 1, CAST(c_end - c_start AS INT)) AS piece
+        |  FROM sl JOIN sq USING (seq_id))
+        |SELECT q_id, annot_id, annot_type, CAST(c_start AS BIGINT) AS c_start,
+        |  CAST(c_end AS BIGINT) AS c_end, ori,
+        |  CASE WHEN ori < 0 THEN translate(reverse(piece), 'ACGT', 'TGCA')
+        |       ELSE piece END AS aseq
+        |FROM wseq ORDER BY annot_id""".stripMargin
+  )
+}

@@ -118,6 +118,34 @@ object IntervalsQ {
         .orderBy("user_id")
     },
 
+    // P5: interval-set mask (SeqFilterDict): keep error windows
+    // intersecting the per-user mask window, clipped to it.
+    "p5_filter_mask" -> { (s, dir) =>
+      val mask = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id"), (col("t0") + 2L * 86400L).as("ms"),
+          (col("t0") + 8L * 86400L).as("me"))
+      errorWindows(s, dir).join(mask, "user_id")
+        .where(Intervals.overlaps(col("ws"), col("we"), col("ms"), col("me")))
+        .select(col("user_id"), col("wnd_id"),
+          Intervals.clipStart(col("ws"), col("ms")).as("cs"),
+          Intervals.clipEnd(col("we"), col("me")).as("ce"))
+        .orderBy("user_id", "wnd_id")
+    },
+
+    // P7: filterList — restrict alignment blocks to a target-seq list
+    // (semi-join) before aggregation.
+    "p7_filter_targets" -> { (s, dir) =>
+      val wanted = Seq("d1", "d3", "d5", "d7")
+      alignBlocks(s, dir)
+        .where(col("dest_id").isin(wanted: _*))
+        .groupBy("dest_id")
+        .agg(count(lit(1)).as("n_blocks"), min("src_start").as("min_start"),
+          max("src_end").as("max_end"))
+        .orderBy("dest_id")
+    },
+
     // J12: interval algebra on consecutive error windows per user.
     "j12_interval_algebra" -> { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ws", "wnd_id")
@@ -220,6 +248,23 @@ object IntervalsQ {
         |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d),
         |g AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island)
         |SELECT user_id, MAX(len) AS streak FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p5_filter_mask" ->
+      s"""WITH w AS ($wndSql),
+        |m AS (SELECT user_id, MIN(epoch_ms(ts)//1000) + 2*86400 AS ms,
+        |  MIN(epoch_ms(ts)//1000) + 8*86400 AS me FROM events GROUP BY user_id)
+        |SELECT w.user_id, wnd_id, GREATEST(ws, ms) AS cs, LEAST(we, me) AS ce
+        |FROM w JOIN m ON w.user_id = m.user_id
+        |WHERE ws < me AND ms < we
+        |ORDER BY w.user_id, wnd_id""".stripMargin,
+
+    "p7_filter_targets" ->
+      s"""WITH w AS ($wndSql),
+        |a AS ($blocksSql)
+        |SELECT dest_id, COUNT(*) AS n_blocks, MIN(src_start) AS min_start,
+        |  MAX(src_end) AS max_end
+        |FROM a WHERE dest_id IN ('d1', 'd3', 'd5', 'd7')
+        |GROUP BY dest_id ORDER BY dest_id""".stripMargin,
 
     "j12_interval_algebra" ->
       s"""WITH w AS ($wndSql),

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft.table
+import graft.seq.{Fasta, SeqDb, SeqFunctions}
+
+/** Sequence-engine operators (SURVEY.md §2.1/2.7): FASTA roundtrip,
+  * chunked strslice, reverse complement, codon translation, seqtype
+  * guessing, six-frame translation, prefix-union databases and
+  * qualified-key routing, id munging.
+  *
+  * The testdata has no sequences, so a deterministic 64nt DNA string
+  * is derived per document: md5(text)+md5(reverse(text)) hex mapped
+  * onto ACGT — reproduced identically in the oracle SQL.
+  */
+object SeqQ {
+
+  private val HEX = "0123456789abcdef"
+  private val ACGT = "ACGTACGTACGTACGT"
+
+  private[queries] def withDna(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"),
+      translate(concat(md5(col("text")), md5(reverse(col("text")))), HEX, ACGT).as("dna"))
+
+  private[queries] val dnaSql =
+    s"SELECT doc_id, text, source, translate(md5(text) || md5(reverse(text)), '$HEX', '$ACGT') AS dna FROM documents"
+
+  /** DuckDB codon translation of the SQL string expression `sExpr`,
+    * generated from the same codon table the Spark side uses.
+    */
+  private def codonCaseSql(sExpr: String): String = {
+    val whens = SeqFunctions.codonTable.toSeq.sorted
+      .map { case (c, a) => s"WHEN '$c' THEN '$a'" }.mkString(" ")
+    s"array_to_string(list_transform(range(0, length($sExpr)//3), " +
+      s"i -> CASE substr($sExpr, CAST(i*3+1 AS INT), 3) $whens ELSE 'X' END), '')"
+  }
+
+  val defs: Map[String, Q] = Map(
+    // F1: reverse complement.
+    "f1_revcomp" -> { (s, dir) =>
+      withDna(s, dir)
+        .select(col("doc_id"), col("dna"),
+          SeqFunctions.reverseComplement(col("dna")).as("rc"))
+        .orderBy("doc_id")
+    },
+
+    // F2: codon → amino-acid translation.
+    "f2_translate" -> { (s, dir) =>
+      withDna(s, dir)
+        .select(col("doc_id"), SeqFunctions.translateCodons(col("dna")).as("aa"))
+        .orderBy("doc_id")
+    },
+
+    // F3: content-based sequence-type guessing on mixed inputs.
+    "f3_seqtype" -> { (s, dir) =>
+      withDna(s, dir)
+        .withColumn("probe",
+          when(col("doc_id") % 2 === 0, col("dna")).otherwise(substring(col("text"), 1, 64)))
+        .select(col("doc_id"), SeqFunctions.guessSeqType(col("probe")).as("seqtype"))
+        .orderBy("doc_id")
+    },
+
+    // F4: six-frame translation (explode of the frame generator).
+    "f4_sixframe" -> { (s, dir) =>
+      withDna(s, dir)
+        .select(col("doc_id"), explode(SeqFunctions.sixFrames(col("dna"))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"), col("f.aa").as("aa"))
+        .orderBy("doc_id", "frame")
+    },
+
+    // S1/S2: FASTA write → distributed re-parse → info roundtrip.
+    "s1_fasta_roundtrip" -> { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fasta_rt"
+      Fasta.format(withDna(s, dir)
+          .select(concat(lit("doc_"), col("doc_id")).as("seq_id"), col("dna").as("seq")))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      Fasta.read(s, tmp)
+        .select(col("seq_id"), col("length"), md5(col("seq")).as("seq_hash"))
+        .orderBy("seq_id")
+    },
+
+    // S3: chunked strslice — only covering chunks are read.
+    "s3_strslice" -> { (s, dir) =>
+      val db = SeqDb.fromSequences(
+        withDna(s, dir).select(concat(lit("doc_"), col("doc_id")).as("seq_id"),
+          col("dna").as("seq")), chunkSize = 16)
+      val queries = withDna(s, dir).select(col("doc_id").as("q_id"),
+        concat(lit("doc_"), col("doc_id")).as("seq_id"),
+        lit(10L).as("start"), lit(50L).as("stop"))
+      db.strslice(queries).select("q_id", "sl").orderBy("q_id")
+    },
+
+    // U1: prefix union of two sequence databases.
+    "u1_prefix_union" -> { (s, dir) =>
+      val docs = withDna(s, dir).select(lit("docs").as("prefix"),
+        concat(lit("doc_"), col("doc_id")).as("sid"), length(col("dna")).cast("long").as("len"))
+      val sups = table(s, dir, "supplier").select(lit("sup").as("prefix"),
+        concat(lit("s_"), col("s_suppkey")).as("sid"),
+        length(col("s_name")).cast("long").as("len"))
+      docs.unionByName(sups)
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n"), sum("len").as("sum_len"))
+        .orderBy("prefix")
+    },
+
+    // J11: qualified-key routing through the union (prefix split).
+    "j11_union_routing" -> { (s, dir) =>
+      val keys = withDna(s, dir).where(col("doc_id") % 50 === 0)
+        .select(concat(lit("docs.doc_"), col("doc_id")).as("qkey"))
+      val docs = withDna(s, dir)
+        .select(concat(lit("doc_"), col("doc_id")).as("sid"), md5(col("dna")).as("h"))
+      keys
+        .withColumn("prefix", split(col("qkey"), "\\.").getItem(0))
+        .withColumn("sid", split(col("qkey"), "\\.").getItem(1))
+        .where(col("prefix") === "docs")
+        .join(docs, "sid")
+        .select(col("qkey"), col("h"))
+        .orderBy("qkey")
+    },
+
+    // F7: NCBI-style id munging (gi|...| unpack).
+    "f7_id_munging" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("gi|"), col("doc_id"), lit("|src|"), col("source")).as("nid"))
+        .select(col("doc_id"), col("nid"),
+          split(col("nid"), "\\|").getItem(1).cast("long").as("gi"),
+          split(col("nid"), "\\|").getItem(3).as("tag"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_revcomp" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT doc_id, dna, translate(reverse(dna), 'ACGT', 'TGCA') AS rc
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "f2_translate" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT doc_id, ${codonCaseSql("dna")} AS aa
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "f3_seqtype" ->
+      s"""WITH d AS ($dnaSql),
+        |p AS (SELECT doc_id,
+        |  upper(CASE WHEN doc_id % 2 = 0 THEN dna ELSE substr(text, 1, 64) END) AS up
+        |  FROM d),
+        |m AS (SELECT doc_id, length(up) AS len,
+        |  length(up) - length(translate(up, 'ACGTNU', '')) AS acgtnu,
+        |  length(up) - length(translate(up, 'U', '')) AS u,
+        |  length(up) - length(translate(up, 'T', '')) AS t
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN len = 0 THEN 'protein'
+        |       WHEN 5 * acgtnu >= 4 * len THEN
+        |         CASE WHEN u > t THEN 'rna' ELSE 'dna' END
+        |       ELSE 'protein' END AS seqtype
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "f4_sixframe" -> {
+      val branches = (1 to 3).map(f =>
+        s"SELECT doc_id, $f AS frame, ${codonCaseSql(s"substr(dna, $f)")} AS aa FROM d"
+      ) ++ (1 to 3).map(f =>
+        s"SELECT doc_id, -$f AS frame, ${codonCaseSql(s"substr(rc, $f)")} AS aa FROM d")
+      s"""WITH d0 AS ($dnaSql),
+        |d AS (SELECT doc_id, dna, translate(reverse(dna), 'ACGT', 'TGCA') AS rc FROM d0)
+        |${branches.mkString("\nUNION ALL\n")}
+        |ORDER BY doc_id, frame""".stripMargin
+    },
+
+    "s1_fasta_roundtrip" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT 'doc_' || doc_id AS seq_id, CAST(length(dna) AS BIGINT) AS length,
+        |  md5(dna) AS seq_hash
+        |FROM d ORDER BY seq_id""".stripMargin,
+
+    "s3_strslice" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT doc_id AS q_id, substr(dna, 11, 40) AS sl
+        |FROM d ORDER BY q_id""".stripMargin,
+
+    "u1_prefix_union" ->
+      s"""WITH d AS ($dnaSql),
+        |u AS (
+        |  SELECT 'docs' AS prefix, CAST(length(dna) AS BIGINT) AS len FROM d
+        |  UNION ALL
+        |  SELECT 'sup', CAST(length(s_name) AS BIGINT) FROM supplier)
+        |SELECT prefix, COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS sum_len
+        |FROM u GROUP BY prefix ORDER BY prefix""".stripMargin,
+
+    "j11_union_routing" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT 'docs.doc_' || doc_id AS qkey, md5(dna) AS h
+        |FROM d WHERE doc_id % 50 = 0 ORDER BY qkey""".stripMargin,
+
+    "f7_id_munging" ->
+      """WITH n AS (SELECT doc_id,
+        |  'gi|' || doc_id || '|src|' || source AS nid FROM documents)
+        |SELECT doc_id, nid,
+        |  CAST(string_split(nid, '|')[2] AS BIGINT) AS gi,
+        |  string_split(nid, '|')[4] AS tag
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+}

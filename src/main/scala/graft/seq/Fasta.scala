@@ -1,0 +1,52 @@
+package graft.seq
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FASTA ingest/export (pygr `seqfmt.pyx:21-59`, `sequtil.py:38-78`;
+  * SURVEY.md S1/S2).
+  *
+  * Distributed parse: records are split on the `\n>` delimiter by the
+  * Hadoop line reader itself (textinputformat.record.delimiter), so a
+  * 100TB FASTA shards across executors without any driver-side pass;
+  * each task sees whole records.
+  */
+object Fasta {
+
+  /** Read FASTA → (seq_id, title, seq, length). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n>")
+    val records = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .filter(_.nonEmpty)
+      .map { rec =>
+        val body = if (rec.startsWith(">")) rec.substring(1) else rec
+        val nl = body.indexOf('\n')
+        val (header, seqLines) =
+          if (nl < 0) (body, "") else (body.substring(0, nl), body.substring(nl + 1))
+        val sp = header.indexWhere(_.isWhitespace)
+        val id = if (sp < 0) header.trim else header.substring(0, sp)
+        val title = if (sp < 0) "" else header.substring(sp + 1).trim
+        val seq = seqLines.replace("\n", "").replace("\r", "")
+        (id, title, seq, seq.length.toLong)
+      }
+    records.toDF("seq_id", "title", "seq", "length")
+  }
+
+  /** Format (seq_id, seq) rows as FASTA text with 60-column wrap
+    * (pygr `write_fasta`, `sequtil.py:60-78`); one output string per
+    * record, writable via `df.write.text`.
+    */
+  def format(df: DataFrame, idCol: String = "seq_id", seqCol: String = "seq"): DataFrame =
+    df.select(concat(lit(">"), col(idCol), lit("\n"),
+      // insert a newline after every 60 chars, no trailing newline
+      regexp_replace(regexp_replace(col(seqCol), "(.{60})", "$1\n"), "\n$", ""))
+      .as("fasta"))
+}
