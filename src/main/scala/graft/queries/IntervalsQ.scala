@@ -118,6 +118,15 @@ object IntervalsQ {
         .orderBy("user_id")
     },
 
+    // ST1: event-time tumbling window aggregation — the batch form of
+    // the streaming surface (same library call powers readStream).
+    "st1_tumbling_window" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(timestamp_seconds(sec("ts")).as("ts"), col("event_type"), col("value"))
+      graft.streaming.StreamOps.tumblingCounts(ev, "ts", "event_type", 3600L)
+        .orderBy("wstart", "event_type")
+    },
+
     // P5: interval-set mask (SeqFilterDict): keep error windows
     // intersecting the per-user mask window, clipped to it.
     "p5_filter_mask" -> { (s, dir) =>
@@ -248,6 +257,13 @@ object IntervalsQ {
         |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d),
         |g AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island)
         |SELECT user_id, MAX(len) AS streak FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st1_tumbling_window" ->
+      """SELECT (epoch_ms(ts)//1000)//3600*3600 AS wstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
 
     "p5_filter_mask" ->
       s"""WITH w AS ($wndSql),

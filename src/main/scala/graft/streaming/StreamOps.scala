@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming surface (SURVEY.md §2.8 — NEW surface, not a
+  * port: the reference is strictly batch build → read-only query).
+  * The alignment/event ingest path becomes append-only streams with
+  * event-time windows and stateful sessionization.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation. Works identically on a
+    * batch DataFrame and a streaming one (pass a watermark for
+    * streams so state can be evicted).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowSec: Long, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    src.groupBy(window(col(tsCol), s"$windowSec seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col(keyCol),
+        col("n"), col("sum_value"))
+  }
+
+  case class Ev(user_id: Long, sec: Long)
+  case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+  case class SessState(start: Long, end: Long, n: Long)
+
+  /** A flush sentinel: an event at or beyond this second closes any
+    * open session for its user without starting a new one.
+    */
+  val FlushAt: Long = Long.MaxValue / 2
+
+  /** Stateful gap-rule sessionizer over a stream of per-user events —
+    * the streaming form of `Sessionize.merge` (pygr A2 semantics).
+    * Emits a session when a newer event exceeds `gapSec` from the
+    * session end; with `timeoutMs > 0` idle groups also flush via
+    * processing-time timeout. An `Ev(user, >= FlushAt)` sentinel
+    * forces a deterministic flush (useful in tests/backfills).
+    */
+  def sessionize(ds: Dataset[Ev], gapSec: Long,
+                 timeoutMs: Long = 1000L): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(uid, s.start, s.end, s.n)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            evs.toSeq.sortBy(e => e.sec).foreach { e =>
+              (cur, e.sec >= FlushAt) match {
+                case (Some(s), true) =>
+                  closed += Session(uid, s.start, s.end, s.n); cur = None
+                case (None, true) => ()
+                case (Some(s), false) if e.sec <= s.end + gapSec =>
+                  cur = Some(SessState(s.start, math.max(s.end, e.sec), s.n + 1))
+                case (Some(s), false) =>
+                  closed += Session(uid, s.start, s.end, s.n)
+                  cur = Some(SessState(e.sec, e.sec, 1))
+                case (None, false) =>
+                  cur = Some(SessState(e.sec, e.sec, 1))
+              }
+            }
+            cur match {
+              case Some(s) => state.update(s)
+              case None => if (state.exists) state.remove()
+            }
+            if (timeoutMs > 0 && cur.isDefined) state.setTimeoutDuration(timeoutMs)
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.streaming.StreamOps.{Ev, Session}
+
+class StreamSpec extends SparkSuite {
+
+  test("streaming tumbling window agg with watermark (memory source→sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(df, "ts", "event_type", 60L, Some("2 minutes"))
+      .writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    in.addData((t(10), "a", 1.0), (t(20), "a", 2.0), (t(70), "a", 4.0), (t(15), "b", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("winagg")
+      .select("wstart", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(got === Set((0L, "a", 2L, 3.0), (60L, "a", 1L, 4.0), (0L, "b", 1L, 8.0)))
+  }
+
+  test("stateful gap sessionizer closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionize(in.toDS(), gapSec = 100L, timeoutMs = -1L)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    in.addData(Ev(1, 0), Ev(1, 50), Ev(1, 400), Ev(2, 10))
+    q.processAllAvailable()
+    // session [0,50] closed by the 400 event (gap > 100)
+    val afterBatch = spark.table("sess").as[Session].collect().toSet
+    assert(afterBatch === Set(Session(1, 0, 50, 2)))
+    // flush sentinels close the remaining open sessions deterministically
+    in.addData(Ev(1, StreamOps.FlushAt), Ev(2, StreamOps.FlushAt))
+    q.processAllAvailable()
+    val afterFlush = spark.table("sess").as[Session].collect().toSet
+    q.stop()
+    assert(afterFlush === Set(
+      Session(1, 0, 50, 2), Session(1, 400, 400, 1), Session(2, 10, 10, 1)))
+  }
+}
