@@ -38,11 +38,12 @@ object SeqQ {
   }
 
   val defs: Map[String, Q] = Map(
-    // F1: reverse complement.
+    // F1: reverse complement — via the native codegen Expression
+    // (graft.functions.ReverseComplement), not the 2-pass composition.
     "f1_revcomp" -> { (s, dir) =>
       withDna(s, dir)
         .select(col("doc_id"), col("dna"),
-          SeqFunctions.reverseComplement(col("dna")).as("rc"))
+          graft.functions.ReverseComplement.reverse_complement(col("dna")).as("rc"))
         .orderBy("doc_id")
     },
 
