@@ -25,14 +25,12 @@ object MinHashLSH {
                  k: Int = 8, shingleN: Int = 2): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
-    val minPerSeed = sh
-      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
-      .select(col(idCol), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min("h").as("m"))
-    val aggs = (0 until k).map(i => min(when(col("seed") === i, col("m"))).as(s"sig$i"))
-    minPerSeed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // k min-aggregates over one shingle pass: the k seed hashes are
+    // computed map-side and partially min-combined before the single
+    // shuffle on the doc id (no seed-explode row multiplication)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, band, bucket) rows: bucket = md5 of the band's signature

@@ -26,13 +26,18 @@ object CosineSim {
   /** Brute-force top-k cosine neighbors for each query vector.
     * queries(qCol, vecCol) × corpus(idCol, vecCol); self-matches
     * (same id value) are excluded. Output: (q, rank, neighbor, cos).
+    * Norms are precomputed once per vector (identical doubles to the
+    * per-pair form, one dot instead of three per comparison).
     */
   def topK(queries: DataFrame, corpus: DataFrame, qCol: String,
            idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
+    val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
     val scored = q.join(broadcast(c), col("q") =!= col("neighbor"))
-      .select(col("q"), col("neighbor"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("q"), col("neighbor"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q").orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
@@ -42,15 +47,20 @@ object CosineSim {
 
   /** Near-duplicate pairs above a cosine threshold, blocked by
     * `bucketCol` (the IVF/LSH analog: only same-bucket pairs are
-    * compared).
+    * compared). Norms precomputed per vector before the pair join.
     */
   def neardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(bucketCol).as("bk"), col(idCol).as("i"), col(vecCol).as("vi"))
-    val b = corpus.select(col(bucketCol).as("bk"), col(idCol).as("j"), col(vecCol).as("vj"))
+    val normed = corpus.select(col(bucketCol).as("bk"), col(idCol),
+      col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = normed.select(col("bk"), col(idCol).as("i"), col(vecCol).as("vi"),
+      col("nrm").as("ni"))
+    val b = normed.select(col("bk"), col(idCol).as("j"), col(vecCol).as("vj"),
+      col("nrm").as("nj"))
     a.join(b, Seq("bk"))
       .where(col("i") < col("j"))
-      .select(col("bk"), col("i"), col("j"), cosine(col("vi"), col("vj")).as("cos"))
+      .select(col("bk"), col("i"), col("j"),
+        (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 }
