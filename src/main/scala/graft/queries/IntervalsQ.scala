@@ -90,6 +90,16 @@ object IntervalsQ {
         .orderBy("dest_id", "dest_ori")
     },
 
+    // A4: slice split — cut the j2 slice result into subslices per
+    // (query, target lane) with a gap rule (split/regions,
+    // cnestedlist.pyx:1031-1067).
+    "a4_slice_split" -> { (s, dir) =>
+      val sliced = defs("j2_slice_clip")(s, dir)
+      Sessionize.merge(sliced, Seq("q_id", "dest_id", "dest_ori"),
+          "src_start", "src_end", maxGap = 43200L)
+        .orderBy("q_id", "dest_id", "dest_ori", "session")
+    },
+
     // A2: gap-rule sessionization of each user's event stream.
     "a2_sessionize" -> { (s, dir) =>
       val pts = events(s, dir)
@@ -185,6 +195,26 @@ object IntervalsQ {
       |  wnd_id AS block_id
       |FROM w""".stripMargin
 
+  /** The j2 slice as a reusable CTE chain ending in `sl`. */
+  private val sliceSql =
+    s"""WITH w AS ($wndSql),
+      |a AS ($blocksSql),
+      |q AS (SELECT user_id AS q_id, 'u' || CAST(user_id AS VARCHAR) AS src_id,
+      |  MIN(epoch_ms(ts)//1000) + 5*86400 AS q_start,
+      |  MIN(epoch_ms(ts)//1000) + 15*86400 AS q_end
+      |  FROM events GROUP BY user_id),
+      |sl AS (SELECT q_id, a.src_id,
+      |  GREATEST(src_start, q_start) AS src_start,
+      |  LEAST(src_end, q_end) AS src_end,
+      |  dest_id,
+      |  CASE WHEN dest_ori >= 0 THEN dest_start + (GREATEST(src_start, q_start) - src_start)
+      |       ELSE dest_start + (src_end - LEAST(src_end, q_end)) END AS dest_start,
+      |  CASE WHEN dest_ori >= 0 THEN dest_end - (src_end - LEAST(src_end, q_end))
+      |       ELSE dest_end - (GREATEST(src_start, q_start) - src_start) END AS dest_end,
+      |  dest_ori, block_id
+      |FROM a JOIN q ON a.src_id = q.src_id
+      |  AND src_start < q_end AND q_start < src_end)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "j1_interval_join" ->
       s"""WITH w AS ($wndSql),
@@ -193,25 +223,27 @@ object IntervalsQ {
         |FROM w JOIN c ON w.user_id = c.user_id AND p >= ws AND p < we
         |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
 
-    "j2_slice_clip" ->
-      s"""WITH w AS ($wndSql),
-        |a AS ($blocksSql),
-        |q AS (SELECT user_id AS q_id, 'u' || CAST(user_id AS VARCHAR) AS src_id,
-        |  MIN(epoch_ms(ts)//1000) + 5*86400 AS q_start,
-        |  MIN(epoch_ms(ts)//1000) + 15*86400 AS q_end
-        |  FROM events GROUP BY user_id)
-        |SELECT q_id, a.src_id,
-        |  GREATEST(src_start, q_start) AS src_start,
-        |  LEAST(src_end, q_end) AS src_end,
-        |  dest_id,
-        |  CASE WHEN dest_ori >= 0 THEN dest_start + (GREATEST(src_start, q_start) - src_start)
-        |       ELSE dest_start + (src_end - LEAST(src_end, q_end)) END AS dest_start,
-        |  CASE WHEN dest_ori >= 0 THEN dest_end - (src_end - LEAST(src_end, q_end))
-        |       ELSE dest_end - (GREATEST(src_start, q_start) - src_start) END AS dest_end,
-        |  dest_ori, block_id
-        |FROM a JOIN q ON a.src_id = q.src_id
-        |  AND src_start < q_end AND q_start < src_end
-        |ORDER BY q_id, block_id""".stripMargin,
+    "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
+
+    "a4_slice_split" ->
+      s"""$sliceSql,
+        |m AS (SELECT *, CASE WHEN
+        |    MAX(src_end) OVER (PARTITION BY q_id, dest_id, dest_ori
+        |      ORDER BY src_start, src_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR src_start > MAX(src_end) OVER (PARTITION BY q_id, dest_id, dest_ori
+        |      ORDER BY src_start, src_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 43200
+        |  THEN 1 ELSE 0 END AS brk FROM sl),
+        |t AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY q_id, dest_id, dest_ori
+        |    ORDER BY src_start, src_end
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session
+        |  FROM m)
+        |SELECT q_id, dest_id, dest_ori, session,
+        |  MIN(src_start) AS session_start, MAX(src_end) AS session_end,
+        |  COUNT(*) AS n_members
+        |FROM t GROUP BY q_id, dest_id, dest_ori, session
+        |ORDER BY q_id, dest_id, dest_ori, session""".stripMargin,
 
     "a1_merge_span" ->
       s"""WITH w AS ($wndSql),
