@@ -29,14 +29,21 @@ object AlignFnQ {
       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)""".stripMargin
 
   val defs: Map[String, Q] = Map(
-    // A6: pairwise %identity over the aligned region (letter compare).
+    // A6: pairwise %identity over the aligned region — through the
+    // PairAlignment letter-join path (Seq2SeqEdge consume semantics).
     "a6_identity" -> { (s, dir) =>
-      pairs(s, dir)
-        .withColumn("matches",
-          size(filter(sequence(lit(1), lit(64)),
-            p => col("s1").substr(p, lit(1)) === col("s2").substr(p, lit(1)))).cast("long"))
-        .select(col("i"), col("matches"),
-          floor(lit(10000L) * col("matches") / 64L).cast("long").as("identity_bp"))
+      val d = withDna(s, dir)
+      val seqs = d.select(concat(lit("d"), col("doc_id")).as("seq_id"), col("dna").as("seq"))
+      val blocks = d.where(col("doc_id") % 2 === 0).select(
+        col("doc_id").as("i"),
+        concat(lit("d"), col("doc_id")).as("src_id"),
+        lit(0L).as("src_start"), lit(64L).as("src_end"),
+        concat(lit("d"), col("doc_id") + 1).as("dest_id"),
+        lit(0L).as("dest_start"), lit(64L).as("dest_end"),
+        lit(1).as("dest_ori"), col("doc_id").as("block_id"))
+      graft.align.PairAlignment.withLetters(blocks, seqs)
+        .select(col("i"), col("n_match").as("matches"),
+          floor(lit(10000L) * col("n_match") / 64L).cast("long").as("identity_bp"))
         .orderBy("i")
     },
 

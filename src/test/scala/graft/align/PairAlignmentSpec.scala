@@ -1,0 +1,38 @@
+package graft.align
+
+import graft.SparkSuite
+
+class PairAlignmentSpec extends SparkSuite {
+
+  test("letter metrics: forward and reverse-complement blocks") {
+    import spark.implicits._
+    val seqs = Seq(
+      ("a", "ACGTACGTAC"),
+      ("b", "ACGAACGTAC"),   // 1 mismatch at pos 3 (T->A)
+      ("c", "GTACGTACGT")).toDF("seq_id", "seq")
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 10L), ("b", 0L, 10L, 1)),
+      // a[0,4)=ACGT vs revcomp(c[6,10))=revcomp(ACGT)=ACGT
+      (("a", 0L, 4L), ("c", 6L, 10L, -1))), bidirectional = false)
+
+    val lettered = PairAlignment.withLetters(store.blocks, seqs)
+      .select("src_id", "dest_id", "src_text", "dest_text", "n_match")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(lettered === Set(
+      ("b", "ACGTACGTAC", "ACGAACGTAC", 9L),
+      ("c", "ACGT", "ACGT", 4L)))
+
+    val metrics = PairAlignment.identityMetrics(store.blocks, seqs)
+      .select("dest_id", "n_ident", "n_aligned", "p_identity_bp", "p_aligned_bp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap2
+    assert(metrics("b") === ((9L, 10L, 9000L, 10000L)))
+    assert(metrics("c") === ((4L, 4L, 4000L, 4000L)))
+  }
+
+  private implicit class Tup5Ops(rows: Array[(String, Long, Long, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+}
