@@ -101,16 +101,18 @@ object GraphQ {
       shared.union(coloc).distinct().orderBy("s1", "s2")
     },
 
-    // A9: splice-graph-style construction — consecutive line numbers
-    // within each order cluster, via lead() (one shuffle, no self-join).
+    // A9: splice-graph-style construction — exact-coordinate match of
+    // consecutive line numbers within each order cluster. NOTE: must
+    // be the ALL-PAIRS join, not a lead() window — (orderkey,
+    // linenumber) is not unique in this data, and splice semantics
+    // connect every exon pair at the matching coordinate.
     "a9_linegraph" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber")
-      table(s, dir, "lineitem")
+      val l = table(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey")
-        .withColumn("p_to", lead(col("l_partkey"), 1).over(w))
-        .withColumn("ln_to", lead(col("l_linenumber"), 1).over(w))
-        .where(col("ln_to") === col("l_linenumber") + 1)
+      val l2 = l.select(col("l_orderkey").as("o2"),
+        col("l_linenumber").as("ln2"), col("l_partkey").as("p_to"))
+      l.join(l2, col("l_orderkey") === col("o2") &&
+               col("ln2") === col("l_linenumber") + 1)
         .groupBy(col("l_partkey").as("p_from"), col("p_to"))
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= 3)
