@@ -51,6 +51,25 @@ object DedupQ {
           "vec_id", "vec_id", "embedding", k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q", "rank")
+    },
+
+    // n2: LSH-bucketed ANN (the scale path) — sign-hyperplane buckets,
+    // best neighbor searched only within the query's bucket.
+    "n2_ann_lsh" -> { (s, dir) =>
+      val emb = graft.similarity.CosineLsh.signBuckets(
+        table(s, dir, "embeddings"), "embedding", dims = 64, nPlanes = 4)
+      val pairs = CosineSim.neardupPairs(
+        emb.select(col("bucket"), col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "bucket", threshold = -2.0)
+      // per query id (either side of the i<j pair), best same-bucket match
+      val cand = pairs.select(col("i").as("q"), col("j").as("neighbor"), col("cos"))
+        .union(pairs.select(col("j").as("q"), col("i").as("neighbor"), col("cos")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("cos").desc, col("neighbor"))
+      cand.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1 && col("q") < 50)
+        .select("q", "neighbor", "cos")
+        .orderBy("q")
     }
   )
 
@@ -117,6 +136,23 @@ object DedupQ {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT bk, i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin,
+
+    "n2_ann_lsh" -> {
+      val bucket = graft.similarity.CosineLsh.bucketSql("v", 64, 4)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM e),
+        |p AS (SELECT a.vec_id AS i, b2.vec_id AS j,
+        |  list_dot_product(a.v, b2.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |cand AS (SELECT i AS q, j AS neighbor, cos FROM p
+        |         UNION ALL SELECT j, i, cos FROM p),
+        |r AS (SELECT q, neighbor, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk
+        |  FROM cand)
+        |SELECT q, neighbor, cos FROM r WHERE rk = 1 AND q < 50
+        |ORDER BY q""".stripMargin
+    },
 
     "n1_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),

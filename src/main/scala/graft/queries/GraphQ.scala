@@ -119,6 +119,22 @@ object GraphQ {
         .orderBy("p_from", "p_to")
     },
 
+    // J7: MapView — a mapping defined by a declared relation in the
+    // catalog (worldbase schema binding), resolved to a join view.
+    "j7_mapview" -> { (s, dir) =>
+      import graft.catalog.{Catalog, Relation, Resource}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val cat = new Catalog(tmp)
+      cat.register(Resource("TPCH.customer", "table", "parquet", s"$dir/customer.parquet"))
+      cat.register(Resource("TPCH.nation", "table", "parquet", s"$dir/nation.parquet"))
+      cat.addRelation(Relation("cust_nation", "TPCH.customer", "c_nationkey",
+        "TPCH.nation", "n_nationkey", "one-to-many"))
+      cat.bind(s, "cust_nation")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    },
+
     // GraphX analytics: degrees.
     "g2_degrees" -> { (s, dir) =>
       new EdgeGraph(suppPartEdges(s, dir)).outDegrees
@@ -177,6 +193,11 @@ object GraphQ {
         |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
         |GROUP BY p_from, p_to HAVING COUNT(*) >= 3
         |ORDER BY p_from, p_to""".stripMargin,
+
+    "j7_mapview" ->
+      """SELECT n_name, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "g2_degrees" ->
       s"""WITH e AS ($sp)
