@@ -64,11 +64,17 @@ object MinHashLSH {
     val sh = docs.select(col(idCol),
       explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // restrict the shingle set to docs that occur in any candidate
+    // pair BEFORE the self-join — the join cost is then quadratic in
+    // candidate-doc shingles, not corpus shingles
+    val candIds = pairs.select(col("i").as(idCol))
+      .union(pairs.select(col("j").as(idCol))).distinct()
+    val shc = sh.join(broadcast(candIds), idCol)
     // intersection via shingle equi-join (shuffle keyed on shingle, so
     // per-task work is bounded by shingle popularity, not corpus size),
     // then restricted to the candidate pairs
-    val inter = sh.select(col(idCol).as("i"), col("sh"))
-      .join(sh.select(col(idCol).as("j"), col("sh")), Seq("sh"))
+    val inter = shc.select(col(idCol).as("i"), col("sh"))
+      .join(shc.select(col(idCol).as("j"), col("sh")), Seq("sh"))
       .where(col("i") < col("j"))
       .join(pairs, Seq("i", "j"), "left_semi")
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
