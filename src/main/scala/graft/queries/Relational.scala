@@ -84,6 +84,18 @@ object Relational {
         .limit(10)
     },
 
+    // Selective-predicate aggregate (TPC-H Q6 shape): every predicate
+    // reaches the parquet scan (PushedFilters), then one tight agg.
+    "q6_selective" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+               .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+             count(lit(1)).as("n"))
+    },
+
     // A5/A8: counts, count-distinct, distinct key lists.
     "a5_counts" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -150,6 +162,15 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q6_selective" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "a5_counts" ->
       """SELECT COUNT(*) AS n_rows,
