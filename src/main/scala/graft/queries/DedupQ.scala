@@ -37,6 +37,29 @@ object DedupQ {
       SimHash.simhash(docToks(s, dir), "doc_id", "toks").orderBy("doc_id")
     },
 
+    // d5: simhash near-dup pairs — byte-block LSH (pigeonhole: any
+    // pair within hamming 6 of a 32-bit hash shares at least one of
+    // its 4 byte blocks is not guaranteed, but blocks prune the join;
+    // the hamming filter is the actual predicate).
+    "d5_simhash_pairs" -> { (s, dir) =>
+      val sh = SimHash.simhash(docToks(s, dir).where(col("doc_id") < 200),
+        "doc_id", "toks")
+      val blocks = sh.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("blk", expr("(shiftright(simhash, CAST(b*8 AS INT)) & 255)"))
+      val a = blocks.select(col("doc_id").as("i"), col("simhash").as("h1"),
+        col("b"), col("blk"))
+      val bb = blocks.select(col("doc_id").as("j"), col("simhash").as("h2"),
+        col("b"), col("blk"))
+      a.join(bb, Seq("b", "blk"))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 6)
+        .orderBy("i", "j")
+    },
+
     // d4: embedding near-dup pairs, blocked by label (IVF-cell analog).
     "d4_embed_neardup" -> { (s, dir) =>
       CosineSim.neardupPairs(table(s, dir, "embeddings"),
@@ -128,6 +151,24 @@ object DedupQ {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      s"""WITH tk0 AS ($tkSql),
+        |tk AS (SELECT * FROM tk0 WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN range(32) r(b) GROUP BY doc_id, b),
+        |sims AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bl AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*8 AS INT)) & 255 AS blk
+        |  FROM sims CROSS JOIN range(4) r(b)),
+        |p AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j,
+        |  bit_count(xor(a.simhash, c.simhash)) AS ham
+        |  FROM bl a JOIN bl c ON a.b = c.b AND a.blk = c.blk AND a.doc_id < c.doc_id)
+        |SELECT i, j, CAST(ham AS BIGINT) AS hamming FROM p WHERE ham <= 6
+        |ORDER BY i, j""".stripMargin,
 
     "d4_embed_neardup" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
