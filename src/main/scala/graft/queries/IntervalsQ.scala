@@ -137,6 +137,15 @@ object IntervalsQ {
         .orderBy("wstart", "event_type")
     },
 
+    // ST2: sliding event-time windows (2h window, 1h slide) — each
+    // event lands in two windows; batch form of the streaming op.
+    "st2_sliding_window" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(timestamp_seconds(sec("ts")).as("ts"), col("event_type"), col("value"))
+      graft.streaming.StreamOps.slidingCounts(ev, "ts", "event_type", 7200L, 3600L)
+        .orderBy("wstart", "event_type")
+    },
+
     // P5: interval-set mask (SeqFilterDict): keep error windows
     // intersecting the per-user mask window, clipped to it.
     "p5_filter_mask" -> { (s, dir) =>
@@ -295,6 +304,15 @@ object IntervalsQ {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "st2_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts)//1000 AS t, event_type, value FROM events),
+        |x AS (SELECT (t//3600 - o)*3600 AS wstart, event_type, value
+        |  FROM e CROSS JOIN range(2) r(o))
+        |SELECT wstart, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
 
     "p5_filter_mask" ->

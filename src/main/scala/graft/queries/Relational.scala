@@ -96,6 +96,38 @@ object Relational {
              count(lit(1)).as("n"))
     },
 
+    // 6-way join (TPC-H Q5 shape): dims broadcast, fact-fact joins
+    // shuffle on their keys; supplier and customer must share a nation.
+    "q5_local_supplier" -> { (s, dir) =>
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      val su = table(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+               .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    },
+
+    // Semi-structured: JSON property extraction from the events bag.
+    "x1_json_props" -> { (s, dir) =>
+      IntervalsQ.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
     // A5/A8: counts, count-distinct, distinct key lists.
     "a5_counts" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -171,6 +203,25 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "x1_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a5_counts" ->
       """SELECT COUNT(*) AS n_rows,

@@ -25,6 +25,21 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding event-time windows (window length + slide). Batch and
+    * streaming alike; each event contributes to length/slide windows.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowSec: Long, slideSec: Long,
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    src.groupBy(window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col(keyCol),
+        col("n"), col("sum_value"))
+  }
+
   case class Ev(user_id: Long, sec: Long)
   case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   case class SessState(start: Long, end: Long, n: Long)
