@@ -71,6 +71,24 @@ object SeqQ {
         .orderBy("doc_id", "frame")
     },
 
+    // F10: best ORF across all six frames — translate, extract
+    // M...-to-stop candidates, rank (len desc, frame asc, orf asc).
+    "f10_orf" -> { (s, dir) =>
+      val frames = withDna(s, dir)
+        .select(col("doc_id"), explode(SeqFunctions.sixFrames(col("dna"))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"), col("f.aa").as("aa"))
+      val orfs = frames
+        .select(col("doc_id"), col("frame"),
+          explode(regexp_extract_all(col("aa"), lit("M[^*]*"), lit(0))).as("orf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(length(col("orf")).desc, col("frame"), col("orf"))
+      orfs.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("frame"), col("orf"),
+          length(col("orf")).cast("long").as("orf_len"))
+        .orderBy("doc_id")
+    },
+
     // S1/S2: FASTA write → distributed re-parse → info roundtrip.
     "s1_fasta_roundtrip" -> { (s, dir) =>
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fasta_rt"
@@ -170,6 +188,23 @@ object SeqQ {
         |d AS (SELECT doc_id, dna, translate(reverse(dna), 'ACGT', 'TGCA') AS rc FROM d0)
         |${branches.mkString("\nUNION ALL\n")}
         |ORDER BY doc_id, frame""".stripMargin
+    },
+
+    "f10_orf" -> {
+      val branches = (1 to 3).map(f =>
+        s"SELECT doc_id, $f AS frame, ${codonCaseSql(s"substr(dna, $f)")} AS aa FROM d"
+      ) ++ (1 to 3).map(f =>
+        s"SELECT doc_id, -$f AS frame, ${codonCaseSql(s"substr(rc, $f)")} AS aa FROM d")
+      s"""WITH d0 AS ($dnaSql),
+        |d AS (SELECT doc_id, dna, translate(reverse(dna), 'ACGT', 'TGCA') AS rc FROM d0),
+        |fr AS (${branches.mkString("\nUNION ALL\n")}),
+        |orfs AS (SELECT doc_id, frame, unnest(regexp_extract_all(aa, 'M[^*]*')) AS orf FROM fr),
+        |best AS (SELECT doc_id, frame, orf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY length(orf) DESC, frame, orf) AS rk
+        |  FROM orfs)
+        |SELECT doc_id, frame, orf, CAST(length(orf) AS BIGINT) AS orf_len
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
     },
 
     "s1_fasta_roundtrip" ->
