@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.similarity.{CosineLsh, CosineSim}
+import graft.text.TextFunctions
+
+class DedupSpec extends SparkSuite {
+
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def randDoc() = (1 to 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, randDoc()))
+    // plant near-dups: copies of docs 0,1,2 with one word changed
+    val dups = (0 until 3).map { i =>
+      val words = base(i)._2.split(" ")
+      words(20) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+    val cand = MinHashLSH.candidatePairs(
+      MinHashLSH.bandBuckets(sigs, "doc_id", 8, 4), "doc_id")
+    val withJac = MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    (0 until 3).foreach { i =>
+      val key = (i.toLong, 100L + i)
+      assert(withJac.contains(key), s"planted pair $key not found in ${withJac.keys}")
+      assert(withJac(key) > 8000L, s"planted pair $key jaccard too low: ${withJac(key)}")
+    }
+  }
+
+  test("simhash of a near-duplicate is within small hamming distance") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 60).map(i => if (i == 30) "XX" else s"tok$i").mkString(" ")
+    val c = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val h = SimHash.simhash(docs, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)),
+      s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(2L)) <= 8)
+  }
+
+  test("cosine LSH: identical vectors share a bucket, top-k finds the clone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    def vec() = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    val clone = Seq((100L, base.head._2.map(x => x * 1.5f))) // same direction
+    val df = (base ++ clone).toDF("vec_id", "embedding")
+    val bucketed = CosineLsh.signBuckets(df, "embedding", dims = 16, nPlanes = 3)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(bucketed(0L) === bucketed(100L)) // same direction → same signs
+    val top = CosineSim.topK(df.filter(col("vec_id") === 0), df,
+        "vec_id", "vec_id", "embedding", k = 1)
+      .select("neighbor").as[Long].collect()
+    assert(top.toSeq === Seq(100L)) // the scaled clone has cosine 1
+  }
+}
