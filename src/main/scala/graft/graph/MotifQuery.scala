@@ -31,7 +31,17 @@ case class MotifEdge(from: String, to: String, edges: DataFrame,
   */
 object MotifQuery {
 
-  def find(motif: Seq[MotifEdge], injective: Boolean = true): DataFrame = {
+  /** `maxHits` caps the solution count like the reference's `maxhit`
+    * batching (`graphquery.py:354-365`; SURVEY.md W5) — applied as a
+    * plan-level limit so Catalyst can short-circuit the joins.
+    */
+  def find(motif: Seq[MotifEdge], injective: Boolean = true,
+           maxHits: Option[Int] = None): DataFrame = {
+    val df = findAll(motif, injective)
+    maxHits.map(df.limit).getOrElse(df)
+  }
+
+  private def findAll(motif: Seq[MotifEdge], injective: Boolean): DataFrame = {
     require(motif.nonEmpty)
     var bound = List.empty[String]
     var result: DataFrame = null

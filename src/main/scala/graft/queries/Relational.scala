@@ -128,6 +128,18 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Temporal rollup: revenue per order-year (date-part functions).
+    "q7_yearly" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+               .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+             countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("yr")
+    },
+
     // A5/A8: counts, count-distinct, distinct key lists.
     "a5_counts" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -222,6 +234,13 @@ object Relational {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q7_yearly" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY yr ORDER BY yr""".stripMargin,
 
     "a5_counts" ->
       """SELECT COUNT(*) AS n_rows,

@@ -44,6 +44,17 @@ object StreamOps {
   case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   case class SessState(start: Long, end: Long, n: Long)
 
+  /** Stream-static interval join: a stream of (key, point) events
+    * joined against a static interval table (key, start, end) — the
+    * streaming form of the NCList point lookup (J1). Broadcast-joins
+    * the static side per micro-batch; no stream state needed.
+    */
+  def pointInIntervalStream(points: DataFrame, intervals: DataFrame,
+                            key: String, p: String,
+                            start: String, end: String): DataFrame =
+    points.join(org.apache.spark.sql.functions.broadcast(intervals), Seq(key))
+      .where(col(p) >= col(start) && col(p) < col(end))
+
   /** A flush sentinel: an event at or beyond this second closes any
     * open session for its user without starting a new one.
     */

@@ -54,6 +54,12 @@ class GraphSpec extends SparkSuite {
     assert(got === Set(List(2L, 3L, 1L), List(3L, 1L, 2L)))
   }
 
+  test("maxHits caps motif solutions (maxhit semantics)") {
+    val capped = MotifQuery.find(Seq(
+      MotifEdge("a", "b", g), MotifEdge("b", "c", g)), maxHits = Some(2))
+    assert(capped.count() === 2)
+  }
+
   test("heterogeneous edge sources per motif edge") {
     val e1 = edgesDF((10L, 20L))
     val e2 = edgesDF((20L, 30L))

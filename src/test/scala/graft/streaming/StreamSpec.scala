@@ -25,6 +25,24 @@ class StreamSpec extends SparkSuite {
     assert(got === Set((0L, "a", 2L, 3.0), (60L, "a", 1L, 4.0), (0L, "b", 1L, 8.0)))
   }
 
+  test("stream-static interval join (point-in-window lookup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val intervals = Seq(("u1", 10L, 20L), ("u1", 100L, 110L), ("u2", 0L, 5L))
+      .toDF("key", "start", "end")
+    val joined = StreamOps.pointInIntervalStream(
+      in.toDF().toDF("key", "p"), intervals, "key", "p", "start", "end")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ptjoin").start()
+    in.addData(("u1", 15L), ("u1", 50L), ("u1", 105L), ("u2", 4L), ("u2", 7L))
+    q.processAllAvailable()
+    val got = spark.table("ptjoin").select("key", "p", "start")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(("u1", 15L, 10L), ("u1", 105L, 100L), ("u2", 4L, 0L)))
+  }
+
   test("stateful gap sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
