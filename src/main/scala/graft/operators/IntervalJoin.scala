@@ -72,6 +72,51 @@ object IntervalJoin {
       .drop("__bin")
   }
 
+  /** Broadcast-index interval×point join: build one `IntervalIndex`
+    * per key from the (collected) interval side, broadcast the map,
+    * and probe it per point row inside mapPartitions — O(log n + k)
+    * per probe, no explode, no shuffle of the point side. The right
+    * tool when the interval store fits in a broadcast (the
+    * reference's whole design point: an indexed store probed by
+    * queries); for large-large cases use `binned`.
+    *
+    * intervals: (key, iStart, iEnd, ival_id LONG); points: any rows
+    * with (key, p). Output: point row columns + ival_id.
+    */
+  def broadcastIndexJoin(intervals: DataFrame, points: DataFrame,
+                         key: String, iStart: String, iEnd: String,
+                         ivalId: String, p: String): DataFrame = {
+    val spark = points.sparkSession
+    val perKey: Map[Any, (IntervalIndex, Array[Long])] = intervals
+      .select(col(key), col(iStart), col(iEnd), col(ivalId))
+      .collect()
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        val ids = rows.map(_.getLong(3))
+        val idx = IntervalIndex.build(
+          rows.zipWithIndex.map { case (r, i) => (r.getLong(1), r.getLong(2), i) }.toSeq)
+        k -> (idx, ids)
+      }
+    val bc = spark.sparkContext.broadcast(perKey)
+    val inSchema = points.schema
+    val outSchema = inSchema.add(ivalId, org.apache.spark.sql.types.LongType)
+    val keyIdx = inSchema.fieldIndex(key)
+    val pIdx = inSchema.fieldIndex(p)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    points.mapPartitions { rows =>
+      rows.flatMap { r =>
+        bc.value.get(r.get(keyIdx)) match {
+          case Some((idx, ids)) =>
+            val pv = r.getLong(pIdx)
+            idx.query(pv, pv + 1).map { i =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ids(i))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   private def pfloor(c: Column, w: Long): Column = floor(c / w).cast("long")
 
   private def explodeBins(df: DataFrame, s: String, e: String, w: Long): DataFrame =
