@@ -29,9 +29,14 @@ object SeqFunctions {
 
   /** Translate a DNA string (frame 0) to protein; partial trailing
     * codon dropped; unknown codons → X (pygr `AATranslation`,
-    * `sequtil.py:121-159`, `annotation.py:119-126`).
+    * `sequtil.py:121-159`, `annotation.py:119-126`). Default path is
+    * the native codegen expression; `translateCodonsDeclarative` is
+    * the pure-functions formulation it is property-checked against.
     */
-  def translateCodons(seq: Column): Column = {
+  def translateCodons(seq: Column): Column =
+    graft.functions.TranslateCodons.translate_codons(seq)
+
+  def translateCodonsDeclarative(seq: Column): Column = {
     val up = upper(seq)
     val nCodons = floor(length(up) / 3).cast("int")
     when(nCodons >= 1,

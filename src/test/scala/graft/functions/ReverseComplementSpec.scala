@@ -19,6 +19,17 @@ class ReverseComplementSpec extends SparkSuite {
     got.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("native codon translation matches the declarative form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val data = Seq("", "AT", "ATG", "ATGTAAG", "atgnnn", "ATGXXXTAA") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(90)).map(_ => "ACGTNacgtn-"(rnd.nextInt(11))).mkString)
+    val got = data.toDF("s").select(
+      TranslateCodons.translate_codons(col("s")).as("fast"),
+      SeqFunctions.translateCodonsDeclarative(col("s")).as("ref")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("SQL registration works and stays in codegen") {
     import spark.implicits._
     ReverseComplement.register(spark)
