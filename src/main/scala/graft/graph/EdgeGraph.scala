@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * Node ids are caller-chosen (string-prefix heterogeneous ids or
   * disjoint long ranges); analytics that need GraphX require long ids.
   */
+object EdgeGraph {
+  def load(spark: SparkSession, path: String,
+           src: String = "src", dst: String = "dst"): EdgeGraph =
+    new EdgeGraph(spark.read.parquet(path), src, dst)
+}
+
 class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") {
 
   /** g[node] → {target: edgeInfo} (pygr `mapping.py:137-195`). */
@@ -35,6 +41,17 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     val e = edges.select(col(src), col(dst))
     e.union(e.select(col(dst).as(src), col(src).as(dst))).distinct()
   }
+
+  /** Read-mostly mutation (pygr's `g[n][t]=e` / `+=` surface,
+    * `mapping.py:92-235`, re-expressed for immutable storage,
+    * SURVEY.md §7.4): append edges → a NEW graph snapshot; persist
+    * writes the snapshot for `load`.
+    */
+  def append(more: DataFrame): EdgeGraph =
+    new EdgeGraph(edges.unionByName(more, allowMissingColumns = true), src, dst)
+
+  def save(path: String): Unit =
+    edges.write.mode("overwrite").parquet(path)
 
   /** Connected components via GraphX (per the project's
     * "GraphX for analytics" approach): returns (node, comp) where comp
