@@ -59,6 +59,61 @@ class AlignmentStore(val blocks: DataFrame) {
         col("dest_ori"), col("block_id"))
   }
 
+  /** msa[ival] through a shared axis — the flagship two-hop query of
+    * the reference (`NLMSASlice.__new__` LPO composition,
+    * `cnestedlist.pyx:498-533`): hop 1 maps each query interval onto
+    * the shared axis (`slice`, clipped to the query window); hop 2
+    * re-queries the store with the axis intervals, intersects
+    * arithmetically on the axis, and translates the intersection back
+    * to source coords and forward to target coords. A MAF-style store
+    * that keeps only ref-vs-other rows (`Maf.scala`) answers
+    * chimp-vs-mouse queries only through this path.
+    *
+    * Orientation composes multiplicatively; coordinates stay forward
+    * (ori is a flag, not sign-encoded as in the reference). Matches
+    * where the target is the query sequence at the same coordinate
+    * are self-matches and dropped (`cnestedlist.pyx:530-531` keeps a
+    * hit only if `target_id != id or istart != start2`).
+    *
+    * Scale design: both hops are binned interval joins — cost bounded
+    * per (axis, coordinate-bin), never per sequence, so one hot axis
+    * (the reference genome every row aligns to) cannot pin a task.
+    */
+  def slice2hop(queries: DataFrame, binWidth: Long = 1 << 16): DataFrame = {
+    val h1 = slice(queries, binWidth).select(
+      col("q_id"), col("src_id"),
+      col("src_start").as("s1"), col("src_end").as("e1"),
+      col("dest_id").as("axis_id"),
+      col("dest_start").as("m1s"), col("dest_end").as("m1e"),
+      col("dest_ori").as("ori1"), col("block_id").as("block1_id"))
+    val h2 = blocks.select(
+      col("src_id").as("axis_id"),
+      col("src_start").as("s2"), col("src_end").as("e2"),
+      col("dest_id").as("y_id"),
+      col("dest_start").as("t2s"), col("dest_end").as("t2e"),
+      col("dest_ori").as("ori2"), col("block_id").as("block2_id"))
+    val ms = greatest(col("m1s"), col("s2"))
+    val me = least(col("m1e"), col("e2"))
+    val xs = when(col("ori1") >= 0, col("s1") + (ms - col("m1s")))
+      .otherwise(col("s1") + (col("m1e") - me))
+    val xe = when(col("ori1") >= 0, col("s1") + (me - col("m1s")))
+      .otherwise(col("s1") + (col("m1e") - ms))
+    val ys = when(col("ori2") >= 0, col("t2s") + (ms - col("s2")))
+      .otherwise(col("t2s") + (col("e2") - me))
+    val ye = when(col("ori2") >= 0, col("t2s") + (me - col("s2")))
+      .otherwise(col("t2s") + (col("e2") - ms))
+    IntervalJoin.binned(h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", binWidth)
+      .withColumn("x_start", xs).withColumn("x_end", xe)
+      .withColumn("y_start", ys).withColumn("y_end", ye)
+      .where(col("y_id") =!= col("src_id") || col("x_start") =!= col("y_start"))
+      .select(col("q_id"), col("src_id"),
+        col("x_start").as("src_start"), col("x_end").as("src_end"),
+        col("y_id").as("dest_id"),
+        col("y_start").as("dest_start"), col("y_end").as("dest_end"),
+        (col("ori1") * col("ori2")).as("dest_ori"),
+        col("axis_id"), col("block1_id"), col("block2_id"))
+  }
+
   /** Per-target bounds of a slice result (`mergeSeq`,
     * `cnestedlist.pyx:324-347`; SURVEY.md A1).
     */

@@ -97,6 +97,24 @@ object IntervalsQ {
       store.slice(queries, binWidth = 172800L).orderBy("q_id", "block_id")
     },
 
+    // J2 complete: two-hop slice through the shared axis — the
+    // bidirectional store answers u_i-vs-u_j queries only via the d*
+    // axis both are aligned to (cnestedlist.pyx:498-533).
+    "j2b_twohop" -> { (s, dir) =>
+      val blocks = alignBlocks(s, dir)
+      val store = new AlignmentStore(
+        blocks.unionByName(new AlignmentStore(blocks).inverse.blocks))
+      val queries = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice2hop(queries, binWidth = 172800L)
+        .orderBy("q_id", "block1_id", "block2_id")
+    },
+
     // A1/J3: per-target-lane bounds merge (mergeSeq).
     "a1_merge_span" -> { (s, dir) =>
       alignBlocks(s, dir)
@@ -256,6 +274,29 @@ object IntervalsQ {
         |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
 
     "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
+
+    "j2b_twohop" ->
+      s"""$sliceSql,
+        |h1 AS (SELECT q_id, src_id, src_start AS s1, src_end AS e1,
+        |  dest_id AS axis_id, dest_start AS m1s, dest_end AS m1e,
+        |  dest_ori AS ori1, block_id AS block1_id FROM sl),
+        |inv AS (SELECT dest_id AS axis_id, dest_start AS s2, dest_end AS e2,
+        |  src_id AS y_id, src_start AS t2s, src_end AS t2e,
+        |  dest_ori AS ori2, block_id AS block2_id FROM a),
+        |t AS (SELECT h1.*, inv.s2, inv.e2, inv.y_id, inv.t2s, inv.t2e,
+        |  inv.ori2, inv.block2_id,
+        |  GREATEST(m1s, s2) AS ms, LEAST(m1e, e2) AS me
+        |  FROM h1 JOIN inv ON h1.axis_id = inv.axis_id
+        |    AND m1s < e2 AND s2 < m1e),
+        |r AS (SELECT q_id, src_id,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (ms - m1s) ELSE s1 + (m1e - me) END AS src_start,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (me - m1s) ELSE s1 + (m1e - ms) END AS src_end,
+        |  y_id AS dest_id,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (ms - s2) ELSE t2s + (e2 - me) END AS dest_start,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (me - s2) ELSE t2s + (e2 - ms) END AS dest_end,
+        |  ori1 * ori2 AS dest_ori, axis_id, block1_id, block2_id FROM t)
+        |SELECT * FROM r WHERE dest_id <> src_id OR src_start <> dest_start
+        |ORDER BY q_id, block1_id, block2_id""".stripMargin,
 
     "a4_slice_split" ->
       s"""$sliceSql,

@@ -67,6 +67,37 @@ class AlignmentStoreSpec extends SparkSuite {
       ("c", 40L, 50L, 0L, 10L, 1L)))
   }
 
+  test("two-hop slice through shared axis (cnestedlist.pyx:498-533)") {
+    // 3 sequences all stored vs the shared axis only (MAF-style);
+    // human-vs-mouse / human-vs-chicken exist only via the axis.
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("human", 0L, 10L), ("lpo", 100L, 110L, 1)),
+      (("mouse", 50L, 58L), ("lpo", 102L, 110L, 1)),
+      (("chicken", 7L, 12L), ("lpo", 104L, 109L, -1))))
+    def hop(q: (Long, String, Long, Long)) =
+      store.slice2hop(mkQueries(q), binWidth = 8L)
+        .orderBy("dest_id")
+        .collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+                   r.getString(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+        .toSeq
+
+    // full human query: axis overlap [102,110) with mouse (+1) and
+    // [104,109) with chicken (-1); self-match human->human dropped
+    assert(hop((0L, "human", 0L, 10L)) === Seq(
+      ("human", 4L, 9L, "chicken", 7L, 12L, -1),
+      ("human", 2L, 10L, "mouse", 50L, 58L, 1)))
+    // symmetric from mouse
+    assert(hop((0L, "mouse", 50L, 58L)) === Seq(
+      ("mouse", 52L, 57L, "chicken", 7L, 12L, -1),
+      ("mouse", 50L, 58L, "human", 2L, 10L, 1)))
+    // clipped query window: hop1 clip [105,110) propagates through the
+    // axis intersection; reverse-ori chicken trimmed from the LOW end
+    assert(hop((0L, "human", 5L, 10L)) === Seq(
+      ("human", 5L, 9L, "chicken", 7L, 11L, -1),
+      ("human", 5L, 10L, "mouse", 53L, 58L, 1)))
+  }
+
   test("inverse store swaps axes (cnestedlist.pyx:2041-2047)") {
     val store = AlignmentStore.fromCoords(spark, Seq(
       (("a", 0L, 8L), ("b", 100L, 108L, -1))), bidirectional = false)
