@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Intervals
-import graft.operators.{Coverage, IntervalJoin, Sessionize}
+import graft.operators.{Coverage, GapRule, IntervalJoin, Sessionize}
 
 /** One aligned ungapped 1:1 block (pygr's `IntervalMap`,
   * `intervaldb.h:9-16`, normalized to pairwise rows with explicit
@@ -123,9 +123,17 @@ class AlignmentStore(val blocks: DataFrame) {
            min("dest_start").as("dest_start"), max("dest_end").as("dest_end"),
            count(lit(1)).as("n_blocks"))
 
-  /** Gap-rule merging of blocks per (src,dest,ori) lane
-    * (`groupByIntervals`, `cnestedlist.pyx:722-845`; SURVEY.md A2).
+  /** Gap-rule merging of blocks per (src,dest,ori) lane under the
+    * FULL rule set — maxGap + maxInsert/minInsert (dest-axis gap) +
+    * maxSize (either axis) + mergeAll (`groupByIntervals`,
+    * `cnestedlist.pyx:722-845`; SURVEY.md A2). `GapRule.mergeMost`
+    * is the reference's preset.
     */
+  def groupByIntervals(rule: GapRule): DataFrame =
+    Sessionize.mergeRule(blocks, Seq("src_id", "dest_id", "dest_ori"),
+                         "src_start", "src_end", "dest_start", "dest_end", rule)
+
+  /** Source-axis-only gap merge (the maxGap primary knob). */
   def groupByIntervals(maxGap: Long): DataFrame =
     Sessionize.merge(blocks, Seq("src_id", "dest_id", "dest_ori"),
                      "src_start", "src_end", maxGap)

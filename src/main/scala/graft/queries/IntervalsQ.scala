@@ -142,6 +142,16 @@ object IntervalsQ {
         .orderBy("user_id", "session")
     },
 
+    // A2 complete: full gap-rule merge over the alignment lanes —
+    // maxInsert/minInsert on the dest axis split sessions the wide
+    // maxGap alone would merge (cnestedlist.pyx:812-845).
+    "a2b_gaprule" -> { (s, dir) =>
+      new AlignmentStore(alignBlocks(s, dir))
+        .groupByIntervals(graft.operators.GapRule(
+          maxGap = 7L * 86400L, maxInsert = 150000L, minInsert = -400000L))
+        .orderBy("src_id", "dest_id", "dest_ori", "session")
+    },
+
     // A3: sweep-line coverage over each user's error windows.
     "a3_coverage" -> { (s, dir) =>
       Coverage.stats(errorWindows(s, dir), Seq("user_id"), "ws", "we")
@@ -324,6 +334,38 @@ object IntervalsQ {
         |SELECT dest_id, dest_ori, MIN(dest_start) AS dest_start,
         |  MAX(dest_end) AS dest_end, COUNT(*) AS n_blocks
         |FROM a GROUP BY dest_id, dest_ori ORDER BY dest_id, dest_ori""".stripMargin,
+
+    "a2b_gaprule" ->
+      s"""WITH w AS ($wndSql),
+        |a AS ($blocksSql),
+        |m AS (SELECT *,
+        |  LAG(src_end) OVER (PARTITION BY src_id, dest_id, dest_ori
+        |    ORDER BY src_start, src_end, dest_start, dest_end) AS pe,
+        |  LAG(dest_end) OVER (PARTITION BY src_id, dest_id, dest_ori
+        |    ORDER BY src_start, src_end, dest_start, dest_end) AS pde
+        |  FROM a),
+        |b AS (SELECT *, CASE WHEN pe IS NULL
+        |    OR src_start - pe > 7*86400
+        |    OR dest_start - pde > 150000
+        |    OR dest_start - pde < -400000 THEN 1 ELSE 0 END AS brk FROM m),
+        |t AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY src_id, dest_id, dest_ori
+        |    ORDER BY src_start, src_end, dest_start, dest_end
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session
+        |  FROM b),
+        |t2 AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY src_id, dest_id, dest_ori, session
+        |    ORDER BY src_start, src_end, dest_start, dest_end) AS rn,
+        |  ROW_NUMBER() OVER (PARTITION BY src_id, dest_id, dest_ori, session
+        |    ORDER BY src_start DESC, src_end DESC, dest_start DESC, dest_end DESC) AS rnd
+        |  FROM t)
+        |SELECT src_id, dest_id, dest_ori, session,
+        |  MIN(src_start) AS session_start,
+        |  MAX(CASE WHEN rnd = 1 THEN src_end END) AS session_end,
+        |  MAX(CASE WHEN rn = 1 THEN dest_start END) AS session_dest_start,
+        |  MAX(CASE WHEN rnd = 1 THEN dest_end END) AS session_dest_end,
+        |  COUNT(*) AS n_members
+        |FROM t2 GROUP BY src_id, dest_id, dest_ori, session
+        |ORDER BY src_id, dest_id, dest_ori, session""".stripMargin,
 
     "a2_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),

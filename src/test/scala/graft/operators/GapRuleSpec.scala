@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Goldens for the FULL gap-rule merge (pygr `groupByIntervals`,
+  * `cnestedlist.pyx:722-845`): maxGap (src gap), maxInsert/minInsert
+  * (dest-axis insert), maxSize (either axis, measured from the
+  * region's first member), mergeAll, and the mergeMost preset.
+  * Exercises BOTH physical paths — the lag-window path (no maxSize)
+  * and the secondary-sort streaming path (finite maxSize).
+  */
+class GapRuleSpec extends SparkSuite {
+
+  private def lane(rows: (Long, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.map { case (s, e, ds, de) => ("k", s, e, ds, de) }
+      .toDF("lane", "s", "e", "ds", "de")
+  }
+
+  private def sessions(df: org.apache.spark.sql.DataFrame, rule: GapRule) =
+    Sessionize.mergeRule(df, Seq("lane"), "s", "e", "ds", "de", rule)
+      .orderBy("session")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq // (session, start, end, dest_start, dest_end, n)
+
+  test("maxInsert and minInsert split what maxGap would merge") {
+    val df = lane(
+      (0L, 10L, 0L, 10L),
+      (12L, 20L, 12L, 20L),    // gap 2, insert 2 -> merge
+      (100L, 110L, 100L, 110L), // gap 80 -> split (maxGap)
+      (112L, 120L, 500L, 508L), // insert 390 -> split (maxInsert)
+      (122L, 130L, 450L, 458L)) // insert -58 -> split (minInsert)
+    val got = sessions(df, GapRule(maxGap = 5L, maxInsert = 5L, minInsert = -5L))
+    assert(got === Seq(
+      (0L, 0L, 20L, 0L, 20L, 2L),
+      (1L, 100L, 110L, 100L, 110L, 1L),
+      (2L, 112L, 120L, 500L, 508L, 1L),
+      (3L, 122L, 130L, 450L, 458L, 1L)))
+  }
+
+  test("maxSize splits on the source axis (streaming path)") {
+    val df = lane((0L, 10L, 0L, 10L), (11L, 20L, 11L, 20L), (21L, 30L, 21L, 30L))
+    val got = sessions(df,
+      GapRule(maxGap = 5L, maxInsert = 5L, minInsert = -5L, maxSize = 25L))
+    assert(got === Seq(
+      (0L, 0L, 20L, 0L, 20L, 2L),
+      (1L, 21L, 30L, 21L, 30L, 1L)))
+  }
+
+  test("maxSize splits on the dest axis alone (streaming path)") {
+    val df = lane((0L, 10L, 0L, 10L), (11L, 20L, 120L, 129L), (21L, 30L, 240L, 249L))
+    val got = sessions(df,
+      GapRule(maxGap = 50L, maxInsert = 1000L, minInsert = -1000L, maxSize = 150L))
+    assert(got === Seq(
+      (0L, 0L, 20L, 0L, 129L, 2L),
+      (1L, 21L, 30L, 240L, 249L, 1L)))
+  }
+
+  test("mergeAll merges across every rule violation") {
+    val df = lane(
+      (0L, 10L, 0L, 10L), (500L, 510L, 9000L, 9010L), (600L, 610L, 20L, 30L))
+    val got = sessions(df, GapRule(mergeAll = true))
+    assert(got === Seq((0L, 0L, 610L, 0L, 30L, 3L)))
+  }
+
+  test("mergeMost preset matches its documented limits") {
+    assert(GapRule.mergeMost ===
+      GapRule(maxGap = 10000L, maxInsert = 10000L, minInsert = -10L, maxSize = 50000L))
+    // -10 insert allowed, -11 split
+    val df = lane((0L, 100L, 1000L, 1100L), (105L, 200L, 1090L, 1185L),
+      (205L, 300L, 1174L, 1269L))
+    // inserts: 1090-1100=-10 (merge), 1174-1185=-11 (split)
+    val got = sessions(df, GapRule.mergeMost)
+    assert(got === Seq(
+      (0L, 0L, 200L, 1000L, 1185L, 2L),
+      (1L, 205L, 300L, 1174L, 1269L, 1L)))
+  }
+
+  test("window path and streaming path agree when both apply") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val laneId = s"L${rnd.nextInt(6)}"
+      val s = rnd.nextInt(5000).toLong
+      val len = 1L + rnd.nextInt(40)
+      val ds = rnd.nextInt(5000).toLong
+      (laneId, s, s + len, ds, ds + len)
+    }.toDF("lane", "s", "e", "ds", "de")
+    val rule = GapRule(maxGap = 30L, maxInsert = 2000L, minInsert = -2000L)
+    // huge-but-finite maxSize forces the streaming path without
+    // changing semantics vs the window path
+    val viaWindow = sessions2(Sessionize.mergeRule(rows, Seq("lane"),
+      "s", "e", "ds", "de", rule))
+    val viaStream = sessions2(Sessionize.mergeRule(rows, Seq("lane"),
+      "s", "e", "ds", "de", rule.copy(maxSize = Long.MaxValue - 1)))
+    assert(viaStream === viaWindow)
+    assert(viaWindow.nonEmpty)
+  }
+
+  private def sessions2(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("lane", "session").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+}
