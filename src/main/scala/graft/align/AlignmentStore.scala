@@ -138,12 +138,17 @@ class AlignmentStore(val blocks: DataFrame) {
     Sessionize.merge(blocks, Seq("src_id", "dest_id", "dest_ori"),
                      "src_start", "src_end", maxGap)
 
-  /** Coverage masking over the src axis (`groupBySequences`,
-    * `cnestedlist.pyx:899-1008`; SURVEY.md A3): regions of each src
-    * sequence covered by >= minAligned target blocks.
+  /** Coverage masking over the src axis with the FULL rule set
+    * (`groupBySequences`, `cnestedlist.pyx:899-1008`; SURVEY.md A3):
+    * absolute `minAligned` AND fractional `pMinAligned` thresholds on
+    * the distinct-target depth, `sourceOnly` region collapse, and
+    * `indelCut` splitting at non-first target-interval bounds.
     */
-  def groupBySequences(minAligned: Long): DataFrame =
-    Coverage.stats(blocks, Seq("src_id"), "src_start", "src_end", minAligned)
+  def groupBySequences(minAligned: Long = 1L, pMinAligned: Double = 0.0,
+                       sourceOnly: Boolean = false,
+                       indelCut: Boolean = false): DataFrame =
+    Coverage.mask(blocks, Seq("src_id"), "dest_id", "src_start", "src_end",
+      minAligned, pMinAligned, sourceOnly, indelCut)
 
   /** The inverse store: dest becomes src (pygr `__invert__`,
     * `cnestedlist.pyx:2041-2047`). Orientation is preserved; for

@@ -158,6 +158,19 @@ object IntervalsQ {
         .orderBy("user_id")
     },
 
+    // A3 complete: sourceOnly mask regions under BOTH the absolute
+    // (minAligned=2) and fractional (pMinAligned=0.15 of the user's
+    // distinct targets) thresholds (cnestedlist.pyx:962-1002).
+    "a3b_mask" -> { (s, dir) =>
+      // stretch block ends by 2 days so the distinct-target depth has
+      // real structure (raw error windows rarely overlap)
+      val stretched = alignBlocks(s, dir)
+        .withColumn("src_end", col("src_end") + lit(2L * 86400L))
+      new AlignmentStore(stretched)
+        .groupBySequences(minAligned = 2L, pMinAligned = 0.15, sourceOnly = true)
+        .orderBy("src_id", "island")
+    },
+
     // A7: longest run of consecutive active days per user.
     "a7_longest_run" -> { (s, dir) =>
       val days = events(s, dir)
@@ -397,6 +410,50 @@ object IntervalsQ {
         |  CAST(SUM(CASE WHEN depth >= 1 THEN next_pos - pos ELSE 0 END) AS BIGINT) AS covered
         |FROM scan WHERE next_pos IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a3b_mask" ->
+      s"""WITH w AS ($wndSql),
+        |a AS ($blocksSql),
+        |a2 AS (SELECT src_id, dest_id, src_start, src_end + 2*86400 AS src_end FROM a),
+        |cm AS (SELECT src_id, dest_id, src_start AS s, src_end AS e,
+        |  CASE WHEN MAX(src_end) OVER (PARTITION BY src_id, dest_id
+        |      ORDER BY src_start, src_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR src_start >= MAX(src_end) OVER (PARTITION BY src_id, dest_id
+        |      ORDER BY src_start, src_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS brk FROM a2),
+        |ci AS (SELECT *, SUM(brk) OVER (PARTITION BY src_id, dest_id
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM cm),
+        |lanes AS (SELECT src_id, dest_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM ci GROUP BY src_id, dest_id, grp),
+        |nseq AS (SELECT src_id, COUNT(DISTINCT dest_id) AS nseq FROM a GROUP BY src_id),
+        |ev AS (SELECT src_id, s AS pos, 1 AS delta, 0 AS stops FROM lanes
+        |  UNION ALL SELECT src_id, e, -1, 1 FROM lanes),
+        |ag AS (SELECT src_id, pos, SUM(delta) AS delta, SUM(stops) AS stops
+        |  FROM ev GROUP BY src_id, pos),
+        |s1 AS (SELECT src_id, pos, stops,
+        |  CAST(SUM(delta) OVER (PARTITION BY src_id ORDER BY pos) AS BIGINT) AS depth,
+        |  LEAD(pos) OVER (PARTITION BY src_id ORDER BY pos) AS next_pos
+        |  FROM ag),
+        |s2 AS (SELECT s1.*, nseq,
+        |  LAG(depth) OVER (PARTITION BY src_id ORDER BY pos) AS prev_depth
+        |  FROM s1 JOIN nseq USING (src_id)),
+        |abv AS (SELECT * FROM s2 WHERE next_pos IS NOT NULL
+        |  AND depth >= 2 AND CAST(depth AS DOUBLE)/nseq >= 0.15),
+        |il AS (SELECT *, CASE WHEN
+        |    LAG(next_pos) OVER (PARTITION BY src_id ORDER BY pos) IS NULL
+        |    OR LAG(next_pos) OVER (PARTITION BY src_id ORDER BY pos) <> pos
+        |    OR (COALESCE(prev_depth, 0) - stops) < 2
+        |    OR CAST(COALESCE(prev_depth, 0) - stops AS DOUBLE)/nseq < 0.15
+        |  THEN 1 ELSE 0 END AS brk FROM abv),
+        |t AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY src_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS island
+        |  FROM il)
+        |SELECT src_id, island, MIN(pos) AS mask_start, MAX(next_pos) AS mask_end
+        |FROM t GROUP BY src_id, island
+        |ORDER BY src_id, island""".stripMargin,
 
     "a7_longest_run" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts)//1000//86400 AS day FROM events),
