@@ -41,6 +41,71 @@ object MotifQuery {
     maxHits.map(df.limit).getOrElse(df)
   }
 
+  /** The shared-neighbor motif `(s1)->(h)<-(s2)` with a degree-aware
+    * skew defense — the scale-safe specialization of `find` for its
+    * most common (and most explosive) shape. Returns (s1, s2,
+    * n_shared) for unordered pairs `s1 < s2` with `n_shared` =
+    * number of distinct shared hubs.
+    *
+    * The equi-self-join is the right plan for uniform degrees — pair
+    * generation is whole-stage-codegen with no array building — but
+    * one hot hub of degree d yields d² join rows GENERATED inside
+    * the single task that owns that hub key. So the plan splits on
+    * hub degree (one O(E) count aggregate, its exchange reused by
+    * the other branches):
+    *   - cold hubs (degree <= hotDegree, default chunkSize): plain
+    *     self-join pair generation — bounded at hotDegree² rows per
+    *     hub task BY CONSTRUCTION;
+    *   - hot hubs: neighbors are salt-chunked by `hash(src) mod
+    *     ceil(degree/chunkSize)`, so no aggregation buffer ever
+    *     exceeds ~chunkSize elements (a 10⁷-degree hub never builds
+    *     a 10⁷-element array); the chunk LIST self-joins ((d/C)²
+    *     small rows carrying 2C ids — a ~C/2-fold shuffle reduction
+    *     over pair rows) and chunk pairs repartition before the
+    *     explode so the hot hub's work spreads across the cluster.
+    * Both branches emit canonical s1 < s2 pairs into ONE count
+    * aggregation — the Σd² shuffle that remains is the output
+    * itself, which is irreducible.
+    */
+  def sharedNeighbors(edges: DataFrame, chunkSize: Int = 1024,
+                      hotDegree: Long = 0L): DataFrame = {
+    require(chunkSize > 0)
+    val thr = if (hotDegree > 0L) hotDegree else chunkSize.toLong
+    val Array(s, d) = edges.columns.take(2)
+    val e = edges.select(col(s).as("__src"), col(d).as("__dst")).distinct()
+    val deg = e.groupBy("__dst").agg(count(lit(1)).as("__deg"))
+    val hot = deg.where(col("__deg") > thr)
+
+    val eCold = e.join(hot.select("__dst"), Seq("__dst"), "left_anti")
+    val coldPairs = eCold
+      .join(eCold.select(col("__src").as("__src2"), col("__dst")), Seq("__dst"))
+      .where(col("__src") < col("__src2"))
+      .select(col("__src").as("s1"), col("__src2").as("s2"))
+
+    val nc = ceil(col("__deg") / lit(chunkSize.toDouble)).cast("int")
+    val chunks = e.join(hot, Seq("__dst"))
+      .groupBy(col("__dst"), pmod(hash(col("__src")), nc).as("__ci"))
+      .agg(collect_set("__src").as("__chunk"))
+    val a = chunks.select(col("__dst"), col("__ci").as("__ca_i"), col("__chunk").as("__ca"))
+    val b = chunks.select(col("__dst"), col("__ci").as("__cb_i"), col("__chunk").as("__cb"))
+    val hotPairs = a.join(b, Seq("__dst")).where(col("__ca_i") <= col("__cb_i"))
+      .repartition(col("__dst"), col("__ca_i"), col("__cb_i"))
+      .select(col("__ca_i"), col("__cb_i"), col("__cb"), explode(col("__ca")).as("s1"))
+      .select(col("s1"),
+        explode(when(col("__ca_i") < col("__cb_i"), col("__cb"))
+          .otherwise(filter(col("__cb"), x => x > col("s1")))).as("s2"))
+      // salt chunks are not value-ordered: canonicalize cross-chunk
+      // pairs (each unordered pair is still emitted exactly once per
+      // shared hub — cross-chunk pairs only in their one (ci,cj)
+      // cell, same-chunk pairs via the > filter)
+      .select(least(col("s1"), col("s2")).as("s1"),
+              greatest(col("s1"), col("s2")).as("s2"))
+
+    coldPairs.unionByName(hotPairs)
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   private def findAll(motif: Seq[MotifEdge], injective: Boolean): DataFrame = {
     require(motif.nonEmpty)
     var bound = List.empty[String]

@@ -12,8 +12,8 @@ import graft.graph.{EdgeGraph, MotifEdge, MotifQuery}
   *  - supplier→part: distinct (l_suppkey, l_partkey) from lineitem,
   *    part ids offset by 1,000,000 into a disjoint long range;
   *  - sparse subgraph for connected components: lineitem rows with
-  *    l_quantity=1 AND l_linenumber=7 (221 nodes / 63 components at
-  *    sf0.01 — non-trivial);
+  *    l_quantity=1 AND l_linenumber=1 (non-trivial component count
+  *    at sf0.01);
   *  - heterogeneous attribute edges (customer→nation→region) with
   *    string-prefixed node ids for the motif GQI variants.
   *
@@ -26,10 +26,13 @@ object GraphQ {
 
   private val POFF = 1000000L
 
-  private def suppPartEdges(s: SparkSession, dir: String): DataFrame =
+  // raw (non-deduped) form for consumers that dedupe internally
+  private def suppPartEdgesRaw(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
       .select(col("l_suppkey").as("src"), (col("l_partkey") + POFF).as("dst"))
-      .distinct()
+
+  private def suppPartEdges(s: SparkSession, dir: String): DataFrame =
+    suppPartEdgesRaw(s, dir).distinct()
 
   private def sparseEdges(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
@@ -50,15 +53,11 @@ object GraphQ {
         .orderBy("partkey")
     },
 
-    // J5: motif (s1)->(p)<-(s2): supplier pairs sharing >= 5 parts.
+    // J5: motif (s1)->(p)<-(s2): supplier pairs sharing >= 5 parts —
+    // via the degree-aware aggregate-then-pair plan (no d² self-join
+    // blowup on a hot part; see MotifQuery.sharedNeighbors).
     "j5_motif" -> { (s, dir) =>
-      val e = suppPartEdges(s, dir)
-      MotifQuery.find(Seq(
-          MotifEdge("s1", "p", e),
-          MotifEdge("s2", "p", e)))
-        .where(col("s1") < col("s2"))
-        .groupBy("s1", "s2")
-        .agg(count(lit(1)).as("n_shared"))
+      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
         .where(col("n_shared") >= 5)
         .orderBy("s1", "s2")
     },
@@ -84,20 +83,18 @@ object GraphQ {
     },
 
     // U2: union of two motif solution sets (pairs sharing parts OR
-    // suppliers co-located in a nation).
+    // suppliers co-located in a nation). Each motif runs the
+    // degree-aware shared-neighbor plan, and the supplier→part edge
+    // set is built ONCE (one lineitem scan, not the self-join's two).
+    // The nation hubs are inherently hot (25 hubs × all suppliers) —
+    // exactly the shape the chunked pair generation spreads out.
     "u2_motif_union" -> { (s, dir) =>
-      val shared = MotifQuery.find(Seq(
-          MotifEdge("s1", "p", suppPartEdges(s, dir)),
-          MotifEdge("s2", "p", suppPartEdges(s, dir))))
-        .where(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
-        .where(col("n") >= 8).select("s1", "s2")
+      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+        .where(col("n_shared") >= 8).select("s1", "s2")
       val sn = table(s, dir, "supplier").select(
         col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))
-      val coloc = MotifQuery.find(Seq(
-          MotifEdge("s1", "n", sn),
-          MotifEdge("s2", "n", sn)))
-        .where(col("s1") < col("s2")).select("s1", "s2")
+      val coloc = MotifQuery.sharedNeighbors(sn, chunkSize = 256)
+        .select("s1", "s2")
       shared.union(coloc).distinct().orderBy("s1", "s2")
     },
 
