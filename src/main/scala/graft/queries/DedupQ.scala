@@ -37,15 +37,16 @@ object DedupQ {
       SimHash.simhash(docToks(s, dir), "doc_id", "toks").orderBy("doc_id")
     },
 
-    // d5: simhash near-dup pairs — byte-block LSH (pigeonhole: any
-    // pair within hamming 6 of a 32-bit hash shares at least one of
-    // its 4 byte blocks is not guaranteed, but blocks prune the join;
-    // the hamming filter is the actual predicate).
+    // d5: simhash near-dup pairs — GUARANTEED-complete byte-block LSH:
+    // 56-bit simhash split into 7 byte blocks; by pigeonhole (r+1
+    // rule, r = 6) every pair within hamming 6 shares at least one
+    // block, so the banded join generates every qualifying candidate
+    // and the hamming filter only discards, never misses.
     "d5_simhash_pairs" -> { (s, dir) =>
       val sh = SimHash.simhash(docToks(s, dir).where(col("doc_id") < 200),
-        "doc_id", "toks")
+        "doc_id", "toks", bits = 56)
       val blocks = sh.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
+          explode(sequence(lit(0), lit(6))).as("b"))
         .withColumn("blk", expr("(shiftright(simhash, CAST(b*8 AS INT)) & 255)"))
       val a = blocks.select(col("doc_id").as("i"), col("simhash").as("h1"),
         col("b"), col("blk"))
@@ -156,14 +157,14 @@ object DedupQ {
       s"""WITH tk0 AS ($tkSql),
         |tk AS (SELECT * FROM tk0 WHERE doc_id < 200),
         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM tok),
         |bits AS (SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
-        |  FROM h CROSS JOIN range(32) r(b) GROUP BY doc_id, b),
+        |  FROM h CROSS JOIN range(56) r(b) GROUP BY doc_id, b),
         |sims AS (SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id),
         |bl AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*8 AS INT)) & 255 AS blk
-        |  FROM sims CROSS JOIN range(4) r(b)),
+        |  FROM sims CROSS JOIN range(7) r(b)),
         |p AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j,
         |  bit_count(xor(a.simhash, c.simhash)) AS ham
         |  FROM bl a JOIN bl c ON a.b = c.b AND a.blk = c.blk AND a.doc_id < c.doc_id)

@@ -54,6 +54,44 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(1L), h(2L)) <= 8)
   }
 
+  test("56-bit 7-block banded join recalls every pair at hamming <= 6") {
+    import spark.implicits._
+    // random token docs + planted near-dups → some pairs land within
+    // hamming 6; the banded join must find EXACTLY the brute-force set
+    val rnd = new scala.util.Random(17)
+    def randDoc() = (1 to 30).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, randDoc()))
+    val dups = (0 until 6).map { i =>
+      val words = base(i)._2.split(" "); words(10) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val sh = SimHash.simhash(docs, "doc_id", "toks", bits = 56)
+
+    val brute = {
+      val h = sh.collect().map(r => r.getLong(0) -> r.getLong(1))
+      (for {
+        (i, hi) <- h; (j, hj) <- h if i < j
+        if java.lang.Long.bitCount(hi ^ hj) <= 6
+      } yield (i, j)).toSet
+    }
+    assert(brute.nonEmpty, "test data must contain close pairs")
+
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(6))).as("b"))
+      .withColumn("blk", expr("(shiftright(simhash, CAST(b*8 AS INT)) & 255)"))
+    val a = blocks.select(col("doc_id").as("i"), col("simhash").as("h1"), col("b"), col("blk"))
+    val bb = blocks.select(col("doc_id").as("j"), col("simhash").as("h2"), col("b"), col("blk"))
+    val banded = a.join(bb, Seq("b", "blk"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("ham"))
+      .distinct().where(col("ham") <= 6)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
   test("cosine LSH: identical vectors share a bucket, top-k finds the clone") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)

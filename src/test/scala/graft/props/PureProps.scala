@@ -1,7 +1,7 @@
 package graft.props
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.functions.ReverseComplement
 import graft.seq.SeqFunctions
@@ -54,6 +54,21 @@ object PureProps extends Properties("graft.pure") {
       else ReverseComplement.TABLE(i) == i.toByte
     }
   }
+
+  private val flipCase: Gen[(Long, Long)] = for {
+    h <- Gen.choose(0L, (1L << 56) - 1)
+    k <- Gen.choose(0, 6)
+    bits <- Gen.listOfN(k, Gen.choose(0, 55))
+  } yield (h, bits.foldLeft(h)((acc, b) => acc ^ (1L << b)))
+
+  property("7x8-bit block split finds every pair at hamming <= 6") =
+    forAll(flipCase) { case (h1, h2) =>
+      java.lang.Long.bitCount(h1 ^ h2) <= 6 ==> {
+        val b1 = graft.dedup.SimHash.blocksOf(h1, nBlocks = 7, blockBits = 8)
+        val b2 = graft.dedup.SimHash.blocksOf(h2, nBlocks = 7, blockBits = 8)
+        b1.zip(b2).exists { case (x, y) => x == y }
+      }
+    }
 
   property("codon table is total over ACGT triplets") = Prop {
     val bases = Seq("A", "C", "G", "T")
