@@ -89,6 +89,37 @@ object SeqQ {
         .orderBy("doc_id")
     },
 
+    // J8/S6 depth: blastx/tblastn frame mapping — a protein HSP
+    // window on every frame of the six-frame corpus mapped back to
+    // DNA coords (blast.py:354-384); the dna_hit column extracts the
+    // mapped interval (reverse-complemented for ori=-1) and aa_match
+    // proves translate(dna_hit) == the protein window, so a wrong
+    // mapping cannot hash-match.
+    "j8b_blastx_map" -> { (s, dir) =>
+      val frames = withDna(s, dir)
+        .select(col("doc_id"), col("dna"),
+          explode(SeqFunctions.sixFrames(col("dna"))).as("f"))
+        .select(col("doc_id"), col("dna"), col("f.frame").as("frame"), col("f.aa").as("aa"))
+      val hsps = frames
+        .withColumn("p_start", lit(2L)).withColumn("p_end", lit(7L))
+        .withColumn("aa_hit", substring(col("aa"), 3, 5))
+        .withColumn("seq_len", length(col("dna")).cast("long"))
+      val mapped = graft.sources.BlastText.toDnaCoords(
+        hsps, "frame", "p_start", "p_end", "seq_len")
+      mapped
+        .withColumn("__piece",
+          col("dna").substr(col("dna_start").cast("int") + 1,
+            (col("dna_end") - col("dna_start")).cast("int")))
+        .withColumn("dna_hit",
+          when(col("dna_ori") < 0, SeqFunctions.reverseComplement(col("__piece")))
+            .otherwise(col("__piece")))
+        .withColumn("aa_match",
+          SeqFunctions.translateCodons(col("dna_hit")) === col("aa_hit"))
+        .select("doc_id", "frame", "dna_start", "dna_end", "dna_ori",
+          "aa_hit", "dna_hit", "aa_match")
+        .orderBy("doc_id", "frame")
+    },
+
     // S1/S2: FASTA write → distributed re-parse → info roundtrip.
     "s1_fasta_roundtrip" -> { (s, dir) =>
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fasta_rt"
@@ -205,6 +236,32 @@ object SeqQ {
         |  FROM orfs)
         |SELECT doc_id, frame, orf, CAST(length(orf) AS BIGINT) AS orf_len
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "j8b_blastx_map" -> {
+      val branches = (1 to 3).map(f =>
+        s"SELECT doc_id, $f AS frame, ${codonCaseSql(s"substr(dna, $f)")} AS aa FROM d"
+      ) ++ (1 to 3).map(f =>
+        s"SELECT doc_id, -$f AS frame, ${codonCaseSql(s"substr(rc, $f)")} AS aa FROM d")
+      s"""WITH d0 AS ($dnaSql),
+        |d AS (SELECT doc_id, dna, translate(reverse(dna), 'ACGT', 'TGCA') AS rc FROM d0),
+        |fr AS (${branches.mkString("\nUNION ALL\n")}),
+        |h AS (SELECT doc_id, frame, substr(aa, 3, 5) AS aa_hit FROM fr),
+        |m AS (SELECT h.doc_id, frame, aa_hit, dna,
+        |  CAST(CASE WHEN frame > 0 THEN (abs(frame)-1) + 3*2
+        |       ELSE 64 - ((abs(frame)-1) + 3*7) END AS BIGINT) AS dna_start,
+        |  CAST(CASE WHEN frame > 0 THEN (abs(frame)-1) + 3*7
+        |       ELSE 64 - ((abs(frame)-1) + 3*2) END AS BIGINT) AS dna_end,
+        |  CASE WHEN frame > 0 THEN 1 ELSE -1 END AS dna_ori
+        |  FROM h JOIN d ON h.doc_id = d.doc_id),
+        |x AS (SELECT *, substr(dna, CAST(dna_start AS INT)+1,
+        |  CAST(dna_end - dna_start AS INT)) AS piece FROM m),
+        |y AS (SELECT doc_id, frame, dna_start, dna_end, dna_ori, aa_hit,
+        |  CASE WHEN dna_ori < 0 THEN translate(reverse(piece), 'ACGT', 'TGCA')
+        |       ELSE piece END AS dna_hit FROM x)
+        |SELECT doc_id, frame, dna_start, dna_end, dna_ori, aa_hit, dna_hit,
+        |  (${codonCaseSql("dna_hit")} = aa_hit) AS aa_match
+        |FROM y ORDER BY doc_id, frame""".stripMargin
     },
 
     "s1_fasta_roundtrip" ->

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parser for classic `blastall` pairwise text output (pygr
   * `parse_blast.py:39-215`; SURVEY.md S6): per query, per subject,
@@ -69,6 +70,32 @@ object BlastText {
     }
     flush()
     out.result()
+  }
+
+  /** Map protein-space HSP coordinates back to DNA coordinates for
+    * blastx/tblastn-style searches over six-frame translations (pygr
+    * `BlastxMapping`, `blast.py:354-384`, frame slice info
+    * `translationDB.py:99-123`): a protein interval [ps,pe) on frame
+    * ±k (offset o = k-1, k in 1..3 — the `sixFrames` convention)
+    * covers DNA
+    *   - forward: [o + 3·ps, o + 3·pe), ori +1;
+    *   - reverse: the same interval on the reverse complement, i.e.
+    *     [L − (o + 3·pe), L − (o + 3·ps)) on the forward strand,
+    *     ori −1 (L = `seqLen`).
+    * Adds `dna_start`, `dna_end`, `dna_ori`.
+    */
+  def toDnaCoords(hsps: DataFrame, frame: String, pStart: String,
+                  pEnd: String, seqLen: String): DataFrame = {
+    val o = abs(col(frame)).cast("long") - 1L
+    val fwd = col(frame) > 0
+    hsps
+      .withColumn("dna_start",
+        when(fwd, o + col(pStart) * 3L)
+          .otherwise(col(seqLen) - (o + col(pEnd) * 3L)))
+      .withColumn("dna_end",
+        when(fwd, o + col(pEnd) * 3L)
+          .otherwise(col(seqLen) - (o + col(pStart) * 3L)))
+      .withColumn("dna_ori", when(fwd, 1).otherwise(-1))
   }
 
   /** Distributed parse of saved blast reports (one report per file or

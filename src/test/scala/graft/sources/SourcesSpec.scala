@@ -108,4 +108,46 @@ class SourcesSpec extends SparkSuite {
     assert((h1.q_start, h1.q_end, h1.s_start, h1.s_end, h1.ori)
       === ((0L, 24L, 400L, 424L, -1)))
   }
+
+  test("blastx frame mapping: protein HSP coords back to DNA (blast.py:354-384)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dna=ATGGCCTTTAAACCCGGG (L=18); frame -2 translates
+    // rc[1..]=CCGGGTTTAAAGGCCAT -> "PGLKA"; protein [1,3)="GL" maps to
+    // dna [18-(1+9), 18-(1+3)) = [8,14) = "TAAACC", revcomp "GGTTTA",
+    // translate -> "GL"
+    val dna = "ATGGCCTTTAAACCCGGG"
+    val hsps = Seq((1L, -2, 1L, 3L, dna.length.toLong, dna))
+      .toDF("q", "frame", "p_start", "p_end", "seq_len", "dna")
+    val m = BlastText.toDnaCoords(hsps, "frame", "p_start", "p_end", "seq_len")
+      .withColumn("piece", col("dna").substr(col("dna_start").cast("int") + 1,
+        (col("dna_end") - col("dna_start")).cast("int")))
+      .withColumn("back", graft.seq.SeqFunctions.translateCodons(
+        graft.seq.SeqFunctions.reverseComplement(col("piece"))))
+      .select("dna_start", "dna_end", "dna_ori", "piece", "back")
+      .collect().head
+    assert((m.getLong(0), m.getLong(1), m.getInt(2), m.getString(3), m.getString(4))
+      === ((8L, 14L, -1, "TAAACC", "GL")))
+
+    // roundtrip across ALL six frames: map a window back, extract,
+    // re-translate, compare to the protein window
+    val frames = Seq((1L, dna)).toDF("q", "dna")
+      .select(col("q"), col("dna"),
+        explode(graft.seq.SeqFunctions.sixFrames(col("dna"))).as("f"))
+      .select(col("q"), col("dna"), col("f.frame").as("frame"), col("f.aa").as("aa"))
+      .where(length(col("aa")) >= 3)
+      .withColumn("p_start", lit(1L)).withColumn("p_end", lit(3L))
+      .withColumn("seq_len", length(col("dna")).cast("long"))
+      .withColumn("aa_hit", substring(col("aa"), 2, 2))
+    val rt = BlastText.toDnaCoords(frames, "frame", "p_start", "p_end", "seq_len")
+      .withColumn("piece", col("dna").substr(col("dna_start").cast("int") + 1,
+        (col("dna_end") - col("dna_start")).cast("int")))
+      .withColumn("oriented", when(col("dna_ori") < 0,
+        graft.seq.SeqFunctions.reverseComplement(col("piece"))).otherwise(col("piece")))
+      .withColumn("back", graft.seq.SeqFunctions.translateCodons(col("oriented")))
+      .select("frame", "aa_hit", "back")
+      .collect()
+    assert(rt.length === 6)
+    rt.foreach(r => assert(r.getString(1) === r.getString(2), s"frame ${r.getInt(0)}"))
+  }
 }
