@@ -36,6 +36,30 @@ object PairAlignment {
       .drop("__sseq", "__dseq", "__dpiece")
   }
 
+  /** Per-position alignment column view — the W2-proper letter
+    * iterator of the reference (`NLMSANode` iteration with letter
+    * edges, `cnestedlist.pyx:1093-1278`): one row per (block, source
+    * position) per aligned target, carrying the source letter, the
+    * target letter IN TARGET ORIENTATION (minus-strand targets read
+    * complemented, like `seq[-k]` in pygr), the mapped target
+    * coordinate, and the letter-edge match flag. Feed it a slice
+    * result joined over every target lane to walk alignment columns
+    * across all sequences of the slice.
+    */
+  def columns(blocks: DataFrame, seqs: DataFrame): DataFrame =
+    withLetters(blocks, seqs)
+      .where(col("src_end") > col("src_start"))
+      .withColumn("__k",
+        explode(sequence(lit(1), (col("src_end") - col("src_start")).cast("int"))))
+      .withColumn("src_pos", col("src_start") + col("__k") - 1L)
+      .withColumn("dest_pos",
+        when(col("dest_ori") >= 0, col("dest_start") + col("__k") - 1L)
+          .otherwise(col("dest_end") - col("__k")))
+      .withColumn("src_letter", expr("substr(src_text, __k, 1)"))
+      .withColumn("dest_letter", expr("substr(dest_text, __k, 1)"))
+      .withColumn("is_match", col("src_letter") === col("dest_letter"))
+      .drop("src_text", "dest_text", "n_match", "__k")
+
   /** Per-edge identity rollup: pIdentity in basis points over min
     * (pygr `pIdentity` default) and the aligned-block count
     * (`matchIntervals` cardinality).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.align.AlignmentStore
 import graft.annot.AnnotationDb
 import graft.core.Graft.table
 import graft.queries.SeqQ.{dnaSql, withDna}
@@ -78,6 +79,39 @@ object AlignFnQ {
         .orderBy("doc_id", "pos")
     },
 
+    // W2 proper: alignment COLUMN view — per-position letters across
+    // ALL target sequences of a slice with letter edges
+    // (cnestedlist.pyx:1093-1278). Each src doc aligns to two targets
+    // (one minus-strand); the slice window clips, then every source
+    // position fans out to one row per target lane.
+    "w2b_columns" -> { (s, dir) =>
+      val d = withDna(s, dir)
+      val seqs = d.select(concat(lit("d"), col("doc_id")).as("seq_id"), col("dna").as("seq"))
+      val srcs = d.where(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+      val blocks = srcs.select(col("doc_id"), explode(array(
+          struct(concat(lit("d"), col("doc_id") + 1).as("dest_id"),
+            lit(4L).as("src_start"), lit(20L).as("src_end"),
+            lit(4L).as("dest_start"), lit(20L).as("dest_end"), lit(1).as("dest_ori"),
+            (col("doc_id") * 10).as("block_id")),
+          struct(concat(lit("d"), col("doc_id") + 2).as("dest_id"),
+            lit(8L).as("src_start"), lit(24L).as("src_end"),
+            lit(40L).as("dest_start"), lit(56L).as("dest_end"), lit(-1).as("dest_ori"),
+            (col("doc_id") * 10 + 1).as("block_id")))).as("b"))
+        .select(concat(lit("d"), col("doc_id")).as("src_id"),
+          col("b.src_start").as("src_start"), col("b.src_end").as("src_end"),
+          col("b.dest_id").as("dest_id"),
+          col("b.dest_start").as("dest_start"), col("b.dest_end").as("dest_end"),
+          col("b.dest_ori").as("dest_ori"), col("b.block_id").as("block_id"))
+      val queries = srcs.select(col("doc_id").as("q_id"),
+        concat(lit("d"), col("doc_id")).as("src_id"),
+        lit(6L).as("q_start"), lit(18L).as("q_end"))
+      val sliced = new AlignmentStore(blocks).slice(queries, binWidth = 16L)
+      graft.align.PairAlignment.columns(sliced, seqs)
+        .select("q_id", "src_id", "src_pos", "dest_id", "dest_pos", "dest_ori",
+          "src_letter", "dest_letter", "is_match")
+        .orderBy("q_id", "dest_id", "src_pos")
+    },
+
     // F6: e-value style -log10 transform.
     "f6_neglog" -> { (s, dir) =>
       // libm log10 differs in the last ulp across engines — quantize
@@ -139,6 +173,38 @@ object AlignFnQ {
         |SELECT doc_id, p AS pos, substr(dna, CAST(p AS INT), 1) AS letter
         |FROM d, UNNEST(range(1, 17)) AS t(p)
         |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+
+    "w2b_columns" ->
+      s"""WITH d AS ($dnaSql),
+        |src AS (SELECT doc_id, dna FROM d WHERE doc_id % 4 = 0 AND doc_id < 40),
+        |lanes AS (
+        |  SELECT doc_id AS q_id, 'd' || doc_id AS src_id, 'd' || (doc_id+1) AS dest_id,
+        |    4 AS ss, 20 AS se, 4 AS ds, 20 AS de, 1 AS ori FROM src
+        |  UNION ALL
+        |  SELECT doc_id, 'd' || doc_id, 'd' || (doc_id+2), 8, 24, 40, 56, -1 FROM src),
+        |cl AS (SELECT q_id, src_id, dest_id, ori,
+        |  GREATEST(ss, 6) AS cs, LEAST(se, 18) AS ce,
+        |  CASE WHEN ori >= 0 THEN ds + (GREATEST(ss, 6) - ss)
+        |       ELSE ds + (se - LEAST(se, 18)) END AS cds,
+        |  CASE WHEN ori >= 0 THEN de - (se - LEAST(se, 18))
+        |       ELSE de - (GREATEST(ss, 6) - ss) END AS cde
+        |  FROM lanes WHERE ss < 18 AND 6 < se),
+        |pos AS (SELECT cl.*, CAST(p AS BIGINT) AS src_pos
+        |  FROM cl, UNNEST(range(cs, ce)) AS t(p)),
+        |x AS (SELECT q_id, src_id, dest_id, ori AS dest_ori, src_pos,
+        |  CAST(CASE WHEN ori >= 0 THEN cds + (src_pos - cs)
+        |       ELSE cde - 1 - (src_pos - cs) END AS BIGINT) AS dest_pos
+        |  FROM pos),
+        |y AS (SELECT q_id, x.src_id, src_pos, x.dest_id, dest_pos, dest_ori,
+        |  substr(sd.dna, CAST(src_pos AS INT) + 1, 1) AS src_letter,
+        |  CASE WHEN dest_ori < 0
+        |    THEN translate(substr(dd.dna, CAST(dest_pos AS INT) + 1, 1), 'ACGT', 'TGCA')
+        |    ELSE substr(dd.dna, CAST(dest_pos AS INT) + 1, 1) END AS dest_letter
+        |  FROM x
+        |  JOIN d sd ON 'd' || sd.doc_id = x.src_id
+        |  JOIN d dd ON 'd' || dd.doc_id = x.dest_id)
+        |SELECT *, (src_letter = dest_letter) AS is_match FROM y
+        |ORDER BY q_id, dest_id, src_pos""".stripMargin,
 
     "f6_neglog" ->
       """SELECT event_id, CAST(floor(-log10(value) * 1e6) AS BIGINT) AS neglog_u

@@ -98,6 +98,27 @@ class AlignmentStoreSpec extends SparkSuite {
       ("human", 5L, 10L, "mouse", 53L, 58L, 1)))
   }
 
+  test("column view: minus-strand letters complement, coords reflect") {
+    import spark.implicits._
+    val blocks = Seq(("a", 0L, 4L, "b", 4L, 8L, -1, 0L))
+      .toDF("src_id", "src_start", "src_end", "dest_id",
+            "dest_start", "dest_end", "dest_ori", "block_id")
+    val seqs = Seq(("a", "ACGTTTTT"), ("b", "TTTTAACG")).toDF("seq_id", "seq")
+    val got = PairAlignment.columns(blocks, seqs)
+      .orderBy("src_pos")
+      .select("src_pos", "src_letter", "dest_pos", "dest_letter", "is_match")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toSeq
+    // b[4,8) = "AACG", reverse-complemented reads "CGTT"; positions
+    // reflect from the high end
+    assert(got === Seq(
+      (0L, "A", 7L, "C", false),
+      (1L, "C", 6L, "G", false),
+      (2L, "G", 5L, "T", false),
+      (3L, "T", 4L, "T", true)))
+  }
+
   test("inverse store swaps axes (cnestedlist.pyx:2041-2047)") {
     val store = AlignmentStore.fromCoords(spark, Seq(
       (("a", 0L, 8L), ("b", 100L, 108L, -1))), bidirectional = false)
