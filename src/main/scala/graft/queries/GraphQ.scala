@@ -116,6 +116,22 @@ object GraphQ {
         .orderBy("p_from", "p_to")
     },
 
+    // A9 complete: alt5/alt3 alternative-splicing pair graphs — exons
+    // (distinct lineitem tuples per order cluster) sharing a start
+    // coordinate (alt5) or an end coordinate (alt3)
+    // (apps/splicegraph.py:33-61).
+    "a9b_alt_splice" -> { (s, dir) =>
+      val exons = table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("cluster"),
+          col("l_linenumber").cast("long").as("s"),
+          (col("l_linenumber") + 1 + col("l_partkey") % 3).cast("long").as("en"),
+          (col("l_linenumber") * 10000000L + col("l_partkey")).as("eid"))
+        .distinct()
+      graft.graph.SpliceGraph.altPairs(exons, Seq("cluster"), "eid", "s", "en")
+        .orderBy("kind", "cluster", "pos", "e1", "e2")
+    },
+
     // J7: MapView — a mapping defined by a declared relation in the
     // catalog (worldbase schema binding), resolved to a join view.
     "j7_mapview" -> { (s, dir) =>
@@ -190,6 +206,19 @@ object GraphQ {
         |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
         |GROUP BY p_from, p_to HAVING COUNT(*) >= 3
         |ORDER BY p_from, p_to""".stripMargin,
+
+    "a9b_alt_splice" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS cluster,
+        |    CAST(l_linenumber AS BIGINT) AS s,
+        |    CAST(l_linenumber + 1 + l_partkey % 3 AS BIGINT) AS en,
+        |    CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey AS eid
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |a5 AS (SELECT 'alt5' AS kind, a.cluster, a.s AS pos, a.eid AS e1, b.eid AS e2
+        |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.s = b.s AND a.eid < b.eid),
+        |a3 AS (SELECT 'alt3' AS kind, a.cluster, a.en AS pos, a.eid AS e1, b.eid AS e2
+        |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.en = b.en AND a.eid < b.eid)
+        |SELECT kind, cluster, pos, e1, e2 FROM (SELECT * FROM a5 UNION ALL SELECT * FROM a3)
+        |ORDER BY kind, cluster, pos, e1, e2""".stripMargin,
 
     "j7_mapview" ->
       """SELECT n_name, COUNT(*) AS n_cust

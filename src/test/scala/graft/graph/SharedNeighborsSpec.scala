@@ -39,6 +39,25 @@ class SharedNeighborsSpec extends SparkSuite {
     assert(naive.size > 100000) // the hot hub really is quadratic
   }
 
+  test("splice graph: alt5/alt3 pairs and splice edges (splicegraph.py:33-61)") {
+    import spark.implicits._
+    val exons = Seq(
+      (1L, 1L, 10L, 20L), (1L, 2L, 10L, 25L), (1L, 3L, 15L, 25L),
+      (2L, 4L, 10L, 20L)) // other cluster: same coords, must not pair
+      .toDF("cluster", "eid", "s", "en")
+    val alt = SpliceGraph.altPairs(exons, Seq("cluster"), "eid", "s", "en")
+      .select("kind", "cluster", "e1", "e2")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(alt === Set(("alt5", 1L, 1L, 2L), ("alt3", 1L, 2L, 3L)))
+
+    val splices = Seq((1L, 100L, 20L, 15L)).toDF("cluster", "sid", "donor", "acceptor")
+    val edges = SpliceGraph.spliceEdges(exons, splices, Seq("cluster"),
+        "eid", "s", "en", "sid", "donor", "acceptor")
+      .select("cluster", "sid", "e1", "e2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(edges === Set((1L, 100L, 1L, 3L)))
+  }
+
   test("hot-hub pair join runs on chunk lists above the salt-chunk aggregate") {
     // force every hub hot: every inner join must sit above aggregates
     // on both sides, so a hot hub contributes (d/C)^2 chunk rows to
