@@ -63,11 +63,20 @@ object PairAlignment {
   /** Per-edge identity rollup: pIdentity in basis points over min
     * (pygr `pIdentity` default) and the aligned-block count
     * (`matchIntervals` cardinality).
+    *
+    * `trapOverflow` (default true, like the reference's
+    * `pIdentity(trapOverflow=True)`, `sequence.py:717-724`): when a
+    * region aligns to the same target multiple times, summed
+    * identities can exceed the sequence length — silently reporting
+    * >100% identity hides a data problem, so the default raises on
+    * first evaluation; pass false to get the raw (possibly >10000 bp)
+    * value.
     */
-  def identityMetrics(blocks: DataFrame, seqs: DataFrame): DataFrame = {
+  def identityMetrics(blocks: DataFrame, seqs: DataFrame,
+                      trapOverflow: Boolean = true): DataFrame = {
     val lettered = withLetters(blocks, seqs)
     val seqLens = seqs.select(col("seq_id"), length(col("seq")).cast("long").as("len"))
-    lettered
+    val base = lettered
       .groupBy("src_id", "dest_id", "dest_ori")
       .agg(sum("n_match").as("n_ident"),
         sum(col("src_end") - col("src_start")).as("n_aligned"),
@@ -80,5 +89,13 @@ object PairAlignment {
       .withColumn("p_aligned_bp",
         floor(lit(10000L) * col("n_aligned") / least(col("src_len"), col("dest_len")))
           .cast("long"))
+    if (!trapOverflow) base
+    else base.withColumn("p_identity_bp",
+      when(col("p_identity_bp") > 10000L,
+        raise_error(concat(
+          lit("pIdentity overflow due to multiple hits (src="), col("src_id"),
+          lit(", dest="), col("dest_id"),
+          lit("); pass trapOverflow=false to allow"))).cast("long"))
+        .otherwise(col("p_identity_bp")))
   }
 }

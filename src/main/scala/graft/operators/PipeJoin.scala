@@ -20,4 +20,38 @@ object PipeJoin {
     import spark.implicits._
     df.rdd.map(_.getString(0)).pipe(cmd).toDF("line")
   }
+
+  /** Keyed pipe: `df` is (key STRING, line STRING); each key's lines
+    * stream through their OWN invocation of `cmd` and every stdout
+    * line comes back tagged with the key — so callers re-associate
+    * output with input even when the tool emits zero or many lines
+    * per input (the reference's blast pipe keeps query ids through
+    * the report for the same reason, `parse_blast.py:39-215`).
+    * One process per key, executor-side, keys distributed across the
+    * cluster.
+    */
+  def pipeLinesKeyed(spark: SparkSession, df: DataFrame, cmd: Seq[String]): DataFrame = {
+    import spark.implicits._
+    df.rdd.map(r => (r.getString(0), r.getString(1)))
+      .groupByKey()
+      .flatMap { case (k, lines) =>
+        import scala.sys.process._
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val io = new ProcessIO(
+          in => {
+            val w = new java.io.PrintWriter(in)
+            lines.foreach(w.println)
+            w.close()
+          },
+          o => {
+            scala.io.Source.fromInputStream(o).getLines().foreach(out += _)
+            o.close()
+          },
+          _.close())
+        val exit = Process(cmd).run(io).exitValue()
+        require(exit == 0, s"pipe command ${cmd.mkString(" ")} exited $exit for key $k")
+        out.map(l => (k, l))
+      }
+      .toDF("key", "line")
+  }
 }

@@ -31,6 +31,36 @@ class PairAlignmentSpec extends SparkSuite {
     assert(metrics("c") === ((4L, 4L, 4000L, 4000L)))
   }
 
+  test("identity overflow trap on multiple mappings (sequence.py:717-724)") {
+    import spark.implicits._
+    val seqs = Seq(("a", "ACGT"), ("b", "ACGT")).toDF("seq_id", "seq")
+    // the same region aligned twice: summed identity 8 over length 4
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 4L), ("b", 0L, 4L, 1)),
+      (("a", 0L, 4L), ("b", 0L, 4L, 1))), bidirectional = false)
+    val ex = intercept[Exception] {
+      PairAlignment.identityMetrics(store.blocks, seqs).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .mkString(" | "))
+    assert(rootMsg(ex).contains("pIdentity overflow"))
+    // trapOverflow=false preserves the raw >100% value
+    val raw = PairAlignment.identityMetrics(store.blocks, seqs, trapOverflow = false)
+      .select("p_identity_bp").collect().map(_.getLong(0)).toSeq
+    assert(raw === Seq(20000L))
+  }
+
+  test("keyed pipe preserves row identity per key") {
+    import spark.implicits._
+    val df = Seq(("q1", "acgt"), ("q1", "ttaa"), ("q2", "ggcc"))
+      .toDF("key", "line")
+    val out = graft.operators.PipeJoin.pipeLinesKeyed(spark, df,
+        Seq("tr", "a-z", "A-Z"))
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("q1", "ACGT"), ("q1", "TTAA"), ("q2", "GGCC")))
+  }
+
   private implicit class Tup5Ops(rows: Array[(String, Long, Long, Long, Long)]) {
     def toMap2: Map[String, (Long, Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
