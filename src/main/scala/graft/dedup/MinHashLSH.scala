@@ -47,14 +47,40 @@ object MinHashLSH {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Distinct candidate pairs (i < j) sharing any band bucket. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col(idCol).as("i"), col("band"), col("bucket"))
-    val b = buckets.select(col(idCol).as("j"), col("band"), col("bucket"))
+  /** Distinct candidate pairs (i < j) sharing any band bucket.
+    *
+    * `maxBucket` (0 = unlimited) caps bucket population: a degenerate
+    * bucket — boilerplate corpus, empty docs — would otherwise make
+    * the self-join quadratic in ITS size with all rows in one task.
+    * Capped buckets are dropped from candidate generation (standard
+    * LSH practice: a bucket that large is a non-discriminative hash,
+    * not a dup cluster); audit what was dropped with
+    * `oversizedBuckets` before relying on a cap.
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+                     maxBucket: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucket <= 0) buckets
+      else {
+        val ok = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket)
+          .select("band", "bucket")
+        buckets.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    val a = kept.select(col(idCol).as("i"), col("band"), col("bucket"))
+    val b = kept.select(col(idCol).as("j"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
   }
+
+  /** The (band, bucket, n) groups a `maxBucket` cap would drop — the
+    * audit/log companion of `candidatePairs`. */
+  def oversizedBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
 
   /** Exact Jaccard (basis points) between shingle sets of id pairs.
     * `pairs` has (i, j); `docs` has (idCol, toksCol).

@@ -54,6 +54,33 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(1L), h(2L)) <= 8)
   }
 
+  test("bucket cap drops degenerate buckets, keeps discriminative ones") {
+    import spark.implicits._
+    // 50 identical boilerplate docs (one giant bucket per band) + one
+    // genuine near-dup pair with distinct content
+    val boiler = (0 until 50).map(i => (i.toLong, "the same boilerplate text here"))
+    val real = Seq((100L, "unique content alpha beta gamma delta"),
+                   (101L, "unique content alpha beta gamma zeta"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val buckets = MinHashLSH.bandBuckets(
+      MinHashLSH.signatures(docs, "doc_id", "toks", 8, 2), "doc_id", 8, 4)
+
+    val capped = MinHashLSH.candidatePairs(buckets, "doc_id", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), "real pair must survive the cap")
+    assert(!capped.exists(p => p._1 < 50 && p._2 < 50),
+      "boilerplate bucket must be dropped")
+    // the audit view reports exactly the dropped buckets
+    val over = MinHashLSH.oversizedBuckets(buckets, 10)
+      .select("n").as[Long].collect()
+    assert(over.nonEmpty && over.forall(_ === 50L))
+    // uncapped keeps the quadratic bucket (the default/oracle path)
+    val full = MinHashLSH.candidatePairs(buckets, "doc_id")
+      .as[(Long, Long)].collect()
+    assert(full.length === capped.size + 50 * 49 / 2)
+  }
+
   test("56-bit 7-block banded join recalls every pair at hamming <= 6") {
     import spark.implicits._
     // random token docs + planted near-dups → some pairs land within
