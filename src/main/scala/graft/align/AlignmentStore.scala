@@ -114,6 +114,19 @@ class AlignmentStore(val blocks: DataFrame) {
         col("axis_id"), col("block1_id"), col("block2_id"))
   }
 
+  /** Slice + conservation filter — the slice-consume path of the
+    * reference's `filterIvalConservation` (`cnestedlist.pyx:867-897`;
+    * SURVEY.md P8): every hit of `slice` is clipped to its best
+    * segment meeting the `pIdentityMinBp` identity threshold
+    * (`PairAlignment.conservedSegment`); hits with no qualifying
+    * segment drop entirely.
+    */
+  def sliceConserved(queries: DataFrame, seqs: DataFrame,
+                     pIdentityMinBp: Long, minAlignSize: Long = 1L,
+                     binWidth: Long = 1 << 16): DataFrame =
+    PairAlignment.conservedSegment(slice(queries, binWidth), seqs,
+      pIdentityMinBp, minAlignSize, keyCols = Seq("q_id", "block_id"))
+
   /** Per-target bounds of a slice result (`mergeSeq`,
     * `cnestedlist.pyx:324-347`; SURVEY.md A1).
     */

@@ -1,6 +1,7 @@
 package graft.align
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.seq.SeqFunctions
@@ -59,6 +60,80 @@ object PairAlignment {
       .withColumn("dest_letter", expr("substr(dest_text, __k, 1)"))
       .withColumn("is_match", col("src_letter") === col("dest_letter"))
       .drop("src_text", "dest_text", "n_match", "__k")
+
+  /** Clip each aligned block to its best conserved segment — the
+    * reference's `conservedSegment`/`longestSegment`
+    * (`sequence.py:727-787`), the kernel of the slice-consume
+    * conservation filter (`filterIvalConservation`,
+    * `cnestedlist.pyx:867-897`): decompose each block's letter
+    * comparison into unbroken identity runs, then over all run pairs
+    * (j <= i) keep spans whose identity fraction meets
+    * `pIdentityMinBp` (basis points — integer math, engine-exact)
+    * and pick the one covering the most letters (ni+nm), first-found
+    * on ties in the reference's (i asc, j desc) scan order. Blocks
+    * with no qualifying segment drop; survivors carry clipped coords
+    * on both axes (orientation-aware) plus `seg_ident`/`seg_span`.
+    *
+    * `keyCols` must uniquely identify a block row (e.g. q_id +
+    * block_id for slice output). Distributed shape: per-position
+    * explode → two window passes → a per-block run self-join (runs
+    * <= letters/2, so the join is quadratic only in per-block run
+    * count, never in corpus size).
+    */
+  def conservedSegment(blocks: DataFrame, seqs: DataFrame,
+                       pIdentityMinBp: Long, minAlignSize: Long = 1L,
+                       keyCols: Seq[String] = Seq("block_id")): DataFrame = {
+    val k = keyCols.map(col)
+    val lettered = withLetters(blocks, seqs)
+    val pos = lettered
+      .where(col("src_end") > col("src_start"))
+      .withColumn("__k",
+        explode(sequence(lit(1), (col("src_end") - col("src_start")).cast("int"))))
+      .withColumn("__k", col("__k").cast("long"))
+      .where(expr("substr(src_text, CAST(__k AS INT), 1) = substr(dest_text, CAST(__k AS INT), 1)"))
+      .select(k :+ col("__k"): _*)
+    val wB = Window.partitionBy(k: _*).orderBy("__k")
+    val runs = pos
+      .withColumn("__isl", col("__k") - row_number().over(wB))
+      .groupBy(k :+ col("__isl"): _*)
+      .agg(min("__k").as("s"), count(lit(1)).as("len"))
+    val wR = Window.partitionBy(k: _*).orderBy("s")
+    val idx = runs
+      .withColumn("i", row_number().over(wR).cast("long"))
+      .withColumn("nm_before",
+        coalesce(col("s") - lag(col("s") + col("len"), 1).over(wR), lit(0L)))
+      .withColumn("pref_len",
+        sum("len").over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pref_nm",
+        sum("nm_before").over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val aj = idx.select(k :+ col("i").as("j") :+ col("s").as("sj") :+
+      col("len").as("lenj") :+ col("pref_len").as("plj") :+ col("pref_nm").as("pnj"): _*)
+    val bi = idx.select(k :+ col("i") :+ col("s").as("si") :+
+      col("len").as("leni") :+ col("pref_len").as("pli") :+ col("pref_nm").as("pni"): _*)
+    val cand = bi.join(aj, keyCols)
+      .where(col("j") <= col("i"))
+      .withColumn("ni", col("pli") - col("plj") + col("lenj"))
+      .withColumn("nm", col("pni") - col("pnj"))
+      .withColumn("l", col("si") + col("leni") - col("sj"))
+      .where(col("ni") * 10000L >= lit(pIdentityMinBp) * col("l"))
+      .where(col("ni") + col("nm") >= minAlignSize)
+    val wBest = Window.partitionBy(k: _*)
+      .orderBy((col("ni") + col("nm")).desc, col("i"), col("j").desc)
+    val best = cand
+      .withColumn("__rk", row_number().over(wBest)).where(col("__rk") === 1)
+      .select(k :+ col("sj").as("__k1") :+ (col("si") + col("leni") - 1L).as("__k2") :+
+        col("ni").as("seg_ident") :+ (col("ni") + col("nm")).as("seg_span"): _*)
+    blocks.join(best, keyCols)
+      .withColumn("c_src_start", col("src_start") + col("__k1") - 1L)
+      .withColumn("c_src_end", col("src_start") + col("__k2"))
+      .withColumn("c_dest_start",
+        when(col("dest_ori") >= 0, col("dest_start") + col("__k1") - 1L)
+          .otherwise(col("dest_end") - col("__k2")))
+      .withColumn("c_dest_end",
+        when(col("dest_ori") >= 0, col("dest_start") + col("__k2"))
+          .otherwise(col("dest_end") - col("__k1") + 1L))
+      .drop("__k1", "__k2")
+  }
 
   /** Per-edge identity rollup: pIdentity in basis points over min
     * (pygr `pIdentity` default) and the aligned-block count

@@ -79,6 +79,35 @@ object AlignFnQ {
         .orderBy("doc_id", "pos")
     },
 
+    // P8 complete: slice + conservation filter — every slice hit
+    // clipped to its best segment with >= 50% identity
+    // (conservedSegment, sequence.py:727-787, wired as the
+    // filterIvalConservation consume path, cnestedlist.pyx:867-897).
+    // One forward and one reverse-orientation lane per doc pair.
+    "p8b_conserved_clip" -> { (s, dir) =>
+      val d = withDna(s, dir)
+      val seqs = d.select(concat(lit("d"), col("doc_id")).as("seq_id"), col("dna").as("seq"))
+      val srcs = d.where(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+      val blocks = srcs.select(col("doc_id"), explode(array(
+          struct(lit(1).as("dest_ori"), (col("doc_id") * 2).as("block_id")),
+          struct(lit(-1).as("dest_ori"), (col("doc_id") * 2 + 1).as("block_id")))).as("b"))
+        .select(concat(lit("d"), col("doc_id")).as("src_id"),
+          lit(0L).as("src_start"), lit(64L).as("src_end"),
+          concat(lit("d"), col("doc_id") + 1).as("dest_id"),
+          lit(0L).as("dest_start"), lit(64L).as("dest_end"),
+          col("b.dest_ori").as("dest_ori"), col("b.block_id").as("block_id"))
+      val queries = srcs.select(col("doc_id").as("q_id"),
+        concat(lit("d"), col("doc_id")).as("src_id"),
+        lit(4L).as("q_start"), lit(60L).as("q_end"))
+      new AlignmentStore(blocks)
+        .sliceConserved(queries, seqs, pIdentityMinBp = 5000L,
+          minAlignSize = 2L, binWidth = 64L)
+        .select("q_id", "src_id", "dest_id", "dest_ori", "block_id",
+          "c_src_start", "c_src_end", "c_dest_start", "c_dest_end",
+          "seg_ident", "seg_span")
+        .orderBy("q_id", "block_id")
+    },
+
     // W2 proper: alignment COLUMN view — per-position letters across
     // ALL target sequences of a slice with letter edges
     // (cnestedlist.pyx:1093-1278). Each src doc aligns to two targets
@@ -173,6 +202,53 @@ object AlignFnQ {
         |SELECT doc_id, p AS pos, substr(dna, CAST(p AS INT), 1) AS letter
         |FROM d, UNNEST(range(1, 17)) AS t(p)
         |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+
+    "p8b_conserved_clip" ->
+      s"""$pairsSql,
+        |pp AS (SELECT i, s1, s2 FROM pr WHERE i < 100),
+        |lanes AS (
+        |  SELECT i AS q_id, 1 AS dest_ori, CAST(i*2 AS BIGINT) AS block_id, s1, s2 FROM pp
+        |  UNION ALL
+        |  SELECT i, -1, CAST(i*2+1 AS BIGINT), s1, s2 FROM pp),
+        |m AS (SELECT q_id, dest_ori, block_id, CAST(p AS BIGINT) AS k
+        |  FROM lanes, UNNEST(range(1, 57)) AS t(p)
+        |  WHERE CASE WHEN dest_ori >= 0
+        |    THEN substr(s1, CAST(4+p AS INT), 1) = substr(s2, CAST(4+p AS INT), 1)
+        |    ELSE substr(s1, CAST(4+p AS INT), 1) =
+        |         translate(substr(s2, CAST(61-p AS INT), 1), 'ACGT', 'TGCA') END),
+        |isl AS (SELECT *, k - ROW_NUMBER() OVER (PARTITION BY q_id, block_id ORDER BY k) AS g
+        |  FROM m),
+        |runs AS (SELECT q_id, dest_ori, block_id, MIN(k) AS s, COUNT(*) AS len
+        |  FROM isl GROUP BY q_id, dest_ori, block_id, g),
+        |i1 AS (SELECT *,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id, block_id ORDER BY s) AS BIGINT) AS ri,
+        |  COALESCE(s - LAG(s + len) OVER (PARTITION BY q_id, block_id ORDER BY s), 0) AS nmb
+        |  FROM runs),
+        |i2 AS (SELECT *,
+        |  SUM(len) OVER (PARTITION BY q_id, block_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+        |  SUM(nmb) OVER (PARTITION BY q_id, block_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+        |  FROM i1),
+        |cand AS (SELECT b.q_id, b.dest_ori, b.block_id, a.ri AS j, b.ri AS i2x,
+        |    a.s AS sj, b.s AS si, b.len AS leni,
+        |    b.pl - a.pl + a.len AS ni, b.pn - a.pn AS nm,
+        |    b.s + b.len - a.s AS l
+        |  FROM i2 b JOIN i2 a ON a.q_id = b.q_id AND a.block_id = b.block_id
+        |    AND a.ri <= b.ri),
+        |ok AS (SELECT * FROM cand WHERE ni * 10000 >= 5000 * l AND ni + nm >= 2),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, block_id
+        |    ORDER BY ni + nm DESC, i2x, j DESC) AS rk FROM ok)
+        |SELECT q_id, 'd' || q_id AS src_id, 'd' || (q_id + 1) AS dest_id,
+        |  dest_ori, block_id,
+        |  CAST(4 + sj - 1 AS BIGINT) AS c_src_start,
+        |  CAST(4 + si + leni - 1 AS BIGINT) AS c_src_end,
+        |  CAST(CASE WHEN dest_ori >= 0 THEN 4 + sj - 1
+        |       ELSE 60 - (si + leni - 1) END AS BIGINT) AS c_dest_start,
+        |  CAST(CASE WHEN dest_ori >= 0 THEN 4 + si + leni - 1
+        |       ELSE 60 - sj + 1 END AS BIGINT) AS c_dest_end,
+        |  CAST(ni AS BIGINT) AS seg_ident, CAST(ni + nm AS BIGINT) AS seg_span
+        |FROM best WHERE rk = 1 ORDER BY q_id, block_id""".stripMargin,
 
     "w2b_columns" ->
       s"""WITH d AS ($dnaSql),

@@ -51,6 +51,36 @@ class PairAlignmentSpec extends SparkSuite {
     assert(raw === Seq(20000L))
   }
 
+  test("conservedSegment clips to the best qualifying span (sequence.py:727-787)") {
+    import spark.implicits._
+    val seqs = Seq(("a", "ACGTACGTACGT"), ("b", "ACGTTTTTACGT")).toDF("seq_id", "seq")
+    val blocks = Seq(("a", 0L, 12L, "b", 0L, 12L, 1, 1L))
+      .toDF("src_id", "src_start", "src_end", "dest_id",
+            "dest_start", "dest_end", "dest_ori", "block_id")
+    def seg(bp: Long) = PairAlignment.conservedSegment(blocks, seqs, bp)
+      .select("c_src_start", "c_src_end", "c_dest_start", "c_dest_end", "seg_ident", "seg_span")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // runs (1..4) and (8..12): merged span 9/12 = 0.75
+    assert(seg(7000L) === Seq((0L, 12L, 0L, 12L, 9L, 12L)))  // merge allowed
+    assert(seg(8000L) === Seq((7L, 12L, 7L, 12L, 5L, 5L)))   // best single run
+    assert(seg(9990L) === Seq((7L, 12L, 7L, 12L, 5L, 5L)))   // pure runs only
+  }
+
+  test("conservedSegment reverse orientation clips both axes correctly") {
+    import spark.implicits._
+    // dest_text = revcomp(c[0,4)) = "AGGT" vs src "ACGT": runs (1,1),(3,2)
+    val seqs = Seq(("a", "ACGT"), ("c", "ACCT")).toDF("seq_id", "seq")
+    val blocks = Seq(("a", 0L, 4L, "c", 0L, 4L, -1, 1L))
+      .toDF("src_id", "src_start", "src_end", "dest_id",
+            "dest_start", "dest_end", "dest_ori", "block_id")
+    val got = PairAlignment.conservedSegment(blocks, seqs, 8000L)
+      .select("c_src_start", "c_src_end", "c_dest_start", "c_dest_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // best run = src [2,4) = "GT" -> dest [0,2) = "AC" (revcomp "GT")
+    assert(got === Seq((2L, 4L, 0L, 2L)))
+  }
+
   test("keyed pipe preserves row identity per key") {
     import spark.implicits._
     val df = Seq(("q1", "acgt"), ("q1", "ttaa"), ("q2", "ggcc"))
