@@ -65,6 +65,12 @@ object Coverage {
     *
     * Output: (keys..., island, mask_start, mask_end), island 0-based
     * per key group in position order.
+    *
+    * The reference's `seqGroups` (analyze each group of sequences
+    * separately, with `pMinAligned` fractions out of THAT group's
+    * size) needs no extra machinery here: put the group assignment
+    * in a column and include it in `keys` — both the sweep and the
+    * distinct-lane denominator are computed per key group.
     */
   def maskRegions(df: DataFrame, keys: Seq[String], lane: String,
                   start: String, end: String,

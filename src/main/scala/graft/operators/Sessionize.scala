@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,26 @@ object Sessionize {
     val prevMaxEnd = max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
     df.withColumn("__brk",
         when(prevMaxEnd.isNull || col(start) > prevMaxEnd + maxGap, 1L).otherwise(0L))
+      .withColumn("session",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .drop("__brk")
+  }
+
+  /** The `ivalMethod` escape hatch of the reference's
+    * `groupByIntervals` (`cnestedlist.pyx:745-747,806-810`: "a
+    * function to process the list of intervals ... it can merge or
+    * split them in any way it wants"), Spark-shaped: the caller
+    * supplies the BREAK predicate as a function of the per-key scan
+    * window (use `lag(...).over(w)` etc. against any columns), and
+    * gets back rows tagged with the resulting `session` id. The
+    * predicate must evaluate true on each key's first row (lag is
+    * null there). All built-in rule paths are expressible through
+    * this hook; it exists for the ones that aren't.
+    */
+  def tagWith(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+              brk: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__brk", when(brk(w), 1L).otherwise(0L))
       .withColumn("session",
         sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
       .drop("__brk")

@@ -55,6 +55,20 @@ object StreamOps {
     points.join(org.apache.spark.sql.functions.broadcast(intervals), Seq(key))
       .where(col(p) >= col(start) && col(p) < col(end))
 
+  /** Streaming exact dedup — the streaming form of `d1_exact_dedup`
+    * for an ingest pipeline: drop any document whose content hash was
+    * already seen within the watermark horizon. State holds one row
+    * per distinct hash and is EVICTED once the watermark passes (the
+    * property that lets this run forever on an unbounded corpus; an
+    * unwatermarked dropDuplicates would grow state without bound).
+    */
+  def dedupeByContent(docs: DataFrame, tsCol: String, contentCol: String,
+                      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__h", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** A flush sentinel: an event at or beyond this second closes any
     * open session for its user without starting a new one.
     */

@@ -36,6 +36,36 @@ class IntegrationSpec extends SparkSuite {
       ("hg.chr1", 300L, 302L, "mm.chr3", 88L, 90L, -1)))
   }
 
+  test("MAF ingest → bidirectional store → TWO-HOP slice (mm vs rn via hg)") {
+    import spark.implicits._
+    // MAF stores every genome vs the hg reference only; querying
+    // mouse-vs-rat exists ONLY through the two-hop path
+    val maf =
+      """##maf version=1
+        |a score=1.0
+        |s hg.chr1 100 8 + 1000 ACGTACGT
+        |s mm.chr2 500 8 + 2000 ACGTACGT
+        |s rn.chr5 40  8 - 100  ACGTACGT
+        |""".stripMargin
+    val dir = Files.createTempDirectory("maf2hop").toFile
+    Files.writeString(new java.io.File(dir, "x.maf").toPath, maf)
+    val fwd = Maf.read(spark, dir.getAbsolutePath)
+    val store = new AlignmentStore(
+      fwd.unionByName(new AlignmentStore(fwd).inverse.blocks))
+    val q = Seq((1L, "mm.chr2", 502L, 506L)).toDF("q_id", "src_id", "q_start", "q_end")
+    val got = store.slice2hop(q, binWidth = 64L)
+      .select("src_id", "src_start", "src_end", "dest_id",
+        "dest_start", "dest_end", "dest_ori", "axis_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+                 r.getLong(4), r.getLong(5), r.getInt(6), r.getString(7)))
+      .toList
+    // rn block on hg is '-' strand [52,60); hg window [102,106) maps
+    // to rn [54,58) reversed; the mm->hg->mm self-match is dropped
+    assert(got === List(
+      ("mm.chr2", 502L, 506L, "rn.chr5", 54L, 58L, -1, "hg.chr1")))
+  }
+
   test("EdgeGraph append/save/load snapshot semantics") {
     import spark.implicits._
     val g = new EdgeGraph(Seq((1L, 2L)).toDF("src", "dst"))

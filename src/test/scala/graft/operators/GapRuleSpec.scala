@@ -77,6 +77,22 @@ class GapRuleSpec extends SparkSuite {
       (1L, 205L, 300L, 1174L, 1269L, 1L)))
   }
 
+  test("tagWith: caller-supplied break rule (ivalMethod analog)") {
+    import org.apache.spark.sql.functions._
+    // a rule GapRule cannot express: break whenever the interval
+    // LENGTH differs from the previous interval's length
+    val df = lane((0L, 10L, 0L, 0L), (12L, 22L, 0L, 0L), (30L, 35L, 0L, 0L),
+      (40L, 45L, 0L, 0L))
+    val tagged = Sessionize.tagWith(df, Seq("lane"), Seq(col("s"), col("e")),
+      w => {
+        val prevLen = lag(col("e") - col("s"), 1).over(w)
+        prevLen.isNull || (col("e") - col("s")) =!= prevLen
+      })
+    val got = tagged.orderBy("s").select("s", "session")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (12L, 0L), (30L, 1L), (40L, 1L)))
+  }
+
   test("window path and streaming path agree when both apply") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -43,6 +43,25 @@ class StreamSpec extends SparkSuite {
     assert(got === Set(("u1", 15L, 10L), ("u1", 105L, 100L), ("u2", 4L, 0L)))
   }
 
+  test("streaming exact dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupeByContent(df, "ts", "text", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    in.addData((t(10), 1L, "hello world"), (t(11), 2L, "hello world"),
+               (t(12), 3L, "different doc"))
+    q.processAllAvailable()
+    in.addData((t(20), 4L, "hello world"), (t(21), 5L, "third doc"))
+    q.processAllAvailable()
+    val got = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    // 2 (same batch dup) and 4 (cross-batch dup within watermark) drop
+    assert(got === Set(1L, 3L, 5L))
+  }
+
   test("stateful gap sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
