@@ -77,6 +77,19 @@ object DedupQ {
         .orderBy("q", "rank")
     },
 
+    // n3: IVF-Flat ANN — sampled-centroid coarse quantizer, corpus
+    // grouped into inverted lists, queries probe the 2 nearest cells
+    // and brute-force only within them (the other scale path next to
+    // n2's LSH buckets).
+    "n3_ann_ivf" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cells = graft.similarity.IvfFlat.assign(emb, "vec_id", "embedding", stride = 25L)
+      graft.similarity.IvfFlat.searchTopK(emb.filter(col("vec_id") < 20), cells,
+          "vec_id", "vec_id", "embedding", k = 3, nprobe = 2, stride = 25L)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q", "rank")
+    },
+
     // n2: LSH-bucketed ANN (the scale path) — sign-hyperplane buckets,
     // best neighbor searched only within the query's bucket.
     "n2_ann_lsh" -> { (s, dir) =>
@@ -195,6 +208,29 @@ object DedupQ {
         |SELECT q, neighbor, cos FROM r WHERE rk = 1 AND q < 50
         |ORDER BY q""".stripMargin
     },
+
+    "n3_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % 25 = 0),
+        |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |q AS (SELECT vec_id AS q, v AS qv, nm AS qn FROM n WHERE vec_id < 20),
+        |qp AS (SELECT q, qv, qn, cell FROM (
+        |  SELECT q.q, q.qv, q.qn, cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q
+        |      ORDER BY list_dot_product(qv, cv)/(qn*cn) DESC, cid) AS rk
+        |  FROM q CROSS JOIN c) WHERE rk <= 2),
+        |sc AS (SELECT qp.q, cell.vec_id AS neighbor,
+        |  list_dot_product(qp.qv, cell.v)/(qp.qn*cell.nm) AS cos
+        |  FROM qp JOIN cell ON qp.cell = cell.cell AND qp.q <> cell.vec_id),
+        |r AS (SELECT q, neighbor, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, cos FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
 
     "n1_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),

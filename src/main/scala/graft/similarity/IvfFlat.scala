@@ -1,0 +1,75 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import CosineSim.dot
+
+/** IVF-Flat approximate nearest neighbor — the inverted-file scale
+  * path next to the LSH buckets of `CosineLsh` (SURVEY.md §7.7 ANN):
+  * a coarse quantizer (sampled centroids — id-stride sampling, no
+  * iterative training, so the structure is deterministic and
+  * oracle-reproducible) partitions the corpus into inverted lists;
+  * a query probes only its `nprobe` nearest cells and brute-forces
+  * within them.
+  *
+  * Scale shape: centroids are ~n/stride rows and broadcast; corpus
+  * assignment is one broadcast join + per-id argmax (no shuffle of
+  * the corpus beyond the aggregate); the search joins queries to
+  * corpus ON THE CELL ID, so per-task work is bounded by cell
+  * population — the corpus is never scanned per query, unlike the
+  * `topK` brute-force baseline.
+  */
+object IvfFlat {
+
+  /** Assign every vector to its nearest sampled centroid by cosine.
+    * Output: (idCol, vecCol, cell) — cell is the centroid's id; ties
+    * break to the lowest centroid id.
+    */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             stride: Long): DataFrame = {
+    require(stride > 1)
+    val cents = corpus.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
+    corpus
+      .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .join(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        col("__cid"),
+        (dot(col(vecCol), col("__cv")) / (col("__n") * col("__cn"))).as("__cos"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid"))).as("cell"))
+  }
+
+  /** Top-k cosine neighbors per query, searching only the query's
+    * `nprobe` nearest cells of an assigned corpus (`assign` output).
+    * Self-matches excluded. Output: (q, rank, neighbor, cos).
+    */
+  def searchTopK(queries: DataFrame, assigned: DataFrame,
+                 qCol: String, idCol: String, vecCol: String,
+                 k: Int, nprobe: Int, stride: Long): DataFrame = {
+    val cents = assigned.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
+    val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val wQ = Window.partitionBy("q")
+      .orderBy((dot(col("qv"), col("__cv")) / (col("qn") * col("__cn"))).desc, col("__cid"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("__rk", row_number().over(wQ))
+      .where(col("__rk") <= nprobe)
+      .select(col("q"), col("qv"), col("qn"), col("__cid").as("cell"))
+    val lists = assigned.select(col("cell"), col(idCol).as("neighbor"),
+      col(vecCol).as("cv"), sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+    val scored = probes.join(lists, "cell")
+      .where(col("q") =!= col("neighbor"))
+      .select(col("q"), col("neighbor"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val wK = Window.partitionBy("q").orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select("q", "rank", "neighbor", "cos")
+  }
+}

@@ -119,6 +119,32 @@ class DedupSpec extends SparkSuite {
     assert(banded === brute)
   }
 
+  test("IVF-Flat matches exact brute force on separable clusters") {
+    import spark.implicits._
+    import graft.similarity.{CosineSim, IvfFlat}
+    val rnd = new scala.util.Random(23)
+    // 3 well-separated clusters (axis-dominant); ids laid out so
+    // id-stride-20 centroid sampling lands one centroid per cluster
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val v = Array.fill(8)(rnd.nextFloat() * 0.1f)
+      v(c) = 10f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val assigned = IvfFlat.assign(vecs, "vec_id", "embedding", stride = 20L)
+    // every vector lands in its own cluster's cell
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)].collect()
+    cells.foreach { case (id, cell) => assert(cell % 3 === id % 3) }
+
+    val qs = vecs.where(col("vec_id") < 6)
+    val ivf = IvfFlat.searchTopK(qs, assigned, "vec_id", "vec_id", "embedding",
+        k = 3, nprobe = 1, stride = 20L)
+      .select("q", "rank", "neighbor").as[(Long, Int, Long)].collect().toSet
+    val exact = CosineSim.topK(qs, vecs, "vec_id", "vec_id", "embedding", k = 3)
+      .select("q", "rank", "neighbor").as[(Long, Int, Long)].collect().toSet
+    assert(ivf === exact)
+  }
+
   test("cosine LSH: identical vectors share a bucket, top-k finds the clone") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
