@@ -86,7 +86,11 @@ object Coverage {
         sum(col("__brk")).over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(laneKeys :+ col("__grp"): _*)
       .agg(min(col(start)).as("__s"), max(col(end)).as("__e"))
-    val nseq = df.groupBy(k: _*).agg(countDistinct(col(lane)).as("__nseq"))
+    // distinct-lane denominator: Catalyst prunes the collapse windows
+    // out of this branch entirely (countDistinct only needs the lane
+    // columns), leaving a second scan that reads just keys+lane —
+    // narrower than sharing the wide sweep exchange would be
+    val nseq = lanes.groupBy(k: _*).agg(countDistinct(col(lane)).as("__nseq"))
     val base = lanes.select(k :+ explode(array(
         struct(col("__s").as("pos"), lit(1L).as("delta"), lit(0L).as("stops"), lit(0L).as("cut")),
         struct(col("__e").as("pos"), lit(-1L).as("delta"), lit(1L).as("stops"), lit(0L).as("cut")))).as("ev"): _*)

@@ -61,6 +61,18 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d6: semantic dedup CLUSTERS — near-dup pairs unioned into
+    // connected components (what a pipeline actually drops on: each
+    // cluster keeps one representative, the min id = the component
+    // label). GraphX CC over the d4 pair graph.
+    "d6_embed_clusters" -> { (s, dir) =>
+      val pairs = CosineSim.neardupPairs(table(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 0.4)
+        .select(col("i").as("src"), col("j").as("dst"))
+      new graft.graph.EdgeGraph(pairs).connectedComponents(s)
+        .orderBy("node")
+    },
+
     // d4: embedding near-dup pairs, blocked by label (IVF-cell analog).
     "d4_embed_neardup" -> { (s, dir) =>
       CosineSim.neardupPairs(table(s, dir, "embeddings"),
@@ -183,6 +195,21 @@ object DedupQ {
         |  FROM bl a JOIN bl c ON a.b = c.b AND a.blk = c.blk AND a.doc_id < c.doc_id)
         |SELECT i, j, CAST(ham AS BIGINT) AS hamming FROM p WHERE ham <= 6
         |ORDER BY i, j""".stripMargin,
+
+    "d6_embed_clusters" ->
+      """WITH RECURSIVE e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |ud AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+        |nodes AS (SELECT DISTINCT a AS n FROM ud),
+        |walk(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
+        |SELECT n AS node, MIN(lbl) AS comp FROM walk
+        |GROUP BY n ORDER BY node""".stripMargin,
 
     "d4_embed_neardup" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -79,6 +79,28 @@ object TextQ {
         .orderBy("khash")
     },
 
+    // c1: the composed cleaning pipeline a training corpus actually
+    // runs — language-ID + quality score + exact-dedup keep-first,
+    // materialized as the surviving clean rows. One pass shape: every
+    // stage is a per-doc column or a doc-keyed window; no operator
+    // rescans the corpus.
+    "c1_clean_corpus" -> { (s, dir) =>
+      val lang = defs("t1_langid")(s, dir).select("doc_id", "lang_pred")
+      val qual = defs("t2_quality")(s, dir).select("doc_id", "n_tokens", "qual_bp")
+      val w = Window.partitionBy("khash").orderBy("doc_id")
+      val keep = docToks(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 5))).as("khash"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("doc_id")
+      lang.join(qual, "doc_id")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .where(col("qual_bp") >= 4800)
+        .select("doc_id", "lang_pred", "n_tokens", "qual_bp")
+        .orderBy("doc_id")
+    },
+
     // m1: multimodal/binary column plumbing — opaque bytes + typed
     // metadata (length, content hash).
     "m1_binary_meta" -> { (s, dir) =>
@@ -154,6 +176,29 @@ object TextQ {
         |SELECT khash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
         |FROM k GROUP BY khash HAVING COUNT(*) > 1
         |ORDER BY khash""".stripMargin,
+
+    "c1_clean_corpus" ->
+      s"""WITH tk AS ($toksSql),
+        |sc AS ($markerSql),
+        |lang AS (SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn FROM sc) WHERE rn = 1),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq FROM tk),
+        |qual AS (SELECT doc_id, n_tokens,
+        |  (CASE WHEN n_tokens = 0 THEN 0 ELSE (10000 * n_uniq) // n_tokens END
+        |   + LEAST(n_tokens * 100, 10000)) // 2 AS qual_bp FROM m),
+        |k AS (SELECT doc_id,
+        |  md5(array_to_string(list_slice(toks, 1, 5), ' ')) AS khash FROM tk),
+        |keep AS (SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY khash ORDER BY doc_id) AS rn
+        |  FROM k) WHERE rn = 1)
+        |SELECT lang.doc_id, lang_pred, n_tokens, qual_bp
+        |FROM lang JOIN qual ON lang.doc_id = qual.doc_id
+        |JOIN keep ON lang.doc_id = keep.doc_id
+        |WHERE qual_bp >= 4800
+        |ORDER BY lang.doc_id""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
