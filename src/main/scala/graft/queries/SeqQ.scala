@@ -131,6 +131,89 @@ object SeqQ {
         .orderBy("seq_id")
     },
 
+    // S4 roundtrip: write MAF text (one block per doc: a gapped '+'
+    // row and a '-' strand row against the reference row), re-parse
+    // it distributed through Maf.read, and emit the normalized
+    // pairwise ungapped runs — the oracle re-derives the expected
+    // coordinate math (gap split, reverse-strand normalization)
+    // directly, so a parser regression cannot hash-match.
+    "s4b_maf_roundtrip" -> { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_maf_rt"
+      withDna(s, dir).where(col("doc_id") % 5 === 0)
+        .select(concat(
+          lit("a score=1\n"),
+          lit("s hg.chr"), col("doc_id"), lit(" "),
+          (col("doc_id") + 1000L).cast("string"), lit(" 17 + 100000 "),
+          substring(col("dna"), 1, 17), lit("\n"),
+          lit("s mm.c"), col("doc_id"), lit(" "),
+          (col("doc_id") + 2000L).cast("string"), lit(" 16 + 100000 "),
+          substring(col("dna"), 20, 8), lit("-"), substring(col("dna"), 28, 8), lit("\n"),
+          lit("s rn.c"), col("doc_id"), lit(" "),
+          (col("doc_id") + 300L).cast("string"), lit(" 17 - 5000 "),
+          substring(col("dna"), 40, 17), lit("\n")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      graft.sources.Maf.read(s, tmp)
+        .select("src_id", "src_start", "src_end", "dest_id",
+          "dest_start", "dest_end", "dest_ori")
+        .orderBy("src_id", "src_start", "dest_id")
+    },
+
+    // S5 roundtrip: write axt records (a gapped '+' record and a '-'
+    // strand record per doc), re-parse distributed through Axt.read,
+    // emit the ungapped runs; the oracle re-derives the 1-based
+    // header normalization and gap split directly.
+    "s5b_axt_roundtrip" -> { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_axt_rt"
+      withDna(s, dir).where(col("doc_id") % 5 === 3)
+        .select(concat(
+          col("doc_id"), lit(" chrT "), (col("doc_id") + 1001L).cast("string"),
+          lit(" 9999 chrQ "), (col("doc_id") + 2001L).cast("string"),
+          lit(" 9999 + 100\n"),
+          substring(col("dna"), 1, 17), lit("\n"),
+          substring(col("dna"), 20, 8), lit("-"), substring(col("dna"), 28, 8),
+          lit("\n\n"),
+          col("doc_id"), lit(" chrT "), (col("doc_id") + 3001L).cast("string"),
+          lit(" 9999 chrQ "), (col("doc_id") + 501L).cast("string"),
+          lit(" 9999 - 50\n"),
+          substring(col("dna"), 40, 12), lit("\n"),
+          substring(col("dna"), 50, 12), lit("\n")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      graft.sources.Axt.read(s, tmp)
+        .orderBy("src_start", "dest_id")
+    },
+
+    // S6 roundtrip: write blastall-style text reports (one per doc,
+    // a Plus/Plus and a Plus/Minus HSP), re-parse through
+    // BlastText.read, emit normalized HSPs; the oracle re-derives the
+    // 1-based-inclusive → half-open and minus-strand normalization.
+    "s6b_blast_roundtrip" -> { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_blast_rt"
+      val p1 = substring(col("dna"), 1, 12)
+      val p2 = substring(col("dna"), 30, 12)
+      withDna(s, dir).where(col("doc_id") % 7 === 0)
+        .select(concat(
+          lit("Query= q"), col("doc_id"), lit("\n"),
+          lit(">subj"), col("doc_id"), lit("\n"),
+          lit(" Score = "), (col("doc_id") % 50).cast("string"), lit(".5 bits (10), Expect = 1e-07\n"),
+          lit(" Identities = 10/12\n"),
+          lit(" Strand = Plus / Plus\n"),
+          lit("Query: "), (col("doc_id") + 1L).cast("string"), lit(" "), p1,
+          lit(" "), (col("doc_id") + 12L).cast("string"), lit("\n"),
+          lit("Sbjct: "), (col("doc_id") + 101L).cast("string"), lit(" "), p1,
+          lit(" "), (col("doc_id") + 112L).cast("string"), lit("\n"),
+          lit(" Score = 30.5 bits (7), Expect = 0.004\n"),
+          lit(" Identities = 8/12\n"),
+          lit(" Strand = Plus / Minus\n"),
+          lit("Query: 1 "), p2, lit(" 12\n"),
+          lit("Sbjct: "), (col("doc_id") + 212L).cast("string"), lit(" "), p2,
+          lit(" "), (col("doc_id") + 201L).cast("string"), lit("\n")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      graft.sources.BlastText.read(s, tmp)
+        .select("query_id", "hit_id", "q_start", "q_end", "s_start", "s_end",
+          "ori", "bits", "evalue_str", "n_ident", "n_aligned")
+        .orderBy("query_id", "ori")
+    },
+
     // S3: chunked strslice — only covering chunks are read.
     "s3_strslice" -> { (s, dir) =>
       val db = SeqDb.fromSequences(
@@ -269,6 +352,63 @@ object SeqQ {
         |SELECT 'doc_' || doc_id AS seq_id, CAST(length(dna) AS BIGINT) AS length,
         |  md5(dna) AS seq_hash
         |FROM d ORDER BY seq_id""".stripMargin,
+
+    "s4b_maf_roundtrip" ->
+      s"""WITH d AS ($dnaSql),
+        |s5 AS (SELECT doc_id FROM d WHERE doc_id % 5 = 0),
+        |r AS (
+        |  SELECT 'hg.chr' || doc_id AS src_id,
+        |    CAST(1000 + doc_id AS BIGINT) AS src_start,
+        |    CAST(1008 + doc_id AS BIGINT) AS src_end,
+        |    'mm.c' || doc_id AS dest_id,
+        |    CAST(2000 + doc_id AS BIGINT) AS dest_start,
+        |    CAST(2008 + doc_id AS BIGINT) AS dest_end, 1 AS dest_ori FROM s5
+        |  UNION ALL
+        |  SELECT 'hg.chr' || doc_id, CAST(1009 + doc_id AS BIGINT),
+        |    CAST(1017 + doc_id AS BIGINT), 'mm.c' || doc_id,
+        |    CAST(2008 + doc_id AS BIGINT), CAST(2016 + doc_id AS BIGINT), 1 FROM s5
+        |  UNION ALL
+        |  SELECT 'hg.chr' || doc_id, CAST(1000 + doc_id AS BIGINT),
+        |    CAST(1017 + doc_id AS BIGINT), 'rn.c' || doc_id,
+        |    CAST(5000 - (300 + doc_id) - 17 AS BIGINT),
+        |    CAST(5000 - (300 + doc_id) AS BIGINT), -1 FROM s5)
+        |SELECT * FROM r ORDER BY src_id, src_start, dest_id""".stripMargin,
+
+    "s5b_axt_roundtrip" ->
+      s"""WITH d AS ($dnaSql),
+        |s5 AS (SELECT doc_id FROM d WHERE doc_id % 5 = 3),
+        |r AS (
+        |  SELECT 'chrT' AS src_id, CAST(1000 + doc_id AS BIGINT) AS src_start,
+        |    CAST(1008 + doc_id AS BIGINT) AS src_end,
+        |    'chrQ' AS dest_id, CAST(2000 + doc_id AS BIGINT) AS dest_start,
+        |    CAST(2008 + doc_id AS BIGINT) AS dest_end, 1 AS dest_ori,
+        |    doc_id AS block_id FROM s5
+        |  UNION ALL
+        |  SELECT 'chrT', CAST(1009 + doc_id AS BIGINT), CAST(1017 + doc_id AS BIGINT),
+        |    'chrQ', CAST(2008 + doc_id AS BIGINT), CAST(2016 + doc_id AS BIGINT),
+        |    1, doc_id FROM s5
+        |  UNION ALL
+        |  SELECT 'chrT', CAST(3000 + doc_id AS BIGINT), CAST(3012 + doc_id AS BIGINT),
+        |    'chrQ', CAST(500 + doc_id AS BIGINT), CAST(512 + doc_id AS BIGINT),
+        |    -1, doc_id FROM s5)
+        |SELECT * FROM r ORDER BY src_start, dest_id""".stripMargin,
+
+    "s6b_blast_roundtrip" ->
+      s"""WITH d AS ($dnaSql),
+        |s7 AS (SELECT doc_id FROM d WHERE doc_id % 7 = 0),
+        |r AS (
+        |  SELECT 'q' || doc_id AS query_id, 'subj' || doc_id AS hit_id,
+        |    CAST(doc_id AS BIGINT) AS q_start, CAST(doc_id + 12 AS BIGINT) AS q_end,
+        |    CAST(doc_id + 100 AS BIGINT) AS s_start, CAST(doc_id + 112 AS BIGINT) AS s_end,
+        |    1 AS ori, CAST(doc_id % 50 AS DOUBLE) + 0.5 AS bits,
+        |    '1e-07' AS evalue_str, CAST(10 AS BIGINT) AS n_ident,
+        |    CAST(12 AS BIGINT) AS n_aligned FROM s7
+        |  UNION ALL
+        |  SELECT 'q' || doc_id, 'subj' || doc_id,
+        |    CAST(0 AS BIGINT), CAST(12 AS BIGINT),
+        |    CAST(doc_id + 200 AS BIGINT), CAST(doc_id + 212 AS BIGINT),
+        |    -1, 30.5, '0.004', CAST(8 AS BIGINT), CAST(12 AS BIGINT) FROM s7)
+        |SELECT * FROM r ORDER BY query_id, ori""".stripMargin,
 
     "s3_strslice" ->
       s"""WITH d AS ($dnaSql)
