@@ -127,6 +127,36 @@ object IntervalJoin {
     }(enc)
   }
 
+  /** Shuffled per-partition index join — the custom-physical-operator
+    * path (graft's `IndexedIntervalJoin` LogicalPlan → SparkStrategy
+    * → SparkPlan): both sides hash-cluster on `key`, each task builds
+    * an `IntervalIndex` per key over its interval slice and probes it
+    * with its point rows. No broadcast size limit (unlike
+    * `broadcastIndexJoin`) and no bin-width tuning or interval row
+    * multiplication (unlike `binnedPoints`) — the large-large path
+    * when keys are plentiful. Output: interval columns ++ point
+    * columns (caller ensures the non-key names are distinct).
+    */
+  def shuffledIndexJoin(intervals: DataFrame, points: DataFrame,
+                        key: String, iStart: String, iEnd: String,
+                        p: String): DataFrame = {
+    val spark = points.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.IndexedIntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.IndexedIntervalJoinStrategy
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val iPlan = ColumnBridge.analyzed(intervals)
+    val pPlan = ColumnBridge.analyzed(points)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${plan.output}"))
+    ColumnBridge.ofRows(spark, graft.plans.IndexedIntervalJoin(
+      iPlan, pPlan,
+      attr(iPlan, key), attr(iPlan, iStart), attr(iPlan, iEnd),
+      attr(pPlan, key), attr(pPlan, p)))
+  }
+
   private def pfloor(c: Column, w: Long): Column = floor(c / w).cast("long")
 
   private def explodeBins(df: DataFrame, s: String, e: String, w: Long): DataFrame =

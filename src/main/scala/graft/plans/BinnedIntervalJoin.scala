@@ -95,5 +95,6 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedIntervalJoinRule)
+    e.injectPlannerStrategy(_ => IndexedIntervalJoinStrategy)
   }
 }

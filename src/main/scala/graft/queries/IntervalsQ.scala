@@ -83,6 +83,23 @@ object IntervalsQ {
         .orderBy("user_id", "wnd_id")
     },
 
+    // J1 via the custom physical operator (IndexedIntervalJoin
+    // LogicalPlan → SparkStrategy → SparkPlan): per-task per-key
+    // interval index probe, no bin explode, no broadcast limit.
+    // Same semantics and oracle as j1; third physical path.
+    "j1c_shuffled_index" -> { (s, dir) =>
+      val wnd = errorWindows(s, dir)
+        .select(col("user_id"), col("ws"), col("we"), col("wnd_id"))
+      val clicks = events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), sec("ts").as("p"))
+      IntervalJoin.shuffledIndexJoin(wnd, clicks, "user_id", "ws", "we", "p")
+        .toDF("user_id", "ws", "we", "wnd_id", "u2", "p")
+        .groupBy("user_id", "wnd_id")
+        .agg(count(lit(1)).as("n_clicks"), min("p").as("first_click"))
+        .orderBy("user_id", "wnd_id")
+    },
+
     // J2+P6: alignment slice — overlap join vs per-user query window,
     // clip to window, orientation-aware dest coordinate shift.
     "j2_slice_clip" -> { (s, dir) =>
@@ -290,6 +307,13 @@ object IntervalsQ {
         |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
 
     "j1b_indexed_join" ->
+      s"""WITH w AS ($wndSql),
+        |c AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events WHERE event_type = 'click')
+        |SELECT w.user_id, wnd_id, COUNT(*) AS n_clicks, MIN(p) AS first_click
+        |FROM w JOIN c ON w.user_id = c.user_id AND p >= ws AND p < we
+        |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
+
+    "j1c_shuffled_index" ->
       s"""WITH w AS ($wndSql),
         |c AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events WHERE event_type = 'click')
         |SELECT w.user_id, wnd_id, COUNT(*) AS n_clicks, MIN(p) AS first_click

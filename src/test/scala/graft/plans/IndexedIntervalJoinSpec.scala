@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.IntervalJoin
+
+/** The custom physical interval×point join (LogicalPlan + Strategy +
+  * SparkPlan): parity with the binned path on seeded random data,
+  * half-open boundary semantics, and the plan actually using the
+  * custom exec (no Generate/bin-explode, no nested loop).
+  */
+class IndexedIntervalJoinSpec extends SparkSuite {
+
+  private def randData = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val ivals = (1 to 400).map { i =>
+      val k = s"k${rnd.nextInt(7)}"; val s = rnd.nextInt(10000).toLong
+      (k, i.toLong, s, s + 1 + rnd.nextInt(400))
+    }.toDF("key", "ival_id", "s", "e")
+    val pts = (1 to 500).map { i =>
+      (s"k${rnd.nextInt(7)}", 1000L + i, rnd.nextInt(10000).toLong)
+    }.toDF("key", "p_id", "p")
+    (ivals, pts)
+  }
+
+  test("matches the binned point join on seeded random data") {
+    import spark.implicits._
+    val (ivals, pts) = randData
+    val viaIndex = IntervalJoin.shuffledIndexJoin(ivals, pts, "key", "s", "e", "p")
+      .select("ival_id", "p_id").as[(Long, Long)].collect().toSet
+    val viaBins = IntervalJoin.binnedPoints(ivals, pts, Seq("key"), "s", "e", "p", 128L)
+      .select("ival_id", "p_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex === viaBins)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("half-open boundaries: start inclusive, end exclusive") {
+    import spark.implicits._
+    val ivals = Seq(("k", 1L, 10L, 20L)).toDF("key", "ival_id", "s", "e")
+    val pts = Seq(("k", 1L, 9L), ("k", 2L, 10L), ("k", 3L, 19L), ("k", 4L, 20L))
+      .toDF("key", "p_id", "p")
+    val got = IntervalJoin.shuffledIndexJoin(ivals, pts, "key", "s", "e", "p")
+      .select("p_id").as[Long].collect().toSet
+    assert(got === Set(2L, 3L))
+  }
+
+  test("plan uses IndexedIntervalJoinExec with no Generate or nested loop") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val (ivals, pts) = randData
+    val df = IntervalJoin.shuffledIndexJoin(ivals, pts, "key", "s", "e", "p")
+    df.collect() // finalize the adaptive plan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[IndexedIntervalJoinExec]) === 1,
+      nodes.map(_.nodeName).mkString(", "))
+    val names = nodes.map(_.nodeName).mkString(", ")
+    assert(!names.contains("Generate"), "bin-explode leaked into the plan")
+    assert(!names.contains("NestedLoop"), "nested loop join leaked into the plan")
+  }
+}
