@@ -101,6 +101,21 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // m2: multimodal frame sampling — evenly spaced byte windows over
+    // each opaque blob (graft.multimodal.Multimodal.sampleFrames: the
+    // video frame-sample SHAPE with the decode stubbed), each frame
+    // window sliced and content-hashed so the oracle checks the
+    // offset arithmetic byte-for-byte.
+    "m2_frame_sample" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.multimodal.Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
+        .join(media, "media_id")
+        .select(col("media_id"), col("frame_no"), col("off"), col("len"),
+          md5(expr("substr(content, CAST(off+1 AS INT), CAST(len AS INT))")).as("frame_hash"))
+        .orderBy("media_id", "frame_no")
+    },
+
     // m1: multimodal/binary column plumbing — opaque bytes + typed
     // metadata (length, content hash).
     "m1_binary_meta" -> { (s, dir) =>
@@ -199,6 +214,22 @@ object TextQ {
         |JOIN keep ON lang.doc_id = keep.doc_id
         |WHERE qual_bp >= 4800
         |ORDER BY lang.doc_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      // DuckDB has no BLOB substring; the corpus is pure ASCII (the
+      // gate would catch otherwise: octet_length==length checked), so
+      // VARCHAR slicing is byte-identical to Spark's binary slicing
+      """WITH m AS (SELECT doc_id AS media_id, text AS content FROM documents),
+        |f AS (SELECT media_id, content,
+        |  CAST(octet_length(CAST(content AS BLOB)) AS BIGINT) AS nb,
+        |  CAST(fn AS BIGINT) AS frame_no
+        |  FROM m, UNNEST(range(0, 4)) AS t(fn)),
+        |x AS (SELECT media_id, frame_no, content,
+        |  LEAST(CAST(floor(nb * frame_no / 4) AS BIGINT), GREATEST(nb - 16, 0)) AS off,
+        |  LEAST(16, nb) AS len FROM f)
+        |SELECT media_id, frame_no, off, len,
+        |  md5(substring(content, CAST(off + 1 AS INT), CAST(len AS INT))) AS frame_hash
+        |FROM x ORDER BY media_id, frame_no""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
