@@ -139,22 +139,50 @@ object IntervalJoin {
     */
   def shuffledIndexJoin(intervals: DataFrame, points: DataFrame,
                         key: String, iStart: String, iEnd: String,
-                        p: String): DataFrame = {
-    val spark = points.sparkSession
+                        p: String): DataFrame =
+    buildIndexedJoin(intervals, points, key, iStart, iEnd,
+      (pPlan, _) => {
+        val pa = resolveAttr(pPlan, p)
+        (pa, org.apache.spark.sql.catalyst.expressions.Add(pa,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L)))
+      })
+
+  /** Interval×interval form of the custom physical operator: each
+    * task's per-key index answers range probes [oStart, oEnd) —
+    * large-large overlap joins without bin-width tuning or row
+    * multiplication. Build the index over the SMALLER side.
+    */
+  def shuffledIndexIntervalJoin(intervals: DataFrame, other: DataFrame,
+                                key: String, iStart: String, iEnd: String,
+                                oStart: String, oEnd: String): DataFrame =
+    buildIndexedJoin(intervals, other, key, iStart, iEnd,
+      (pPlan, _) => (resolveAttr(pPlan, oStart), resolveAttr(pPlan, oEnd)))
+
+  private def resolveAttr(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      n: String): org.apache.spark.sql.catalyst.expressions.Attribute =
+    plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found in ${plan.output}"))
+
+  private def buildIndexedJoin(
+      intervals: DataFrame, probes: DataFrame,
+      key: String, iStart: String, iEnd: String,
+      probeRange: (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                   org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =>
+        (org.apache.spark.sql.catalyst.expressions.Expression,
+         org.apache.spark.sql.catalyst.expressions.Expression)): DataFrame = {
+    val spark = probes.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.IndexedIntervalJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.IndexedIntervalJoinStrategy
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val iPlan = ColumnBridge.analyzed(intervals)
-    val pPlan = ColumnBridge.analyzed(points)
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             n: String) =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"column $n not found in ${plan.output}"))
+    val pPlan = ColumnBridge.analyzed(probes)
+    val (ps, pe) = probeRange(pPlan, iPlan)
     ColumnBridge.ofRows(spark, graft.plans.IndexedIntervalJoin(
       iPlan, pPlan,
-      attr(iPlan, key), attr(iPlan, iStart), attr(iPlan, iEnd),
-      attr(pPlan, key), attr(pPlan, p)))
+      resolveAttr(iPlan, key), resolveAttr(iPlan, iStart), resolveAttr(iPlan, iEnd),
+      resolveAttr(pPlan, key), ps, pe))
   }
 
   private def pfloor(c: Column, w: Long): Column = floor(c / w).cast("long")

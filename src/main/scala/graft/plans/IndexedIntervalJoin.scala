@@ -18,14 +18,15 @@ import graft.operators.IntervalIndex
   * interval rows by their bin span and re-filters; the index probe
   * touches each row once and answers each point in O(log n + k)).
   *
-  * Semantics: inner join of `intervals` (key, [start, end)) with
-  * `points` (key, p) on key equality AND start <= p < end. Output =
-  * interval columns ++ point columns.
+  * Semantics: inner join of `intervals` (key, [start, end)) with a
+  * probe side (key, [pStart, pEnd)) on key equality AND range
+  * overlap; a point probe is the `[p, p+1)` special case. Output =
+  * interval columns ++ probe columns.
   */
 case class IndexedIntervalJoin(
     intervals: LogicalPlan, points: LogicalPlan,
     iKey: Expression, iStart: Expression, iEnd: Expression,
-    pKey: Expression, pPoint: Expression) extends BinaryNode {
+    pKey: Expression, pStart: Expression, pEnd: Expression) extends BinaryNode {
 
   override def left: LogicalPlan = intervals
   override def right: LogicalPlan = points
@@ -40,8 +41,8 @@ case class IndexedIntervalJoin(
 object IndexedIntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: IndexedIntervalJoin =>
-      IndexedIntervalJoinExec(j.iKey, j.iStart, j.iEnd, j.pKey, j.pPoint,
-        planLater(j.intervals), planLater(j.points)) :: Nil
+      IndexedIntervalJoinExec(j.iKey, j.iStart, j.iEnd, j.pKey, j.pStart,
+        j.pEnd, planLater(j.intervals), planLater(j.points)) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +57,7 @@ object IndexedIntervalJoinStrategy extends SparkStrategy {
   */
 case class IndexedIntervalJoinExec(
     iKey: Expression, iStart: Expression, iEnd: Expression,
-    pKey: Expression, pPoint: Expression,
+    pKey: Expression, pStart: Expression, pEnd: Expression,
     left: SparkPlan, right: SparkPlan) extends SparkPlan {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -76,7 +77,8 @@ case class IndexedIntervalJoinExec(
     val sEval = BindReferences.bindReference(iStart, left.output)
     val eEval = BindReferences.bindReference(iEnd, left.output)
     val pkEval = BindReferences.bindReference(pKey, right.output)
-    val pEval = BindReferences.bindReference(pPoint, right.output)
+    val psEval = BindReferences.bindReference(pStart, right.output)
+    val peEval = BindReferences.bindReference(pEnd, right.output)
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // build: one index per key over this task's interval slice
@@ -101,8 +103,9 @@ case class IndexedIntervalJoinExec(
         val k = pkEval.eval(p)
         built.get(k) match {
           case Some((idx, rows)) =>
-            val pv = pEval.eval(p).asInstanceOf[Long]
-            idx.query(pv, pv + 1L).iterator.map(i => proj(joined(rows(i)._3, p)))
+            val ps = psEval.eval(p).asInstanceOf[Long]
+            val pe = peEval.eval(p).asInstanceOf[Long]
+            idx.query(ps, pe).iterator.map(i => proj(joined(rows(i)._3, p)))
           case _ => Iterator.empty
         }
       }

@@ -36,6 +36,27 @@ class IndexedIntervalJoinSpec extends SparkSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("interval×interval form matches the binned join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val a = (1 to 300).map { i =>
+      val k = s"k${rnd.nextInt(5)}"; val s = rnd.nextInt(8000).toLong
+      (k, i.toLong, s, s + 1 + rnd.nextInt(300))
+    }.toDF("key", "a_id", "a_s", "a_e")
+    val b = (1 to 300).map { i =>
+      val k = s"k${rnd.nextInt(5)}"; val s = rnd.nextInt(8000).toLong
+      (k, i.toLong, s, s + 1 + rnd.nextInt(300))
+    }.toDF("key", "b_id", "b_s", "b_e")
+    val viaIndex = IntervalJoin.shuffledIndexIntervalJoin(
+        a, b, "key", "a_s", "a_e", "b_s", "b_e")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val viaBins = IntervalJoin.binned(a, b, Seq("key"),
+        "a_s", "a_e", "b_s", "b_e", 128L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex === viaBins)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("half-open boundaries: start inclusive, end exclusive") {
     import spark.implicits._
     val ivals = Seq(("k", 1L, 10L, 20L)).toDF("key", "ival_id", "s", "e")
