@@ -37,10 +37,21 @@ class AlignmentStore(val blocks: DataFrame) {
     * axis, clip hits to the query window, shift dest coordinates to
     * match the clip, orientation-aware.
     */
-  def slice(queries: DataFrame, binWidth: Long = 1 << 16): DataFrame = {
-    val joined = IntervalJoin.binned(
-      blocks, queries, Seq("src_id"),
-      "src_start", "src_end", "q_start", "q_end", binWidth)
+  def slice(queries: DataFrame, binWidth: Long = 1 << 16,
+            indexed: Boolean = false): DataFrame = {
+    // indexed=true routes the overlap join through the custom
+    // physical operator (per-task per-key IntervalIndex probe) —
+    // same semantics, no bin explode; binWidth is then unused
+    val joined =
+      if (indexed)
+        IntervalJoin.shuffledIndexIntervalJoin(
+          blocks,
+          queries.withColumnRenamed("src_id", "__qkey"),
+          "src_id", "src_start", "src_end",
+          "__qkey", "q_start", "q_end").drop("__qkey")
+      else IntervalJoin.binned(
+        blocks, queries, Seq("src_id"),
+        "src_start", "src_end", "q_start", "q_end", binWidth)
     val ns = Intervals.clipStart(col("src_start"), col("q_start"))
     val ne = Intervals.clipEnd(col("src_end"), col("q_end"))
     joined

@@ -165,12 +165,21 @@ object PairAlignment {
         floor(lit(10000L) * col("n_aligned") / least(col("src_len"), col("dest_len")))
           .cast("long"))
     if (!trapOverflow) base
-    else base.withColumn("p_identity_bp",
-      when(col("p_identity_bp") > 10000L,
-        raise_error(concat(
-          lit("pIdentity overflow due to multiple hits (src="), col("src_id"),
-          lit(", dest="), col("dest_id"),
-          lit("); pass trapOverflow=false to allow"))).cast("long"))
-        .otherwise(col("p_identity_bp")))
+    else base
+      .withColumn("p_identity_bp",
+        when(col("p_identity_bp") > 10000L,
+          raise_error(concat(
+            lit("pIdentity overflow due to multiple hits (src="), col("src_id"),
+            lit(", dest="), col("dest_id"),
+            lit("); pass trapOverflow=false to allow"))).cast("long"))
+          .otherwise(col("p_identity_bp")))
+      // the reference traps pAligned the same way (sequence.py:789-798)
+      .withColumn("p_aligned_bp",
+        when(col("p_aligned_bp") > 10000L,
+          raise_error(concat(
+            lit("pAligned overflow due to multiple hits (src="), col("src_id"),
+            lit(", dest="), col("dest_id"),
+            lit("); pass trapOverflow=false to allow"))).cast("long"))
+          .otherwise(col("p_aligned_bp")))
   }
 }

@@ -155,8 +155,19 @@ object IntervalJoin {
   def shuffledIndexIntervalJoin(intervals: DataFrame, other: DataFrame,
                                 key: String, iStart: String, iEnd: String,
                                 oStart: String, oEnd: String): DataFrame =
-    buildIndexedJoin(intervals, other, key, iStart, iEnd,
-      (pPlan, _) => (resolveAttr(pPlan, oStart), resolveAttr(pPlan, oEnd)))
+    shuffledIndexIntervalJoin(intervals, other, key, iStart, iEnd,
+      key, oStart, oEnd)
+
+  /** Variant with differently-named key columns on the two sides
+    * (avoids a duplicate output column when both sides call the key
+    * the same thing and the caller needs both).
+    */
+  def shuffledIndexIntervalJoin(intervals: DataFrame, other: DataFrame,
+                                iKey: String, iStart: String, iEnd: String,
+                                oKey: String, oStart: String, oEnd: String): DataFrame =
+    buildIndexedJoin(intervals, other, iKey, iStart, iEnd,
+      (pPlan, _) => (resolveAttr(pPlan, oStart), resolveAttr(pPlan, oEnd)),
+      probeKey = oKey)
 
   private def resolveAttr(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -170,7 +181,8 @@ object IntervalJoin {
       probeRange: (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =>
         (org.apache.spark.sql.catalyst.expressions.Expression,
-         org.apache.spark.sql.catalyst.expressions.Expression)): DataFrame = {
+         org.apache.spark.sql.catalyst.expressions.Expression),
+      probeKey: String = null): DataFrame = {
     val spark = probes.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.IndexedIntervalJoinStrategy))
       spark.experimental.extraStrategies =
@@ -182,7 +194,7 @@ object IntervalJoin {
     ColumnBridge.ofRows(spark, graft.plans.IndexedIntervalJoin(
       iPlan, pPlan,
       resolveAttr(iPlan, key), resolveAttr(iPlan, iStart), resolveAttr(iPlan, iEnd),
-      resolveAttr(pPlan, key), ps, pe))
+      resolveAttr(pPlan, Option(probeKey).getOrElse(key)), ps, pe))
   }
 
   private def pfloor(c: Column, w: Long): Column = floor(c / w).cast("long")

@@ -132,6 +132,20 @@ object IntervalsQ {
         .orderBy("q_id", "block1_id", "block2_id")
     },
 
+    // J2 via the custom physical operator: identical slice semantics
+    // and oracle, the overlap join planned as IndexedIntervalJoinExec.
+    "j2c_slice_indexed" -> { (s, dir) =>
+      val store = new AlignmentStore(alignBlocks(s, dir))
+      val queries = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice(queries, indexed = true).orderBy("q_id", "block_id")
+    },
+
     // A1/J3: per-target-lane bounds merge (mergeSeq).
     "a1_merge_span" -> { (s, dir) =>
       alignBlocks(s, dir)
@@ -321,6 +335,8 @@ object IntervalsQ {
         |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
 
     "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
+
+    "j2c_slice_indexed" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
 
     "j2b_twohop" ->
       s"""$sliceSql,

@@ -43,6 +43,30 @@ class StreamSpec extends SparkSuite {
     assert(got === Set(("u1", 15L, 10L), ("u1", 105L, 100L), ("u2", 4L, 0L)))
   }
 
+  test("streaming slice: msa[ival] over a stream of query windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME AlignmentStore.slice call powers a readStream of query
+    // intervals against the static store (stream-static inner join)
+    val store = graft.align.AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 10L), ("b", 100L, 110L, 1)),
+      (("a", 20L, 30L), ("c", 5L, 15L, -1))), bidirectional = false)
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val queries = in.toDF().toDF("q_id", "src_id", "q_start", "q_end")
+    val q = store.slice(queries, binWidth = 16L)
+      .writeStream.outputMode("append").format("memory").queryName("slices").start()
+    in.addData((1L, "a", 5L, 25L), (2L, "a", 50L, 60L))
+    q.processAllAvailable()
+    val got = spark.table("slices")
+      .select("q_id", "src_start", "src_end", "dest_id", "dest_start", "dest_end")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSet
+    q.stop()
+    // q1 clips both blocks ([5,10) fwd; [20,25) reverse trims the LOW end)
+    assert(got === Set(
+      (1L, 5L, 10L, "b", 105L, 110L),
+      (1L, 20L, 25L, "c", 10L, 15L)))
+  }
+
   test("streaming exact dedup drops repeated content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
