@@ -106,6 +106,49 @@ object MotifQuery {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Sketch-based APPROXIMATE shared-neighbor counts — the O(E)
+    * alternative when even the chunked exact plan's Σd² pair output
+    * is too much (the r1 verdict's "sketch variant"): minhash each
+    * node's neighbor set (k seeded md5 mins — deterministic, so the
+    * estimate itself is oracle-reproducible), band-bucket to find
+    * candidate pairs, estimate Jaccard from matching signature
+    * components, and convert to an intersection-size estimate via
+    * |A∩B| = J/(1+J)·(|A|+|B|). Nothing in the plan is quadratic in
+    * degree: signatures are one pass over E with map-side min
+    * combine, and the only join is the band-bucket equi-join.
+    *
+    * Output: (s1, s2, est_jac_bp, n_shared_est) for candidate pairs
+    * (recall bounded by the banding, like any LSH).
+    */
+  def sharedNeighborsSketch(edges: DataFrame, k: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    import graft.dedup.MinHashLSH
+    val Array(s, d) = edges.columns.take(2)
+    val nbrs = edges
+      .select(col(s).as("__src"), col(d).cast("string").as("__dst"))
+      .groupBy("__src").agg(collect_set("__dst").as("__toks"))
+    val sigs = MinHashLSH.signatures(nbrs, "__src", "__toks", k, shingleN = 1)
+    val cand = MinHashLSH.candidatePairs(
+      MinHashLSH.bandBuckets(sigs, "__src", k, bands), "__src")
+    val sz = nbrs.select(col("__src"), size(col("__toks")).cast("long").as("__sz"))
+    val sigA = sigs.select(col("__src").as("i") +:
+      (0 until k).map(x => col(s"sig$x").as(s"__a$x")): _*)
+    val sigB = sigs.select(col("__src").as("j") +:
+      (0 until k).map(x => col(s"sig$x").as(s"__b$x")): _*)
+    val m = (0 until k).map(x =>
+      when(col(s"__a$x") === col(s"__b$x"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(sigA, "i").join(sigB, "j")
+      .withColumn("__m", m)
+      .join(sz.select(col("__src").as("i"), col("__sz").as("__szi")), "i")
+      .join(sz.select(col("__src").as("j"), col("__sz").as("__szj")), "j")
+      .withColumn("est_jac_bp", floor(lit(10000L) * col("__m") / k).cast("long"))
+      .withColumn("n_shared_est",
+        floor(col("est_jac_bp") * (col("__szi") + col("__szj")) /
+          (lit(10000L) + col("est_jac_bp"))).cast("long"))
+      .select(col("i").as("s1"), col("j").as("s2"),
+        col("est_jac_bp"), col("n_shared_est"))
+  }
+
   private def findAll(motif: Seq[MotifEdge], injective: Boolean): DataFrame = {
     require(motif.nonEmpty)
     var bound = List.empty[String]

@@ -62,6 +62,16 @@ object GraphQ {
         .orderBy("s1", "s2")
     },
 
+    // J5 sketch: APPROXIMATE shared-neighbor counts in O(E) — minhash
+    // neighbor sets, band-bucket candidates, estimate the
+    // intersection from matching signature components. Deterministic
+    // md5 seeds make even the approximation oracle-checkable.
+    "j5b_motif_sketch" -> { (s, dir) =>
+      MotifQuery.sharedNeighborsSketch(suppPartEdgesRaw(s, dir), k = 16, bands = 4)
+        .where(col("n_shared_est") >= 5)
+        .orderBy("s1", "s2")
+    },
+
     // J6: heterogeneous attribute-edge motif c->n->r with a node filter.
     "j6_attr_edges" -> { (s, dir) =>
       val cn = table(s, dir, "customer").select(
@@ -177,6 +187,36 @@ object GraphQ {
         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
         |GROUP BY a.src, b.src HAVING COUNT(*) >= 5
         |ORDER BY s1, s2""".stripMargin,
+
+    "j5b_motif_sketch" -> {
+      val sigCols = (0 until 16).map(i =>
+        s"MIN(CASE WHEN seed=$i THEN m END) s$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val cat = (b * 4 until b * 4 + 4).map(i => s"s$i").mkString("||")
+        s"SELECT src, $b AS band, md5($cat) AS bucket FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val mSum = (0 until 16).map(i =>
+        s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+        |    CAST(l_partkey + 1000000 AS VARCHAR) AS dst FROM lineitem),
+        |seeded AS (SELECT src, seed, md5(CAST(seed AS VARCHAR) || ':' || dst) AS h
+        |  FROM e CROSS JOIN range(16) r(seed)),
+        |mh AS (SELECT src, seed, MIN(h) AS m FROM seeded GROUP BY src, seed),
+        |sig AS (SELECT src, $sigCols FROM mh GROUP BY src),
+        |bands AS ($bandRows),
+        |cand AS (SELECT DISTINCT a.src AS i, b.src AS j FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.src < b.src),
+        |sz AS (SELECT src, COUNT(*) AS sz FROM e GROUP BY src),
+        |mm AS (SELECT cand.i, cand.j, ($mSum) AS m
+        |  FROM cand JOIN sig a ON a.src = cand.i JOIN sig b ON b.src = cand.j),
+        |x AS (SELECT mm.i, mm.j,
+        |  CAST(floor(10000 * m / 16) AS BIGINT) AS est_jac_bp,
+        |  CAST(floor(CAST(floor(10000 * m / 16) AS BIGINT) * (za.sz + zb.sz) /
+        |    (10000 + CAST(floor(10000 * m / 16) AS BIGINT))) AS BIGINT) AS n_shared_est
+        |  FROM mm JOIN sz za ON za.src = mm.i JOIN sz zb ON zb.src = mm.j)
+        |SELECT i AS s1, j AS s2, est_jac_bp, n_shared_est
+        |FROM x WHERE n_shared_est >= 5 ORDER BY s1, s2""".stripMargin
+    },
 
     "j6_attr_edges" ->
       """SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS nation_node,
