@@ -102,6 +102,30 @@ object DedupQ {
         .orderBy("q", "rank")
     },
 
+    // n4: ANN evaluation — per-query recall@3 of the IVF index
+    // against exact brute force (the measurement loop every ANN
+    // deployment runs; both sides deterministic, so even the metric
+    // is oracle-checkable).
+    "n4_ann_recall" -> { (s, dir) =>
+      import graft.similarity.IvfFlat
+      import graft.text.TextFunctions.bp
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = CosineSim.topK(qs, emb, "vec_id", "vec_id", "embedding", k = 3)
+        .select(col("q"), col("neighbor"))
+      val cells = IvfFlat.assign(emb, "vec_id", "embedding", stride = 25L)
+      val approx = IvfFlat.searchTopK(qs, cells, "vec_id", "vec_id", "embedding",
+          k = 3, nprobe = 2, stride = 25L)
+        .select(col("q"), col("neighbor"))
+      val hits = exact.join(approx, Seq("q", "neighbor"), "left_semi")
+        .groupBy("q").agg(count(lit(1)).as("n_hit"))
+      qs.select(col("vec_id").as("q"))
+        .join(hits, Seq("q"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("q"), col("n_hit"), bp(col("n_hit"), lit(3L)).as("recall_bp"))
+        .orderBy("q")
+    },
+
     // n2: LSH-bucketed ANN (the scale path) — sign-hyperplane buckets,
     // best neighbor searched only within the query's bucket.
     "n2_ann_lsh" -> { (s, dir) =>
@@ -235,6 +259,42 @@ object DedupQ {
         |SELECT q, neighbor, cos FROM r WHERE rk = 1 AND q < 50
         |ORDER BY q""".stripMargin
     },
+
+    "n4_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |q0 AS (SELECT vec_id AS q, v AS qv, nm AS qn FROM n WHERE vec_id < 20),
+        |xs AS (SELECT q, n.vec_id AS neighbor,
+        |  list_dot_product(qv, n.v)/(qn*n.nm) AS cos
+        |  FROM q0 JOIN n ON q <> n.vec_id),
+        |xr AS (SELECT q, neighbor,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM xs),
+        |exact AS (SELECT q, neighbor FROM xr WHERE rk <= 3),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % 25 = 0),
+        |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |qp AS (SELECT q, qv, qn, cell FROM (
+        |  SELECT q0.q, q0.qv, q0.qn, cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY q0.q
+        |      ORDER BY list_dot_product(qv, cv)/(qn*cn) DESC, cid) AS rk
+        |  FROM q0 CROSS JOIN c) WHERE rk <= 2),
+        |sc AS (SELECT qp.q, cell.vec_id AS neighbor,
+        |  list_dot_product(qp.qv, cell.v)/(qp.qn*cell.nm) AS cos
+        |  FROM qp JOIN cell ON qp.cell = cell.cell AND qp.q <> cell.vec_id),
+        |approx AS (SELECT q, neighbor FROM (
+        |  SELECT q, neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk
+        |  FROM sc) WHERE rk <= 3),
+        |hits AS (SELECT exact.q, COUNT(*) AS n_hit
+        |  FROM exact JOIN approx ON exact.q = approx.q AND exact.neighbor = approx.neighbor
+        |  GROUP BY exact.q)
+        |SELECT q0.q, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(floor(10000 * COALESCE(n_hit, 0) / 3) AS BIGINT) AS recall_bp
+        |FROM q0 LEFT JOIN hits ON q0.q = hits.q
+        |ORDER BY q0.q""".stripMargin,
 
     "n3_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -79,6 +79,27 @@ object TextQ {
         .orderBy("khash")
     },
 
+    // t5: corpus composition report — the per-source "dataset card"
+    // every pipeline publishes: doc counts, token mass, quality
+    // distribution (integer bp), exact-dup rate. One pass, one
+    // groupBy; all aggregates map-side combinable.
+    "t5_domain_mix" -> { (s, dir) =>
+      val base = docToks(s, dir)
+        .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("ttr_bp", bp(col("n_uniq"), col("n_tokens")))
+        .withColumn("qual_bp",
+          floor((col("ttr_bp") + least(col("n_tokens") * 100L, lit(10000L))) / 2).cast("long"))
+        .withColumn("khash", md5(concat_ws(" ", slice(col("toks"), 1, 5))))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          floor(avg(col("qual_bp"))).cast("long").as("mean_qual_bp"),
+          (count(lit(1)) - countDistinct(col("khash"))).as("n_dups"))
+        .orderBy("source")
+    },
+
     // c1: the composed cleaning pipeline a training corpus actually
     // runs — language-ID + quality score + exact-dedup keep-first,
     // materialized as the surviving clean rows. One pass shape: every
@@ -191,6 +212,22 @@ object TextQ {
         |SELECT khash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
         |FROM k GROUP BY khash HAVING COUNT(*) > 1
         |ORDER BY khash""".stripMargin,
+
+    "t5_domain_mix" ->
+      s"""WITH tk AS ($toksSql),
+        |m AS (SELECT t.doc_id, d.source,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  md5(array_to_string(list_slice(toks, 1, 5), ' ')) AS khash
+        |  FROM tk t JOIN documents d ON t.doc_id = d.doc_id),
+        |q AS (SELECT source, n_tokens, khash,
+        |  (CASE WHEN n_tokens = 0 THEN 0 ELSE (10000 * n_uniq) // n_tokens END
+        |   + LEAST(n_tokens * 100, 10000)) // 2 AS qual_bp FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(floor(AVG(qual_bp)) AS BIGINT) AS mean_qual_bp,
+        |  COUNT(*) - COUNT(DISTINCT khash) AS n_dups
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "c1_clean_corpus" ->
       s"""WITH tk AS ($toksSql),
