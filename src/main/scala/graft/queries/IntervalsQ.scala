@@ -146,6 +146,27 @@ object IntervalsQ {
       store.slice(queries, indexed = true).orderBy("q_id", "block_id")
     },
 
+    // S9/S10: range-bucketed sorted persist → load → slice — the
+    // parquet store replacing the NCList binary files must answer the
+    // exact same slice as the in-memory blocks (same oracle as j2).
+    // Row-group min/max stats on (src_id, src_start) prune the scan.
+    "s9b_persist_slice" -> { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_persist_rt"
+      new AlignmentStore(alignBlocks(s, dir)).persist(tmp, buckets = 8)
+      val store = AlignmentStore.load(s, tmp)
+      val queries = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice(queries, binWidth = 172800L)
+        .select("q_id", "src_id", "src_start", "src_end", "dest_id",
+          "dest_start", "dest_end", "dest_ori", "block_id")
+        .orderBy("q_id", "block_id")
+    },
+
     // A1/J3: per-target-lane bounds merge (mergeSeq).
     "a1_merge_span" -> { (s, dir) =>
       alignBlocks(s, dir)
@@ -337,6 +358,8 @@ object IntervalsQ {
     "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
 
     "j2c_slice_indexed" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
+
+    "s9b_persist_slice" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
 
     "j2b_twohop" ->
       s"""$sliceSql,
