@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Intervals
 import graft.operators.{Coverage, GapRule, IntervalJoin, Sessionize}
+import graft.sources.BlastText
 
 /** One aligned ungapped 1:1 block (pygr's `IntervalMap`,
   * `intervaldb.h:9-16`, normalized to pairwise rows with explicit
@@ -221,4 +222,38 @@ object AlignmentStore {
 
   def load(spark: SparkSession, path: String): AlignmentStore =
     new AlignmentStore(spark.read.parquet(path))
+
+  /** The composed external-aligner pipeline — pygr's `BlastMapping`
+    * as ONE operator (`blast.py:86-221`, `__call__` at
+    * `blast.py:205-221`): query sequences stream as FASTA into the
+    * aligner command's stdin, its text report streams back out, and
+    * the report's HSPs land as ungapped 1:1 alignment blocks — query
+    * ids flow through the report (`Query=` lines) so output
+    * re-associates with input with no driver round-trip.
+    *
+    * Scale design: one aligner process per PARTITION; both directions
+    * are lazy (`RDD.pipe` writer thread + stdout iterator feeding the
+    * streaming `BlastText.parseRunLines` state machine), so task heap
+    * holds one HSP at a time regardless of report size. `block_id` is
+    * made unique across partitions by the task's partition id.
+    *
+    * `seqs` must have columns (`seq_id`, `seq`).
+    */
+  def fromBlast(spark: SparkSession, seqs: DataFrame,
+                cmd: Seq[String]): AlignmentStore = {
+    import spark.implicits._
+    val blocks = seqs.select("seq_id", "seq").rdd
+      .flatMap(r => Iterator(">" + r.getString(0), r.getString(1)))
+      .pipe(cmd)
+      .mapPartitions { lines =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        BlastText.parseRunLines(lines).map { r =>
+          AlignBlock(r.query_id, r.q_start, r.q_end,
+            r.hit_id, r.s_start, r.s_end, r.ori,
+            (pid << 40) | (r.hsp_no << 10) | r.run_no)
+        }
+      }
+      .toDF()
+    new AlignmentStore(blocks)
+  }
 }

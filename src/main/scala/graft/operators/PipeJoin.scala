@@ -21,36 +21,31 @@ object PipeJoin {
     df.rdd.map(_.getString(0)).pipe(cmd).toDF("line")
   }
 
-  /** Keyed pipe: `df` is (key STRING, line STRING); each key's lines
-    * stream through their OWN invocation of `cmd` and every stdout
-    * line comes back tagged with the key — so callers re-associate
-    * output with input even when the tool emits zero or many lines
-    * per input (the reference's blast pipe keeps query ids through
-    * the report for the same reason, `parse_blast.py:39-215`).
-    * One process per key, executor-side, keys distributed across the
-    * cluster.
+  /** Keyed pipe: `df` is (key STRING, line STRING); stdin lines are
+    * `key<sep>payload` and the command's contract is to emit
+    * `key<sep>output` lines (any order, zero or many per input) — the
+    * key travels THROUGH the tool, exactly how the reference's blast
+    * pipe keeps query ids flowing through the report so output
+    * re-associates with input (`parse_blast.py:39-215`).
+    *
+    * Scale design: ONE process per PARTITION (not per key — a corpus
+    * with 10^5 keys spawns `numPartitions` processes, not 10^5), and
+    * both directions stream lazily: `RDD.pipe` feeds stdin from a
+    * separate writer thread and exposes stdout as an iterator, so a
+    * key with 10^6 output lines never materializes in task heap.
+    * Keys must not contain `sep` (tab by default).
     */
-  def pipeLinesKeyed(spark: SparkSession, df: DataFrame, cmd: Seq[String]): DataFrame = {
+  def pipeLinesKeyed(spark: SparkSession, df: DataFrame, cmd: Seq[String],
+                     sep: String = "\t"): DataFrame = {
     import spark.implicits._
-    df.rdd.map(r => (r.getString(0), r.getString(1)))
-      .groupByKey()
-      .flatMap { case (k, lines) =>
-        import scala.sys.process._
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val io = new ProcessIO(
-          in => {
-            val w = new java.io.PrintWriter(in)
-            lines.foreach(w.println)
-            w.close()
-          },
-          o => {
-            scala.io.Source.fromInputStream(o).getLines().foreach(out += _)
-            o.close()
-          },
-          _.close())
-        val exit = Process(cmd).run(io).exitValue()
-        require(exit == 0, s"pipe command ${cmd.mkString(" ")} exited $exit for key $k")
-        out.map(l => (k, l))
+    df.rdd.map(r => r.getString(0) + sep + r.getString(1))
+      .pipe(cmd)
+      .map { l =>
+        val i = l.indexOf(sep)
+        require(i >= 0,
+          s"pipe command ${cmd.mkString(" ")} emitted a line without the " +
+            s"key separator (contract: key${sep}output): $l")
+        (l.substring(0, i), l.substring(i + sep.length))
       }
       .toDF("key", "line")
   }

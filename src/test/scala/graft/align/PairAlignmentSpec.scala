@@ -81,14 +81,40 @@ class PairAlignmentSpec extends SparkSuite {
     assert(got === Seq((2L, 4L, 0L, 2L)))
   }
 
-  test("keyed pipe preserves row identity per key") {
+  test("keyed pipe: key fidelity through one process per partition") {
     import spark.implicits._
-    val df = Seq(("q1", "acgt"), ("q1", "ttaa"), ("q2", "ggcc"))
-      .toDF("key", "line")
-    val out = graft.operators.PipeJoin.pipeLinesKeyed(spark, df,
-        Seq("tr", "a-z", "A-Z"))
-      .as[(String, String)].collect().toSet
-    assert(out === Set(("q1", "ACGT"), ("q1", "TTAA"), ("q2", "GGCC")))
+    import java.nio.file.{Files, Paths}
+    // stand-in tool honoring the key<TAB>payload contract: uppercases
+    // the payload, drops 'skip' rows, doubles 'dup' rows, and tags its
+    // own pid so the spec can count spawned processes
+    val dir = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_pipe_" + spark.sparkContext.applicationId))
+    val script = dir.resolve("tool.sh")
+    Files.write(script,
+      ("#!/bin/sh\n" +
+        "awk -F'\\t' -v pid=\"$$\" '{\n" +
+        "  if ($2 ~ /^skip/) next\n" +
+        "  print $1 \"\\t\" toupper($2) \"|\" pid\n" +
+        "  if ($2 ~ /^dup/) print $1 \"\\t\" toupper($2) \"|again|\" pid\n" +
+        "}'\n").getBytes)
+    script.toFile.setExecutable(true)
+
+    val rows = (0 until 200).map(i => (s"k$i", if (i % 50 == 0) s"skip$i" else if (i % 7 == 0) s"dup$i" else s"pay$i"))
+    val df = rows.toDF("key", "line").repartition(3)
+    val out = graft.operators.PipeJoin.pipeLinesKeyed(spark, df, Seq(script.toString))
+      .as[(String, String)].collect()
+
+    val byKey = out.groupBy(_._1)
+    // skip rows vanish, dup rows double, everything else is 1:1 under its own key
+    rows.foreach { case (k, pay) =>
+      val got = byKey.getOrElse(k, Array.empty).map(_._2.split("\\|").head).toSeq
+      if (pay.startsWith("skip")) assert(got.isEmpty, k)
+      else if (pay.startsWith("dup")) assert(got === Seq(pay.toUpperCase, pay.toUpperCase), k)
+      else assert(got === Seq(pay.toUpperCase), k)
+    }
+    // ~200 keys but at most one process per partition
+    val pids = out.map(_._2.split("\\|").last).toSet
+    assert(pids.size <= 3, s"expected <=3 processes (one per partition), saw ${pids.size}")
   }
 
   private implicit class Tup5Ops(rows: Array[(String, Long, Long, Long, Long)]) {
