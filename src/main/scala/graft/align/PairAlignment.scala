@@ -61,6 +61,64 @@ object PairAlignment {
       .withColumn("is_match", col("src_letter") === col("dest_letter"))
       .drop("src_text", "dest_text", "n_match", "__k")
 
+  /** Node→node letter-EDGE rows over a `columns` result — the
+    * reference's `NLMSANode.nodeEdges`/`getEdgeSeqs` walk
+    * (`cnestedlist.pyx:1240-1278`): an edge connects source position
+    * p to a successor position per target lane whenever the target
+    * coordinate continues in target orientation (`dest_pos ± 1`).
+    * Three kinds, exactly the reference's three cases:
+    *   - `within`  — both positions inside one aligned block (the
+    *     "has_continuation" case);
+    *   - `bridge`  — src-adjacent positions in DIFFERENT blocks whose
+    *     target coords abut (`target_start == previous target_end`);
+    *   - `jump`    — src jumps (indel) but the target continues — the
+    *     non-adjacent node edge of `nodeEdges`.
+    *
+    * `laneCols` identifies one alignment lane (add `q_id` when the
+    * input came from `AlignmentStore.slice`). Scale shape: `within`
+    * edges are a codegen'd `lead` window (no join, no row growth);
+    * `bridge`/`jump` edges join only the two BOUNDARY rows of each
+    * block, so the join input is O(blocks), not O(letters).
+    */
+  def letterEdges(cols: DataFrame,
+                  laneCols: Seq[String] = Seq("src_id", "dest_id", "dest_ori")): DataFrame = {
+    val lane = laneCols.map(col)
+    val byBlock = laneCols :+ "block_id"
+    val base = cols.select((laneCols ++ Seq("block_id", "src_pos", "dest_pos",
+      "src_letter", "dest_letter")).map(col): _*)
+    val wB = Window.partitionBy(byBlock.map(col): _*).orderBy("src_pos")
+    val intra = base
+      .withColumn("next_block_id", col("block_id"))
+      .withColumn("next_src_pos", lead("src_pos", 1).over(wB))
+      .withColumn("next_dest_pos", lead("dest_pos", 1).over(wB))
+      .withColumn("next_src_letter", lead("src_letter", 1).over(wB))
+      .withColumn("next_dest_letter", lead("dest_letter", 1).over(wB))
+      .where(col("next_src_pos").isNotNull)
+      .withColumn("edge_kind", lit("within"))
+    val bounds = base.groupBy(byBlock.map(col): _*)
+      .agg(min("src_pos").as("__first"), max("src_pos").as("__last"))
+    val lastRows = base.join(bounds, byBlock)
+      .where(col("src_pos") === col("__last")).drop("__first", "__last")
+    val firstRows = base.join(bounds, byBlock)
+      .where(col("src_pos") === col("__first")).drop("__first", "__last")
+      .select(lane ++ Seq(col("block_id").as("next_block_id"),
+        col("src_pos").as("next_src_pos"), col("dest_pos").as("next_dest_pos"),
+        col("src_letter").as("next_src_letter"),
+        col("dest_letter").as("next_dest_letter")): _*)
+    val step = when(col("dest_ori") >= 0, lit(1L)).otherwise(lit(-1L))
+    val inter = lastRows.join(firstRows, laneCols)
+      .where(col("next_block_id") =!= col("block_id") &&
+        col("next_dest_pos") === col("dest_pos") + step)
+      .withColumn("edge_kind",
+        when(col("next_src_pos") === col("src_pos") + 1L, lit("bridge"))
+          .otherwise(lit("jump")))
+      .where(col("next_src_pos") > col("src_pos"))
+    val order = laneCols ++ Seq("block_id", "src_pos", "dest_pos",
+      "next_block_id", "next_src_pos", "next_dest_pos",
+      "src_letter", "dest_letter", "next_src_letter", "next_dest_letter", "edge_kind")
+    intra.select(order.map(col): _*).unionByName(inter.select(order.map(col): _*))
+  }
+
   /** Clip each aligned block to its best conserved segment — the
     * reference's `conservedSegment`/`longestSegment`
     * (`sequence.py:727-787`), the kernel of the slice-consume

@@ -141,6 +141,34 @@ object AlignFnQ {
         .orderBy("q_id", "dest_id", "src_pos")
     },
 
+    // W2 letter EDGES: node→node transitions per lane over the column
+    // view — NLMSANode.nodeEdges semantics (cnestedlist.pyx:1240-1278)
+    // with all three edge kinds: within-block continuation, cross-block
+    // bridge (target coords abut), and indel jump (src skips, target
+    // continues). Lane M exercises the minus-strand bridge.
+    "w2c_letter_edges" -> { (s, dir) =>
+      val d = withDna(s, dir)
+      val seqs = d.select(concat(lit("d"), col("doc_id")).as("seq_id"), col("dna").as("seq"))
+      val srcs = d.where(col("doc_id") % 5 === 0 && col("doc_id") < 50)
+      def b(destOff: Int, ss: Long, se: Long, ds: Long, de: Long, ori: Int, bo: Int) =
+        struct(concat(lit("d"), col("doc_id") + destOff).as("dest_id"),
+          lit(ss).as("src_start"), lit(se).as("src_end"),
+          lit(ds).as("dest_start"), lit(de).as("dest_end"), lit(ori).as("dest_ori"),
+          (col("doc_id") * 100L + bo).as("block_id"))
+      val blocks = srcs.select(col("doc_id"), explode(array(
+          b(1, 4L, 12L, 10L, 18L, 1, 0), b(1, 12L, 20L, 18L, 26L, 1, 1),
+          b(2, 4L, 12L, 40L, 48L, -1, 2), b(2, 12L, 20L, 32L, 40L, -1, 3),
+          b(3, 4L, 10L, 10L, 16L, 1, 4), b(3, 14L, 20L, 16L, 22L, 1, 5))).as("b"))
+        .select(concat(lit("d"), col("doc_id")).as("src_id"),
+          col("b.src_start").as("src_start"), col("b.src_end").as("src_end"),
+          col("b.dest_id").as("dest_id"),
+          col("b.dest_start").as("dest_start"), col("b.dest_end").as("dest_end"),
+          col("b.dest_ori").as("dest_ori"), col("b.block_id").as("block_id"))
+      val cols = graft.align.PairAlignment.columns(blocks, seqs)
+      graft.align.PairAlignment.letterEdges(cols)
+        .orderBy("src_id", "dest_id", "block_id", "src_pos")
+    },
+
     // F6: e-value style -log10 transform.
     "f6_neglog" -> { (s, dir) =>
       // libm log10 differs in the last ulp across engines — quantize
@@ -281,6 +309,43 @@ object AlignFnQ {
         |  JOIN d dd ON 'd' || dd.doc_id = x.dest_id)
         |SELECT *, (src_letter = dest_letter) AS is_match FROM y
         |ORDER BY q_id, dest_id, src_pos""".stripMargin,
+
+    "w2c_letter_edges" ->
+      s"""WITH d AS ($dnaSql),
+        |src AS (SELECT doc_id, dna FROM d WHERE doc_id % 5 = 0 AND doc_id < 50),
+        |blocks AS (
+        |  SELECT 'd' || doc_id AS src_id, 'd' || (doc_id+1) AS dest_id, 1 AS ori,
+        |    CAST(doc_id*100 AS BIGINT) AS block_id, 4 AS ss, 12 AS se, 10 AS ds, 18 AS de FROM src
+        |  UNION ALL SELECT 'd'||doc_id, 'd'||(doc_id+1), 1, doc_id*100+1, 12, 20, 18, 26 FROM src
+        |  UNION ALL SELECT 'd'||doc_id, 'd'||(doc_id+2), -1, doc_id*100+2, 4, 12, 40, 48 FROM src
+        |  UNION ALL SELECT 'd'||doc_id, 'd'||(doc_id+2), -1, doc_id*100+3, 12, 20, 32, 40 FROM src
+        |  UNION ALL SELECT 'd'||doc_id, 'd'||(doc_id+3), 1, doc_id*100+4, 4, 10, 10, 16 FROM src
+        |  UNION ALL SELECT 'd'||doc_id, 'd'||(doc_id+3), 1, doc_id*100+5, 14, 20, 16, 22 FROM src),
+        |pos AS (SELECT src_id, dest_id, ori, block_id, CAST(p AS BIGINT) AS src_pos,
+        |  CAST(CASE WHEN ori >= 0 THEN ds + (p - ss) ELSE de - 1 - (p - ss) END AS BIGINT) AS dest_pos
+        |  FROM blocks, UNNEST(range(ss, se)) AS t(p)),
+        |lp AS (SELECT pos.*,
+        |  substr(sd.dna, CAST(src_pos AS INT)+1, 1) AS src_letter,
+        |  CASE WHEN ori < 0 THEN translate(substr(dd.dna, CAST(dest_pos AS INT)+1, 1), 'ACGT', 'TGCA')
+        |       ELSE substr(dd.dna, CAST(dest_pos AS INT)+1, 1) END AS dest_letter,
+        |  MIN(src_pos) OVER (PARTITION BY block_id) AS first_pos,
+        |  MAX(src_pos) OVER (PARTITION BY block_id) AS last_pos
+        |  FROM pos
+        |  JOIN d sd ON 'd' || sd.doc_id = pos.src_id
+        |  JOIN d dd ON 'd' || dd.doc_id = pos.dest_id)
+        |SELECT a.src_id, a.dest_id, a.ori AS dest_ori, a.block_id, a.src_pos, a.dest_pos,
+        |  b.block_id AS next_block_id, b.src_pos AS next_src_pos, b.dest_pos AS next_dest_pos,
+        |  a.src_letter, a.dest_letter,
+        |  b.src_letter AS next_src_letter, b.dest_letter AS next_dest_letter,
+        |  CASE WHEN a.block_id = b.block_id THEN 'within'
+        |       WHEN b.src_pos = a.src_pos + 1 THEN 'bridge' ELSE 'jump' END AS edge_kind
+        |FROM lp a JOIN lp b
+        |  ON a.src_id = b.src_id AND a.dest_id = b.dest_id AND a.ori = b.ori
+        |  AND b.dest_pos = a.dest_pos + (CASE WHEN a.ori >= 0 THEN 1 ELSE -1 END)
+        |  AND ((a.block_id = b.block_id AND b.src_pos = a.src_pos + 1)
+        |    OR (a.block_id <> b.block_id AND a.src_pos = a.last_pos
+        |        AND b.src_pos = b.first_pos AND b.src_pos > a.src_pos))
+        |ORDER BY a.src_id, a.dest_id, a.block_id, a.src_pos""".stripMargin,
 
     "f6_neglog" ->
       """SELECT event_id, CAST(floor(-log10(value) * 1e6) AS BIGINT) AS neglog_u
