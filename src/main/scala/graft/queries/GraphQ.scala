@@ -158,6 +158,36 @@ object GraphQ {
         .orderBy("n_name")
     },
 
+    // J7 many:many — a relation routed through an EDGE resource
+    // (ManyToManyRelation, metabase.py:1577-1617): part↔supplier via
+    // lineitem rows, bound forward and through the auto-generated
+    // inverse view; the src resource resolves through a two-level
+    // `ref` chain (persistent-ID recursion, metabase.py:181-220).
+    "j7b_manytomany" -> { (s, dir) =>
+      import graft.catalog.{Catalog, Relation, Resource}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cat_mm").toString
+      val cat = new Catalog(tmp)
+      cat.register(Resource("TPCH.part", "table", "parquet", s"$dir/part.parquet"))
+      cat.register(Resource("TPCH.supplier", "table", "parquet", s"$dir/supplier.parquet"))
+      cat.register(Resource("TPCH.lineitem", "table", "parquet", s"$dir/lineitem.parquet"))
+      cat.register(Resource("Alias.parts", "table", "ref", "TPCH.part"))
+      cat.register(Resource("My.parts", "table", "ref", "Alias.parts"))
+      cat.addRelation(Relation("part_suppliers", "My.parts", "p_partkey",
+        "TPCH.supplier", "s_suppkey", "many-to-many",
+        edge = "TPCH.lineitem", edgeSrcCol = "l_partkey", edgeDstCol = "l_suppkey"))
+      val fwd = cat.bind(s, "part_suppliers")
+        .where(col("p_partkey") < 200)
+        .groupBy(col("p_partkey").as("key"))
+        .agg(countDistinct("s_suppkey").as("n"))
+        .select(lit("fwd").as("side"), col("key"), col("n"))
+      val inv = cat.bindInverse(s, "part_suppliers")
+        .where(col("s_suppkey") < 20)
+        .groupBy(col("s_suppkey").as("key"))
+        .agg(countDistinct("p_partkey").as("n"))
+        .select(lit("inv").as("side"), col("key"), col("n"))
+      fwd.unionByName(inv).orderBy("side", "key")
+    },
+
     // GraphX analytics: degrees.
     "g2_degrees" -> { (s, dir) =>
       new EdgeGraph(suppPartEdges(s, dir)).outDegrees
@@ -264,6 +294,18 @@ object GraphQ {
       """SELECT n_name, COUNT(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j7b_manytomany" ->
+      """SELECT 'fwd' AS side, p_partkey AS key, COUNT(DISTINCT s_suppkey) AS n
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_partkey < 200 GROUP BY p_partkey
+        |UNION ALL
+        |SELECT 'inv', s_suppkey, COUNT(DISTINCT p_partkey)
+        |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE s_suppkey < 20 GROUP BY s_suppkey
+        |ORDER BY side, key""".stripMargin,
 
     "g2_degrees" ->
       s"""WITH e AS ($sp)

@@ -31,4 +31,53 @@ class CatalogSpec extends SparkSuite {
     assert(new Catalog(dir).resources("Test.TPCH.customer").path.contains("sf0.01"))
     intercept[NoSuchElementException](cat2.resolve(spark, "Nope.Missing"))
   }
+
+  test("ref resources resolve recursively; cycles fail loudly (metabase.py:181-220)") {
+    val dir = Files.createTempDirectory("catalog_ref").toString
+    val cat = new Catalog(dir)
+    cat.register(Resource("Base.nation", "table", "parquet",
+      "/root/testdata/sf0.001/nation.parquet"))
+    // two-level chain: My -> Alias -> Base
+    cat.register(Resource("Alias.nation", "table", "ref", "Base.nation"))
+    cat.register(Resource("My.nation", "table", "ref", "Alias.nation"))
+    assert(cat.resolve(spark, "My.nation").count() ===
+      cat.resolve(spark, "Base.nation").count())
+    // a dangling ref surfaces the missing target
+    cat.register(Resource("Bad.ref", "table", "ref", "Nope.Missing"))
+    intercept[NoSuchElementException](cat.resolve(spark, "Bad.ref"))
+    // a reference cycle is detected, not an infinite loop
+    cat.register(Resource("Cyc.a", "table", "ref", "Cyc.b"))
+    cat.register(Resource("Cyc.b", "table", "ref", "Cyc.a"))
+    val err = intercept[IllegalArgumentException](cat.resolve(spark, "Cyc.a"))
+    assert(err.getMessage.contains("cycle"))
+  }
+
+  test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("catalog_mm").toString
+    val cat = new Catalog(dir)
+    val sf = "/root/testdata/sf0.001"
+    cat.register(Resource("T.part", "table", "parquet", s"$sf/part.parquet"))
+    cat.register(Resource("T.supplier", "table", "parquet", s"$sf/supplier.parquet"))
+    cat.register(Resource("T.lineitem", "table", "parquet", s"$sf/lineitem.parquet"))
+    cat.addRelation(Relation("ps", "T.part", "p_partkey",
+      "T.supplier", "s_suppkey", "many-to-many",
+      edge = "T.lineitem", edgeSrcCol = "l_partkey", edgeDstCol = "l_suppkey"))
+    // a fresh instance round-trips the 9-field TSV row
+    val cat2 = new Catalog(dir)
+    assert(cat2.relations("ps").edge === "T.lineitem")
+    val fwd = cat2.bind(spark, "ps")
+    // edge data columns ride along with both endpoint tables
+    assert(Seq("p_name", "s_name", "l_quantity").forall(fwd.columns.contains))
+    val inv = cat2.bindInverse(spark, "ps")
+    // same edge set either way
+    assert(fwd.count() === inv.count())
+    val fwdPairs = fwd.select(col("p_partkey"), col("s_suppkey")).distinct().count()
+    val invPairs = inv.select(col("p_partkey"), col("s_suppkey")).distinct().count()
+    assert(fwdPairs === invPairs)
+    // one-to-many inverse flips to many-to-one (right-preserving)
+    cat2.addRelation(Relation("supp_nation", "T.supplier", "s_nationkey",
+      "T.part", "p_partkey", "one-to-many"))
+    assert(cat2.bindInverse(spark, "supp_nation").count() > 0)
+  }
 }
