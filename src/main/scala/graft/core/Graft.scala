@@ -21,6 +21,13 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long once,
+      // globally, instead of per-query conf mutation
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iterative GraphX (connected components) checkpoints every 10
+      // Pregel rounds so deep components don't accumulate unbounded
+      // lineage (recomputed in full on executor loss at scale)
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

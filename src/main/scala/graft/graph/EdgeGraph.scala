@@ -56,13 +56,24 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
   /** Connected components via GraphX (per the project's
     * "GraphX for analytics" approach): returns (node, comp) where comp
     * is the smallest vertex id in the component. Requires long ids.
+    *
+    * Iteration robustness at scale: a checkpoint dir is ensured so
+    * Pregel's periodic checkpointing (`spark.graphx.pregel
+    * .checkpointInterval`, set by `Graft.session`) truncates lineage —
+    * a deep component otherwise re-derives every prior iteration on
+    * executor loss. `maxIterations` bounds runaway convergence on
+    * pathological graphs (diameter ≈ N chains).
     */
-  def connectedComponents(spark: SparkSession): DataFrame = {
+  def connectedComponents(spark: SparkSession,
+                          maxIterations: Int = Int.MaxValue): DataFrame = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}")
     val pairs = edges
       .select(col(src).cast("long"), col(dst).cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     val cc = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
-      .connectedComponents().vertices
+      .connectedComponents(maxIterations).vertices
     spark.createDataFrame(cc).toDF("node", "comp")
   }
 }

@@ -29,7 +29,10 @@ object IntervalsQ {
     * integer-divide — double division would lose precision at 1e18.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Graft.session sets this at build; guard for foreign sessions
+    // (tests) without re-mutating the conf on every call
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     table(s, dir, "events")
   }
 
@@ -151,7 +154,7 @@ object IntervalsQ {
     // exact same slice as the in-memory blocks (same oracle as j2).
     // Row-group min/max stats on (src_id, src_start) prune the scan.
     "s9b_persist_slice" -> { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_persist_rt"
+      val tmp = tmpPath(s, "graft_persist_rt")
       new AlignmentStore(alignBlocks(s, dir)).persist(tmp, buckets = 8)
       val store = AlignmentStore.load(s, tmp)
       val queries = events(s, dir)

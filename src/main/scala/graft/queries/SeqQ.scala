@@ -122,7 +122,7 @@ object SeqQ {
 
     // S1/S2: FASTA write → distributed re-parse → info roundtrip.
     "s1_fasta_roundtrip" -> { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fasta_rt"
+      val tmp = tmpPath(s, "graft_fasta_rt")
       Fasta.format(withDna(s, dir)
           .select(concat(lit("doc_"), col("doc_id")).as("seq_id"), col("dna").as("seq")))
         .coalesce(1).write.mode("overwrite").text(tmp)
@@ -138,7 +138,7 @@ object SeqQ {
     // coordinate math (gap split, reverse-strand normalization)
     // directly, so a parser regression cannot hash-match.
     "s4b_maf_roundtrip" -> { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_maf_rt"
+      val tmp = tmpPath(s, "graft_maf_rt")
       withDna(s, dir).where(col("doc_id") % 5 === 0)
         .select(concat(
           lit("a score=1\n"),
@@ -163,7 +163,7 @@ object SeqQ {
     // emit the ungapped runs; the oracle re-derives the 1-based
     // header normalization and gap split directly.
     "s5b_axt_roundtrip" -> { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_axt_rt"
+      val tmp = tmpPath(s, "graft_axt_rt")
       withDna(s, dir).where(col("doc_id") % 5 === 3)
         .select(concat(
           col("doc_id"), lit(" chrT "), (col("doc_id") + 1001L).cast("string"),
@@ -187,7 +187,7 @@ object SeqQ {
     // BlastText.read, emit normalized HSPs; the oracle re-derives the
     // 1-based-inclusive → half-open and minus-strand normalization.
     "s6b_blast_roundtrip" -> { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_blast_rt"
+      val tmp = tmpPath(s, "graft_blast_rt")
       val p1 = substring(col("dna"), 1, 12)
       val p2 = substring(col("dna"), 30, 12)
       withDna(s, dir).where(col("doc_id") % 7 === 0)

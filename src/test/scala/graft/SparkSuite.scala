@@ -10,5 +10,6 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.graphx.pregel.checkpointInterval", "5")
     .getOrCreate()
 }

@@ -79,4 +79,23 @@ class GraphSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("connected components on a deep chain checkpoints lineage") {
+    // a 40-node path has diameter ≈ iteration count — the worst case
+    // for Pregel lineage depth; interval=5 (SparkSuite conf) must
+    // produce actual checkpoint data and still converge to one comp
+    val chain = edgesDF((0L until 39L).map(i => (i, i + 1)): _*)
+    val eg = new EdgeGraph(chain)
+    val cc = eg.connectedComponents(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.size === 40)
+    assert(cc.values.toSet === Set(0L))
+    val ckptDir = spark.sparkContext.getCheckpointDir
+    assert(ckptDir.isDefined, "connectedComponents must ensure a checkpoint dir")
+    val files = new java.io.File(new java.net.URI(ckptDir.get))
+    assert(files.exists && files.listFiles().nonEmpty,
+      "deep chain with checkpointInterval=5 should have written checkpoint data")
+    // bounded iteration cap still returns a labeling (possibly coarser)
+    assert(eg.connectedComponents(spark, maxIterations = 3).count() === 40L)
+  }
 }
