@@ -32,19 +32,40 @@ case class QueryIval(q_id: Long, src_id: String, q_start: Long, q_end: Long)
   */
 class AlignmentStore(val blocks: DataFrame) {
 
+  /** Cached (row count, approx distinct src keys) — one stats job per
+    * store, lazily, to drive the physical join-path choice.
+    */
+  private lazy val keyStats: (Long, Long) = {
+    val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id"))).head()
+    (r.getLong(0), math.max(r.getLong(1), 1L))
+  }
+
   /** msa[ival] for a whole DataFrame of query intervals at once —
     * hop+clip semantics of `NLMSASlice.__new__`
     * (`cnestedlist.pyx:446-543` steps 2-4): overlap join on the src
     * axis, clip hits to the query window, shift dest coordinates to
     * match the clip, orientation-aware.
+    *
+    * `indexed = None` (the default) picks the physical join path from
+    * store stats: the custom indexed operator wins whenever the
+    * per-key build side fits a task (no bin-width tuning, no row
+    * multiplication entering the shuffle — it beat the binned twin on
+    * identical work in round-2 benchmarks), so it is chosen when
+    * avg rows per src key <= `maxIndexedKeyRows`; genuinely hot keys
+    * (few sequences, tens of millions of blocks each — the
+    * 25-chromosome shape) fall back to the binned join, which spreads
+    * one key across coordinate bins. Streaming query sides always take
+    * the binned path (the custom exec is batch-only). Explicit
+    * `Some(true)`/`Some(false)` overrides.
     */
   def slice(queries: DataFrame, binWidth: Long = 1 << 16,
-            indexed: Boolean = false): DataFrame = {
-    // indexed=true routes the overlap join through the custom
-    // physical operator (per-task per-key IntervalIndex probe) —
-    // same semantics, no bin explode; binWidth is then unused
+            indexed: Option[Boolean] = None,
+            maxIndexedKeyRows: Long = AlignmentStore.MaxIndexedKeyRows): DataFrame = {
+    val useIndexed = indexed.getOrElse {
+      !queries.isStreaming && keyStats._1 / keyStats._2 <= maxIndexedKeyRows
+    }
     val joined =
-      if (indexed)
+      if (useIndexed)
         IntervalJoin.shuffledIndexIntervalJoin(
           blocks,
           queries.withColumnRenamed("src_id", "__qkey"),
@@ -199,6 +220,12 @@ class AlignmentStore(val blocks: DataFrame) {
 }
 
 object AlignmentStore {
+
+  /** Auto-path threshold: max average build rows per src key for the
+    * indexed join (a per-key interval index at ~50 B/row ≈ 200 MB at
+    * this cap — comfortably inside an executor task's heap share).
+    */
+  val MaxIndexedKeyRows: Long = 4L * 1000 * 1000
 
   /** Build from coordinate pairs (pygr `CoordsToIntervals` ingest,
     * `nlmsa_utils.py:465-530`; SURVEY.md S7). `bidirectional` stores

@@ -114,7 +114,7 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice(queries, binWidth = 172800L).orderBy("q_id", "block_id")
+      store.slice(queries, binWidth = 172800L, indexed = Some(false)).orderBy("q_id", "block_id")
     },
 
     // J2 complete: two-hop slice through the shared axis — the
@@ -146,7 +146,7 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice(queries, indexed = true).orderBy("q_id", "block_id")
+      store.slice(queries, indexed = Some(true)).orderBy("q_id", "block_id")
     },
 
     // S9/S10: range-bucketed sorted persist → load → slice — the

@@ -85,4 +85,47 @@ class IndexedIntervalJoinSpec extends SparkSuite {
     assert(!names.contains("Generate"), "bin-explode leaked into the plan")
     assert(!names.contains("NestedLoop"), "nested loop join leaked into the plan")
   }
+
+  test("AlignmentStore.slice auto-selects indexed vs binned by key stats") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val blocks = (1 to 300).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (s"u${rnd.nextInt(20)}", s, s + 1 + rnd.nextInt(200),
+        s"d${i % 7}", s + 10, s + 11 + rnd.nextInt(200), 1, i.toLong)
+    }.toDF("src_id", "src_start", "src_end",
+      "dest_id", "dest_start", "dest_end", "dest_ori", "block_id")
+    val queries = (1 to 50).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s"u${rnd.nextInt(20)}", s, s + 300)
+    }.toDF("q_id", "src_id", "q_start", "q_end")
+    val store = new graft.align.AlignmentStore(blocks)
+
+    def planNames(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      allNodes(df.queryExecution.executedPlan).map(_.nodeName)
+    }
+
+    // ~15 rows/key << default cap → auto picks the custom operator
+    val auto = store.slice(queries, binWidth = 128L)
+    assert(planNames(auto).exists(_.contains("IndexedIntervalJoin")),
+      "auto should route small per-key builds through the indexed exec")
+    // force the cap below avg rows/key → auto falls back to binned
+    val binned = store.slice(queries, binWidth = 128L, maxIndexedKeyRows = 1L)
+    val bn = planNames(binned)
+    assert(!bn.exists(_.contains("IndexedIntervalJoin")),
+      "hot-key shape must fall back to the binned join")
+    assert(bn.exists(_.contains("Generate")), "binned path explodes bins via Generate")
+    // both paths agree on the answer
+    val key = Seq("q_id", "block_id", "src_start", "src_end", "dest_start", "dest_end")
+    assert(auto.select(key.head, key.tail: _*).as[(Long, Long, Long, Long, Long, Long)].collect().toSet ===
+      binned.select(key.head, key.tail: _*).as[(Long, Long, Long, Long, Long, Long)].collect().toSet)
+  }
 }
