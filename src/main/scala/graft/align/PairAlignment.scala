@@ -193,35 +193,53 @@ object PairAlignment {
       .drop("__k1", "__k2")
   }
 
-  /** Per-edge identity rollup: pIdentity in basis points over min
-    * (pygr `pIdentity` default) and the aligned-block count
-    * (`matchIntervals` cardinality).
+  /** Per-edge identity rollup: pIdentity/pAligned in basis points and
+    * the aligned-block count (`matchIntervals` cardinality).
+    *
+    * `mode` mirrors pygr's denominator semantics exactly
+    * (`Seq2SeqEdge.length(mode)` + `pIdentity(mode=max)`,
+    * `sequence.py:702-724`): the denominator is taken over the edge's
+    * bounding PATH spans (min src_start..max src_end per edge), not
+    * the whole sequences — `max` (the reference default) | `min` |
+    * `src` | `dest`.
     *
     * `trapOverflow` (default true, like the reference's
     * `pIdentity(trapOverflow=True)`, `sequence.py:717-724`): when a
     * region aligns to the same target multiple times, summed
-    * identities can exceed the sequence length — silently reporting
-    * >100% identity hides a data problem, so the default raises on
-    * first evaluation; pass false to get the raw (possibly >10000 bp)
+    * identities can exceed the span — silently reporting >100%
+    * identity hides a data problem, so the default raises on first
+    * evaluation; pass false to get the raw (possibly >10000 bp)
     * value.
     */
   def identityMetrics(blocks: DataFrame, seqs: DataFrame,
-                      trapOverflow: Boolean = true): DataFrame = {
+                      trapOverflow: Boolean = true,
+                      mode: String = "max"): DataFrame = {
     val lettered = withLetters(blocks, seqs)
     val seqLens = seqs.select(col("seq_id"), length(col("seq")).cast("long").as("len"))
+    val srcSpan = col("__src_hi") - col("__src_lo")
+    val destSpan = col("__dest_hi") - col("__dest_lo")
+    val denom = mode match {
+      case "max" => greatest(srcSpan, destSpan)
+      case "min" => least(srcSpan, destSpan)
+      case "src" => srcSpan
+      case "dest" => destSpan
+      case other => throw new IllegalArgumentException(
+        s"identityMetrics mode must be max/min/src/dest, got '$other'")
+    }
     val base = lettered
       .groupBy("src_id", "dest_id", "dest_ori")
       .agg(sum("n_match").as("n_ident"),
         sum(col("src_end") - col("src_start")).as("n_aligned"),
-        count(lit(1)).as("n_blocks"))
+        count(lit(1)).as("n_blocks"),
+        min("src_start").as("__src_lo"), max("src_end").as("__src_hi"),
+        min("dest_start").as("__dest_lo"), max("dest_end").as("__dest_hi"))
       .join(seqLens.select(col("seq_id").as("src_id"), col("len").as("src_len")), "src_id")
       .join(seqLens.select(col("seq_id").as("dest_id"), col("len").as("dest_len")), "dest_id")
       .withColumn("p_identity_bp",
-        floor(lit(10000L) * col("n_ident") / least(col("src_len"), col("dest_len")))
-          .cast("long"))
+        floor(lit(10000L) * col("n_ident") / denom).cast("long"))
       .withColumn("p_aligned_bp",
-        floor(lit(10000L) * col("n_aligned") / least(col("src_len"), col("dest_len")))
-          .cast("long"))
+        floor(lit(10000L) * col("n_aligned") / denom).cast("long"))
+      .drop("__src_lo", "__src_hi", "__dest_lo", "__dest_hi")
     if (!trapOverflow) base
     else base
       .withColumn("p_identity_bp",

@@ -28,7 +28,28 @@ class PairAlignmentSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap2
     assert(metrics("b") === ((9L, 10L, 9000L, 10000L)))
-    assert(metrics("c") === ((4L, 4L, 4000L, 4000L)))
+    // denominator is the edge's bounding PATH span (4), not the whole
+    // sequence length — pygr pIdentity(mode=max), sequence.py:702-724
+    assert(metrics("c") === ((4L, 4L, 10000L, 10000L)))
+  }
+
+  test("identityMetrics denominator modes (sequence.py:702-724)") {
+    import spark.implicits._
+    val seqs = Seq(("a", "ACGTACGTAC"), ("b", "ACGTACGTAC")).toDF("seq_id", "seq")
+    // two blocks with different gap spread: src path [0,8) span 8,
+    // dest path [0,6) span 6; 6 aligned letters, all matching
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 4L), ("b", 0L, 4L, 1)),
+      (("a", 6L, 8L), ("b", 4L, 6L, 1))), bidirectional = false)
+    def bp(mode: String): Long =
+      PairAlignment.identityMetrics(store.blocks, seqs, trapOverflow = false, mode = mode)
+        .select("p_identity_bp").head().getLong(0)
+    // a[6,8)="GT" vs b[4,6)="AC": 0 matches there; a[0,4) 4 matches
+    assert(bp("max") === 10000L * 4 / 8)   // max(8,6)
+    assert(bp("min") === math.floor(10000.0 * 4 / 6).toLong)
+    assert(bp("src") === 10000L * 4 / 8)
+    assert(bp("dest") === math.floor(10000.0 * 4 / 6).toLong)
+    intercept[IllegalArgumentException](bp("nope"))
   }
 
   test("identity overflow trap on multiple mappings (sequence.py:717-724)") {
