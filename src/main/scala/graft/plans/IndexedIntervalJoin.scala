@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 import graft.operators.IntervalIndex
 
@@ -68,11 +69,25 @@ case class IndexedIntervalJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"),
+    "buildKeys" -> SQLMetrics.createMetric(sparkContext, "build side distinct keys"))
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): IndexedIntervalJoinExec =
     copy(left = newChildren(0), right = newChildren(1))
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRowsMetric = longMetric("buildRows")
+    val buildKeysMetric = longMetric("buildKeys")
+    // The per-task build side is plain heap with no spill: guard with a
+    // clear error instead of letting a skewed task die as an opaque
+    // executor OOM. ~50M rows ≈ 2.5 GB of copied rows — past any sane
+    // task share; such shapes belong on the binned path.
+    val maxBuildRows = conf.getConfString(
+      "spark.graft.indexedJoin.maxBuildRows", "50000000").toLong
     val kEval = BindReferences.bindReference(iKey, left.output)
     val sEval = BindReferences.bindReference(iStart, left.output)
     val eEval = BindReferences.bindReference(iEnd, left.output)
@@ -83,15 +98,25 @@ case class IndexedIntervalJoinExec(
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // build: one index per key over this task's interval slice
       val byKey = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+      var taskBuildRows = 0L
       li.foreach { r0 =>
         val r = r0.copy()
         val k = kEval.eval(r)
         if (k != null) {
+          taskBuildRows += 1
+          if (taskBuildRows > maxBuildRows)
+            throw new IllegalStateException(
+              s"IndexedIntervalJoinExec build side exceeded $maxBuildRows rows " +
+                "in one task (spark.graft.indexedJoin.maxBuildRows); this key " +
+                "distribution is too skewed for the in-heap index — use the " +
+                "binned interval join for this shape")
           byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty)
             .append((sEval.eval(r).asInstanceOf[Long],
                      eEval.eval(r).asInstanceOf[Long], r))
         }
       }
+      buildRowsMetric += taskBuildRows
+      buildKeysMetric += byKey.size
       val built = byKey.map { case (k, arr) =>
         val idx = IntervalIndex.build(
           arr.iterator.zipWithIndex.map { case ((s, e, _), i) => (s, e, i) }.toSeq)
@@ -105,7 +130,10 @@ case class IndexedIntervalJoinExec(
           case Some((idx, rows)) =>
             val ps = psEval.eval(p).asInstanceOf[Long]
             val pe = peEval.eval(p).asInstanceOf[Long]
-            idx.query(ps, pe).iterator.map(i => proj(joined(rows(i)._3, p)))
+            idx.query(ps, pe).iterator.map { i =>
+              numOutputRows += 1
+              proj(joined(rows(i)._3, p))
+            }
           case _ => Iterator.empty
         }
       }

@@ -33,6 +33,11 @@ object IvfFlat {
     val cents = corpus.where(col(idCol) % stride === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
         sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
+    // a filtered/offset id space can miss stride multiples entirely —
+    // fail loudly instead of silently assigning (and searching) nothing
+    require(!cents.isEmpty,
+      s"IvfFlat: no centroid ids divisible by $stride in '$idCol' — " +
+        "use a stride that intersects the id space")
     corpus
       .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
       .join(broadcast(cents))
@@ -53,6 +58,9 @@ object IvfFlat {
     val cents = assigned.where(col(idCol) % stride === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
         sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
+    require(!cents.isEmpty,
+      s"IvfFlat: no centroid ids divisible by $stride in '$idCol' — " +
+        "searchTopK would probe zero cells and return no neighbors")
     val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
     val wQ = Window.partitionBy("q")

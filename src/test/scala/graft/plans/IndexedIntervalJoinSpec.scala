@@ -86,6 +86,34 @@ class IndexedIntervalJoinSpec extends SparkSuite {
     assert(!names.contains("NestedLoop"), "nested loop join leaked into the plan")
   }
 
+  test("exec exposes SQLMetrics and guards oversized builds") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val (ivals, pts) = randData
+    val df = IntervalJoin.shuffledIndexJoin(ivals, pts, "key", "s", "e", "p")
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val exec = allNodes(df.queryExecution.executedPlan)
+      .collectFirst { case e: IndexedIntervalJoinExec => e }.get
+    assert(exec.metrics("numOutputRows").value > 0)
+    assert(exec.metrics("buildRows").value === 400)
+    assert(exec.metrics("buildKeys").value === 7)
+    // the row guard turns a would-be executor OOM into a clear error
+    spark.conf.set("spark.graft.indexedJoin.maxBuildRows", "10")
+    try {
+      val ex = intercept[Exception] {
+        IntervalJoin.shuffledIndexJoin(ivals, pts, "key", "s", "e", "p").collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("exceeded"), msgs)
+    } finally spark.conf.unset("spark.graft.indexedJoin.maxBuildRows")
+  }
+
   test("AlignmentStore.slice auto-selects indexed vs binned by key stats") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
