@@ -214,6 +214,50 @@ object SeqQ {
         .orderBy("query_id", "ori")
     },
 
+    // J8 end-to-end: the COMPOSED external-aligner pipeline
+    // (AlignmentStore.fromBlast = FASTA → per-partition subprocess →
+    // streaming report parse → ungapped blocks; pygr BlastMapping,
+    // blast.py:86-221). The stand-in aligner emits a deterministic
+    // report per record (query gap at the midpoint; ids ending 'm' on
+    // the Minus strand), so even the subprocess hop is oracle-exact.
+    "j8c_blast_pipeline" -> { (s, dir) =>
+      val script = java.nio.file.Paths.get(tmpPath(s, "graft_aligner"), "fake_aligner.sh")
+      java.nio.file.Files.createDirectories(script.getParent)
+      java.nio.file.Files.write(script,
+        ("#!/bin/sh\n" +
+          "awk '\n" +
+          "/^>/ { id = substr($0, 2); next }\n" +
+          "{\n" +
+          "  L = length($0); h = int(L / 2)\n" +
+          "  q = substr($0, 1, h) \"-\" substr($0, h + 1)\n" +
+          "  s = \"\"\n" +
+          "  for (i = 0; i <= L; i++) s = s \"N\"\n" +
+          "  print \"Query= \" id\n" +
+          "  print \">hit_\" id\n" +
+          "  print \" Score = 50.0 bits (25),  Expect = 1e-09\"\n" +
+          "  print \" Identities = \" L \"/\" (L + 1)\n" +
+          "  if (id ~ /m$/) {\n" +
+          "    print \" Strand = Plus / Minus\"\n" +
+          "    print \"Query: 1 \" q \" \" L\n" +
+          "    print \"Sbjct: \" (11 + L + 1) \" \" s \" \" 12\n" +
+          "  } else {\n" +
+          "    print \" Strand = Plus / Plus\"\n" +
+          "    print \"Query: 1 \" q \" \" L\n" +
+          "    print \"Sbjct: 11 \" s \" \" (11 + L)\n" +
+          "  }\n" +
+          "}'\n").getBytes)
+      script.toFile.setExecutable(true)
+      val seqs = withDna(s, dir).where(col("doc_id") < 30)
+        .select(concat(lit("q"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("m")).otherwise(lit(""))).as("seq_id"),
+          col("dna").as("seq"))
+      graft.align.AlignmentStore.fromBlast(s, seqs, Seq(script.toString))
+        .blocks
+        .select("src_id", "src_start", "src_end", "dest_id",
+          "dest_start", "dest_end", "dest_ori")
+        .orderBy("src_id", "src_start")
+    },
+
     // S3: chunked strslice — only covering chunks are read.
     "s3_strslice" -> { (s, dir) =>
       val db = SeqDb.fromSequences(
@@ -409,6 +453,28 @@ object SeqQ {
         |    CAST(doc_id + 200 AS BIGINT), CAST(doc_id + 212 AS BIGINT),
         |    -1, 30.5, '0.004', CAST(8 AS BIGINT), CAST(12 AS BIGINT) FROM s7)
         |SELECT * FROM r ORDER BY query_id, ori""".stripMargin,
+
+    "j8c_blast_pipeline" ->
+      s"""WITH d AS ($dnaSql),
+        |ids AS (SELECT doc_id,
+        |    'q' || doc_id || (CASE WHEN doc_id % 3 = 0 THEN 'm' ELSE '' END) AS src_id,
+        |    doc_id % 3 = 0 AS minus
+        |  FROM d WHERE doc_id < 30),
+        |r AS (
+        |  -- dna is 64 chars; the fake aligner gaps the query at 32 →
+        |  -- two runs; plus subjects start at 11 (1-based), minus ones
+        |  -- descend from 76
+        |  SELECT src_id, CAST(0 AS BIGINT) AS src_start, CAST(32 AS BIGINT) AS src_end,
+        |    'hit_' || src_id AS dest_id,
+        |    CAST(CASE WHEN minus THEN 44 ELSE 10 END AS BIGINT) AS dest_start,
+        |    CAST(CASE WHEN minus THEN 76 ELSE 42 END AS BIGINT) AS dest_end,
+        |    CAST(CASE WHEN minus THEN -1 ELSE 1 END AS INTEGER) AS dest_ori FROM ids
+        |  UNION ALL
+        |  SELECT src_id, CAST(32 AS BIGINT), CAST(64 AS BIGINT), 'hit_' || src_id,
+        |    CAST(CASE WHEN minus THEN 11 ELSE 43 END AS BIGINT),
+        |    CAST(CASE WHEN minus THEN 43 ELSE 75 END AS BIGINT),
+        |    CAST(CASE WHEN minus THEN -1 ELSE 1 END AS INTEGER) FROM ids)
+        |SELECT * FROM r ORDER BY src_id, src_start""".stripMargin,
 
     "s3_strslice" ->
       s"""WITH d AS ($dnaSql)
