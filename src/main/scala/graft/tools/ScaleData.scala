@@ -92,15 +92,19 @@ object ScaleData {
       .withColumn("n_chars", length(col("text")))
       .drop("__r"), "documents")
 
+    // replica embeddings are INDEPENDENT hash-random vectors, not
+    // jittered copies — a jittered copy is a true near-duplicate of
+    // its original (cos ≈ 0.9999), which would add 45 cross-replica
+    // dup pairs per source vector and swamp every near-dup operator
+    // with quadratic mass the real corpus growth wouldn't have
     write(rep(read("embeddings"))
       .withColumn("vec_id", off("vec_id", Strides("vecid")))
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding")).otherwise(
-          zip_with(
-            col("embedding"),
+          transform(
             sequence(lit(1), size(col("embedding"))),
-            (x, i) => (x + (pmod(hash(col("vec_id"), i, col("__r")), lit(1000))
-              .cast("double") - 500.0) * 1e-4).cast("float"))))
+            i => ((pmod(hash(col("vec_id"), i, col("__r")), lit(2001))
+              .cast("double") - 1000.0) / 1000.0).cast("float"))))
       .drop("__r"), "embeddings")
   }
 }
