@@ -23,7 +23,14 @@ object Bench {
     // fixed (sorted) query order and millisecond precision keep the
     // one-line JSON short and its layout stable — the r2 driver capture
     // truncated a long tail mid-map
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=j5,d2 runs the matching subset (substring
+    // match, like Verify's third arg) — for targeted scale probes
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      subset.forall(_.exists(n.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

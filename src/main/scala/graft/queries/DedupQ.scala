@@ -21,6 +21,26 @@ object DedupQ {
     table(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
+  /** Embedding near-dup pairs blocked by label × IVF cell — the
+    * bounded-block shape (SemDeDup-style cluster-then-dedup): blocking
+    * on the fixed-cardinality label alone makes block size grow
+    * linearly with the corpus and the pair join quadratic (measured
+    * 84x at the 10x sf1 audit); the √n-cell quantizer keeps blocks at
+    * ~√n vectors, so pair work scales ~n^1.5. Same-label pairs in
+    * different cells are out of scope BY DEFINITION of the operator.
+    */
+  private def embNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfFlat
+    val emb = table(s, dir, "embeddings")
+    val stride = IvfFlat.autoStride(emb.count())
+    val bucketed = IvfFlat.assign(emb, "vec_id", "embedding", stride)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(concat(col("label").cast("string"), lit("_"),
+        col("cell").cast("string")).as("bk"),
+        col("vec_id"), col("embedding"))
+    CosineSim.neardupPairs(bucketed, "vec_id", "embedding", "bk", 0.3)
+  }
+
   val defs: Map[String, Q] = Map(
     // d2: shingle → minhash (k=8) → 4 bands → bucket join → verify.
     "d2_minhash_lsh" -> { (s, dir) =>
@@ -66,18 +86,15 @@ object DedupQ {
     // cluster keeps one representative, the min id = the component
     // label). GraphX CC over the d4 pair graph.
     "d6_embed_clusters" -> { (s, dir) =>
-      val pairs = CosineSim.neardupPairs(table(s, dir, "embeddings"),
-          "vec_id", "embedding", "label", 0.4)
+      val pairs = embNeardupPairs(s, dir)
         .select(col("i").as("src"), col("j").as("dst"))
       new graft.graph.EdgeGraph(pairs).connectedComponents(s)
         .orderBy("node")
     },
 
-    // d4: embedding near-dup pairs, blocked by label (IVF-cell analog).
+    // d4: embedding near-dup pairs, blocked by label × IVF cell.
     "d4_embed_neardup" -> { (s, dir) =>
-      CosineSim.neardupPairs(table(s, dir, "embeddings"),
-          "vec_id", "embedding", "label", 0.4)
-        .orderBy("i", "j")
+      embNeardupPairs(s, dir).orderBy("i", "j")
     },
 
     // n1: brute-force cosine top-3 for the first 20 vectors.
@@ -95,9 +112,10 @@ object DedupQ {
     // n2's LSH buckets).
     "n3_ann_ivf" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val cells = graft.similarity.IvfFlat.assign(emb, "vec_id", "embedding", stride = 25L)
+      val stride = graft.similarity.IvfFlat.autoStride(emb.count())
+      val cells = graft.similarity.IvfFlat.assign(emb, "vec_id", "embedding", stride)
       graft.similarity.IvfFlat.searchTopK(emb.filter(col("vec_id") < 20), cells,
-          "vec_id", "vec_id", "embedding", k = 3, nprobe = 2, stride = 25L)
+          "vec_id", "vec_id", "embedding", k = 3, nprobe = 2, stride)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q", "rank")
     },
@@ -113,9 +131,10 @@ object DedupQ {
       val qs = emb.filter(col("vec_id") < 20)
       val exact = CosineSim.topK(qs, emb, "vec_id", "vec_id", "embedding", k = 3)
         .select(col("q"), col("neighbor"))
-      val cells = IvfFlat.assign(emb, "vec_id", "embedding", stride = 25L)
+      val stride = IvfFlat.autoStride(emb.count())
+      val cells = IvfFlat.assign(emb, "vec_id", "embedding", stride)
       val approx = IvfFlat.searchTopK(qs, cells, "vec_id", "vec_id", "embedding",
-          k = 3, nprobe = 2, stride = 25L)
+          k = 3, nprobe = 2, stride)
         .select(col("q"), col("neighbor"))
       val hits = exact.join(approx, Seq("q", "neighbor"), "left_semi")
         .groupBy("q").agg(count(lit(1)).as("n_hit"))
@@ -222,10 +241,19 @@ object DedupQ {
 
     "d6_embed_clusters" ->
       """WITH RECURSIVE e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n
+        |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+        |asg AS (SELECT n.vec_id, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |bkt AS (SELECT n.label || '_' || cell.cell AS bk, n.vec_id, n.v, n.nm
+        |  FROM n JOIN cell ON n.vec_id = cell.vec_id),
         |p AS (SELECT a.vec_id AS i, b.vec_id AS j
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |  FROM bkt a JOIN bkt b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.3),
         |ud AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
         |nodes AS (SELECT DISTINCT a AS n FROM ud),
         |walk(n, lbl) AS (
@@ -237,11 +265,20 @@ object DedupQ {
 
     "d4_embed_neardup" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.label AS bk, a.vec_id AS i, b.vec_id AS j,
-        |  list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT bk, i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin,
+        |n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n
+        |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+        |asg AS (SELECT n.vec_id, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |b AS (SELECT n.label || '_' || cell.cell AS bk, n.vec_id, n.v, n.nm
+        |  FROM n JOIN cell ON n.vec_id = cell.vec_id),
+        |p AS (SELECT a.bk, a.vec_id AS i, b2.vec_id AS j,
+        |  list_dot_product(a.v, b2.v) / (a.nm * b2.nm) AS cos
+        |  FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id)
+        |SELECT bk, i, j, cos FROM p WHERE cos >= 0.3 ORDER BY i, j""".stripMargin,
 
     "n2_ann_lsh" -> {
       val bucket = graft.similarity.CosineLsh.bucketSql("v", 64, 4)
@@ -270,7 +307,7 @@ object DedupQ {
         |xr AS (SELECT q, neighbor,
         |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM xs),
         |exact AS (SELECT q, neighbor FROM xr WHERE rk <= 3),
-        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
         |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
         |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
         |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
@@ -299,7 +336,7 @@ object DedupQ {
     "n3_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
         |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
         |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
         |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (

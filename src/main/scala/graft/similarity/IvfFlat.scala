@@ -23,6 +23,15 @@ import CosineSim.dot
   */
 object IvfFlat {
 
+  /** Stride giving ~√n centroids: keeps the assignment join at
+    * n·√n distance computations (fixed stride makes centroid count
+    * grow linearly with the corpus and assignment quadratic — the
+    * sf1 scaling audit measured exactly that). √n cells of ~√n
+    * vectors each is the classic IVF balance.
+    */
+  def autoStride(n: Long): Long =
+    math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Assign every vector to its nearest sampled centroid by cosine.
     * Output: (idCol, vecCol, cell) — cell is the centroid's id; ties
     * break to the lowest centroid id.

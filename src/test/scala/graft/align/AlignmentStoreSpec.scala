@@ -125,4 +125,26 @@ class AlignmentStoreSpec extends SparkSuite {
     val got = collectSlice(store.inverse.slice(mkQueries((0L, "b", 100L, 108L))))
     assert(got === Seq(("b", 100L, 108L, "a", 0L, 8L, -1)))
   }
+
+  test("letterEdges composes over slice output with q_id lanes") {
+    import spark.implicits._
+    val seqs = Seq(("a", "ACGTACGTAC"), ("b", "ACGTACGTAC")).toDF("seq_id", "seq")
+    // two src-adjacent blocks with abutting dest coords → one bridge
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("a", 0L, 4L), ("b", 0L, 4L, 1)),
+      (("a", 4L, 8L), ("b", 4L, 8L, 1))), bidirectional = false)
+    val sliced = store.slice(mkQueries((7L, "a", 1L, 7L)))
+    val cols = PairAlignment.columns(sliced, seqs)
+    val edges = PairAlignment.letterEdges(cols,
+        laneCols = Seq("q_id", "src_id", "dest_id", "dest_ori"))
+      .select("q_id", "src_pos", "next_src_pos", "dest_pos", "next_dest_pos", "edge_kind")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toSet
+    // slice clips to [1,7): within-edges 1→2→3 and 4→5→6, bridge 3→4
+    assert(edges === Set(
+      (7L, 1L, 2L, 1L, 2L, "within"), (7L, 2L, 3L, 2L, 3L, "within"),
+      (7L, 3L, 4L, 3L, 4L, "bridge"),
+      (7L, 4L, 5L, 4L, 5L, "within"), (7L, 5L, 6L, 5L, 6L, "within")))
+  }
 }
