@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * a bucket (the IVF-cell/LSH analog of SURVEY §7.7). Planes are
   * derived from pure integer arithmetic so any engine reproduces
   * them: plane p component i is +1 iff (i*31 + p*17) mod 7 < 3.
+  *
+  * Sizing at scale: bucket count is 2^nPlanes and the within-bucket
+  * search is quadratic in bucket population, so nPlanes must grow
+  * with the corpus — nPlanes ≈ log2(n / targetBucketSize) keeps
+  * buckets constant-size (the sf1 audit's lesson for every
+  * fixed-cardinality blocking key).
   */
 object CosineLsh {
 
