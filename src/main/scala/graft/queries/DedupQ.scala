@@ -97,6 +97,24 @@ object DedupQ {
       embNeardupPairs(s, dir).orderBy("i", "j")
     },
 
+    // d7: benchmark decontamination — flag corpus docs sharing any
+    // 3-gram with a held-out benchmark set (doc_id % 97 == 0 stands
+    // in for the eval set). The real pre-training hygiene step: eval
+    // n-grams are a tiny broadcast set, the corpus side is one
+    // shingle pass + semi-join — linear in corpus size.
+    "d7_decontam" -> { (s, dir) =>
+      import graft.text.TextFunctions.shingles
+      val sh = docToks(s, dir)
+        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh3"))
+        .select(col("doc_id"), md5(col("sh3")).as("h"))
+      val bench = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(countDistinct("h").as("n_contaminated"))
+        .orderBy("doc_id")
+    },
+
     // n1: brute-force cosine top-3 for the first 20 vectors.
     "n1_ann_topk" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
@@ -177,6 +195,18 @@ object DedupQ {
       |FROM tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d7_decontam" ->
+      s"""WITH tk AS ($tkSql),
+        |sh3 AS (SELECT doc_id, md5(sh) AS h FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+        |  FROM tk)),
+        |bench AS (SELECT DISTINCT h FROM sh3 WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(COUNT(DISTINCT sh3.h) AS BIGINT) AS n_contaminated
+        |FROM sh3 JOIN bench ON sh3.h = bench.h
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d2_minhash_lsh" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),

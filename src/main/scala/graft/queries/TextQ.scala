@@ -122,6 +122,56 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // c2: entity scrub — regex redaction of configured entity terms
+    // (the PII/boilerplate-removal stage of a cleaning pipeline; the
+    // corpus has no digits, so the scrub targets its entity words).
+    // Output: per affected doc, redaction count + scrubbed-text hash.
+    "c2_scrub" -> { (s, dir) =>
+      val pat = "\\b(customer|supplier)\\b"
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text"), pat, "[ENT]")).as("scrub_hash"))
+        .where(col("n_redacted") > 0)
+        .orderBy("doc_id")
+    },
+
+    // c3: mixture sampling — per-source hash-based downsampling to a
+    // target rate (the domain-reweighting step of a training mix).
+    // Deterministic: keep iff the first md5 hex char of the text
+    // falls in the source's quota (rates cycle 25/50/75/100% by
+    // source index). Report = the per-source sample card.
+    "c3_sample_mix" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .withColumn("keep_n",
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 4)
+        .withColumn("hx", substring(md5(col("text")), 1, 1))
+        .withColumn("kept", expr("instr('0123456789abcdef', hx)") <= col("keep_n"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), tokenCount(col("text")).cast("long"))
+            .otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    // c4: sequence packing — concatenate each source's doc stream and
+    // chunk into fixed 512-token training examples (GPT-style packing
+    // across document boundaries): pack_id/offset from a running
+    // token sum. One window per source lane, no shuffle beyond it.
+    "c4_pack_sequences" -> { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) div 512").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % 512L).as("offset"))
+        .orderBy("doc_id")
+    },
+
     // m2: multimodal frame sampling — evenly spaced byte windows over
     // each opaque blob (graft.multimodal.Multimodal.sampleFrames: the
     // video frame-sample SHAPE with the decode stubbed), each frame
@@ -193,6 +243,37 @@ object TextQ {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "c2_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS BIGINT) AS n_redacted,
+        |  md5(regexp_replace(text, '\b(customer|supplier)\b', '[ENT]', 'g')) AS scrub_hash
+        |FROM documents)
+        |SELECT * FROM r WHERE n_redacted > 0 ORDER BY doc_id""".stripMargin,
+
+    "c3_sample_mix" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT doc_id, source, text,
+        |  (CAST(substr(source, 4) AS INT) % 4 + 1) * 4 AS keep_n,
+        |  substr(md5(text), 1, 1) AS hx FROM documents),
+        |k AS (SELECT d.*, instr('0123456789abcdef', hx) <= keep_n AS kept,
+        |  CAST(len(tk.toks) AS BIGINT) AS n_tokens
+        |  FROM d JOIN tk ON d.doc_id = tk.doc_id)
+        |SELECT source, COUNT(*) AS n_in,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "c4_pack_sequences" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT documents.doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM documents JOIN tk ON documents.doc_id = tk.doc_id),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  (cum - n_tokens) // 512 AS pack_id,
+        |  (cum - n_tokens) % 512 AS offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""WITH tk AS ($toksSql),
