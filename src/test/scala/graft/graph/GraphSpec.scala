@@ -80,6 +80,57 @@ class GraphSpec extends SparkSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("graph_test.py:88-100 basic query golden (verbatim)") {
+    val g = edgesDF((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L))
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("q0", "q1", g), MotifEdge("q0", "q2", g),
+      MotifEdge("q0", "q3", g), MotifEdge("q3", "q4", g))),
+      "q0", "q1", "q2", "q3", "q4")
+    assert(got === Set(
+      List(0L, 1L, 2L, 3L, 4L), List(0L, 1L, 2L, 3L, 5L),
+      List(0L, 2L, 1L, 3L, 4L), List(0L, 2L, 1L, 3L, 5L)))
+  }
+
+  test("graph_test.py:114-121 cyclic query vs cyclic data golden") {
+    val g = edgesDF((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L))
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("q0", "q1", g), MotifEdge("q1", "q2", g),
+      MotifEdge("q2", "q4", g), MotifEdge("q4", "q3", g),
+      MotifEdge("q3", "q1", g))),
+      "q0", "q1", "q2", "q3", "q4")
+    assert(got === Set(List(1L, 2L, 3L, 5L, 4L)))
+  }
+
+  test("graph_test.py:123-130 cyclic query vs acyclic data is empty") {
+    val g = edgesDF((0L, 1L), (1L, 3L), (5L, 3L), (4L, 5L), (2L, 4L), (2L, 1L))
+    val got = MotifQuery.find(Seq(
+      MotifEdge("q0", "q1", g), MotifEdge("q1", "q3", g),
+      MotifEdge("q3", "q5", g), MotifEdge("q5", "q4", g),
+      MotifEdge("q4", "q2", g), MotifEdge("q2", "q1", g)))
+    assert(got.count() === 0L)
+  }
+
+  test("graph_test.py:132-140 symmetric query golden") {
+    val g = edgesDF((1L, 2L), (2L, 3L), (2L, 4L), (5L, 2L))
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("q0", "q1", g), MotifEdge("q1", "q2", g))),
+      "q0", "q1", "q2")
+    assert(got === Set(
+      List(1L, 2L, 3L), List(1L, 2L, 4L), List(5L, 2L, 3L), List(5L, 2L, 4L)))
+  }
+
+  test("graph_test.py:151-160 headless (pure cycle) query golden") {
+    val g = edgesDF((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = rows(MotifQuery.find(Seq(
+      MotifEdge("q0", "q1", g), MotifEdge("q1", "q2", g),
+      MotifEdge("q2", "q3", g), MotifEdge("q3", "q0", g))),
+      "q0", "q1", "q2", "q3")
+    assert(got === Set(
+      List(1L, 2L, 3L, 4L), List(2L, 3L, 4L, 1L),
+      List(3L, 4L, 1L, 2L), List(4L, 1L, 2L, 3L)))
+  }
+
   test("connected components on a deep chain checkpoints lineage") {
     // a 40-node path has diameter ≈ iteration count — the worst case
     // for Pregel lineage depth; interval=5 (SparkSuite conf) must
