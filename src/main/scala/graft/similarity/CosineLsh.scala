@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object CosineLsh {
 
+  /** Plane count keeping expected bucket population ≈
+    * `targetBucketSize`: ceil(log2(n / target)), min 1 — the sizing
+    * rule the scaling audit mandates for every fixed-cardinality
+    * blocking key.
+    */
+  def autoPlanes(n: Long, targetBucketSize: Long = 1024L): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
   def planeExpr(p: Int, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
       i => when(((i * 31 + lit(p) * 17) % 7) < 3, lit(1.0d)).otherwise(lit(-1.0d)))

@@ -69,6 +69,23 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming NEAR-dup suppression: dedupe on the shingle-minhash
+    * content fingerprint (`TextFunctions.fingerprint`) instead of the
+    * exact hash, so trivially-edited re-posts of a document collapse
+    * to the first arrival. Same watermarked state eviction as
+    * `dedupeByContent` — state size is bounded by the watermark
+    * horizon, not the stream length.
+    */
+  def dedupeByFingerprint(docs: DataFrame, tsCol: String, textCol: String,
+                          shingleN: Int = 3,
+                          watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__fp",
+        graft.text.TextFunctions.fingerprint(
+          graft.text.TextFunctions.tokens(col(textCol)), shingleN))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** A flush sentinel: an event at or beyond this second closes any
     * open session for its user without starting a new one.
     */

@@ -86,6 +86,28 @@ class StreamSpec extends SparkSuite {
     assert(got === Set(1L, 3L, 5L))
   }
 
+  test("streaming NEAR-dup drops fingerprint-equal edits, keeps distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupeByFingerprint(df, "ts", "text", shingleN = 3,
+        watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // doc 2 is doc 1 with a trailing addition: the min-shingle-hash
+    // fingerprint is unchanged (the new shingles hash higher here),
+    // so it collapses; doc 3 shares no shingles and survives
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    in.addData((t(10), 1L, base),
+               (t(11), 2L, base + " iota"),
+               (t(12), 3L, "one two three four five six"))
+    q.processAllAvailable()
+    val got = spark.table("neardup").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got.contains(1L) && got.contains(3L) && !got.contains(2L))
+  }
+
   test("stateful gap sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
