@@ -275,6 +275,15 @@ object AlignmentStore {
       .mapPartitions { lines =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
         BlastText.parseRunLines(lines).map { r =>
+          // block_id uniqueness is load-bearing downstream (columns /
+          // letterEdges group by it) — fail loudly rather than let a
+          // gappy alignment bleed run_no into the hsp_no bits.
+          require(r.run_no >= 0 && r.run_no < (1L << 10),
+            s"fromBlast: HSP with ${r.run_no + 1} ungapped runs exceeds the " +
+              "1024-run block_id field; raise the field width for this input")
+          require(r.hsp_no >= 0 && r.hsp_no < (1L << 30),
+            s"fromBlast: partition with ${r.hsp_no + 1} HSPs exceeds the " +
+              "2^30 block_id field; repartition the input finer")
           AlignBlock(r.query_id, r.q_start, r.q_end,
             r.hit_id, r.s_start, r.s_end, r.ori,
             (pid << 40) | (r.hsp_no << 10) | r.run_no)

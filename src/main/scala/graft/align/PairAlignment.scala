@@ -82,6 +82,12 @@ object PairAlignment {
     */
   def letterEdges(cols: DataFrame,
                   laneCols: Seq[String] = Seq("src_id", "dest_id", "dest_ori")): DataFrame = {
+    // the inter-block step direction reads dest_ori off the joined
+    // lanes; with it absent from the lane key the reference would not
+    // resolve (or resolve ambiguously), so insist up front
+    require(laneCols.contains("dest_ori"),
+      "letterEdges: laneCols must include dest_ori (the inter-block " +
+        "step direction is derived from it)")
     val lane = laneCols.map(col)
     val byBlock = laneCols :+ "block_id"
     val base = cols.select((laneCols ++ Seq("block_id", "src_pos", "dest_pos",

@@ -67,8 +67,22 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
   def connectedComponents(spark: SparkSession,
                           maxIterations: Int = Int.MaxValue): DataFrame = {
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}")
+    if (sc.getCheckpointDir.isEmpty) {
+      // A driver-local tmpdir is only a valid checkpoint target in
+      // local mode; on a real cluster Spark requires a shared
+      // (e.g. HDFS/object-store) directory — require one via
+      // spark.graft.checkpointDir rather than checkpoint somewhere
+      // executors can't read.
+      val configured = sc.getConf.getOption("spark.graft.checkpointDir")
+      val dir = configured.getOrElse {
+        require(sc.isLocal,
+          "connectedComponents needs a cluster-visible checkpoint dir: " +
+            "set spark.graft.checkpointDir (or SparkContext.setCheckpointDir) " +
+            "to a shared filesystem path")
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}"
+      }
+      sc.setCheckpointDir(dir)
+    }
     val pairs = edges
       .select(col(src).cast("long"), col(dst).cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))

@@ -38,7 +38,16 @@ object PipeJoin {
   def pipeLinesKeyed(spark: SparkSession, df: DataFrame, cmd: Seq[String],
                      sep: String = "\t"): DataFrame = {
     import spark.implicits._
-    df.rdd.map(r => r.getString(0) + sep + r.getString(1))
+    df.rdd.map { r =>
+      val key = r.getString(0)
+      // a key containing `sep` would be silently truncated at the
+      // first separator on the way back — corrupting re-association
+      // is worse than failing the task
+      require(!key.contains(sep),
+        s"pipeLinesKeyed: key '$key' contains the separator " +
+          s"'${sep}'; choose a different sep")
+      key + sep + r.getString(1)
+    }
       .pipe(cmd)
       .map { l =>
         val i = l.indexOf(sep)
