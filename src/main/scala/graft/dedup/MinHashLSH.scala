@@ -33,18 +33,41 @@ object MinHashLSH {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band, bucket) rows: bucket = md5 of the band's signature
-    * concat; `bands` must divide k evenly.
+  /** Signature columns sig0..sig{k-1} as PURE PER-ROW array
+    * expressions — no aggregation, so this works on a STREAMING
+    * DataFrame (where `signatures`' groupBy would be a stateful op)
+    * and inside any per-row pipeline. Values are identical to
+    * `signatures`: same seeded md5 per shingle, and `array_min` on
+    * fixed-length hex strings is the same lexicographic min as the
+    * min-aggregate. Docs with no shingles get null signatures
+    * (`signatures` drops them at the explode) — filter nulls out
+    * before bucketing.
     */
-  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  def signatureExprs(docs: DataFrame, toksCol: String,
+                     k: Int = 8, shingleN: Int = 2): DataFrame = {
+    val sh = TextFunctions.shingles(col(toksCol), shingleN)
+    (0 until k).foldLeft(docs) { (d, i) =>
+      d.withColumn(s"sig$i",
+        array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))))
+    }
+  }
+
+  /** (id, band, bucket) rows: bucket = md5 of the band's signature
+    * concat; `bands` must divide k evenly. `carry` columns (e.g. an
+    * event-time timestamp for streaming state eviction) pass through
+    * untouched.
+    */
+  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
     val rows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((b * r until (b + 1) * r).map(i => col(s"sig$i")): _*)).as("bucket"))
     }
-    sigs.select(col(idCol), explode(array(rows: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val keep = col(idCol) +: carry.map(col)
+    sigs.select(keep :+ explode(array(rows: _*)).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
   }
 
   /** Distinct candidate pairs (i < j) sharing any band bucket.

@@ -138,6 +138,54 @@ object DedupQ {
         .orderBy("q", "rank")
     },
 
+    // n5: trained-codebook IVF — FIXED k centroids (deterministic
+    // md5-smallest hash sample), so assignment is n·k (linear in the
+    // corpus) where the √n-stride sampler is n^1.5; the codebook is
+    // what Lloyd `refine` starts from (refinement itself is
+    // spec-gated: float means can't hash-match the oracle).
+    "n5_ann_ivf_trained" -> { (s, dir) =>
+      import graft.similarity.IvfFlat
+      val emb = table(s, dir, "embeddings")
+      val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
+      val cells = IvfFlat.assignTo(emb, "vec_id", "embedding", cb)
+      IvfFlat.searchTopKWith(emb.filter(col("vec_id") < 20), cells, cb,
+          "vec_id", "vec_id", "embedding", k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q", "rank")
+    },
+
+    // n6: int8-QUANTIZED ANN scoring — per-vector symmetric int8
+    // quantization (scale = max|v|/127, floor), integer dot-product
+    // ranking. The 100 TB rationale: a quantized index is 4× smaller
+    // than float32 (memory-bandwidth-bound scans) and SIMD-friendly;
+    // and because scores are pure integers the whole operator — not
+    // just its plumbing — is hash-exact against the oracle. Rank
+    // parity with float cosine is approximate by design (that's the
+    // quantization trade); pair with an n4-style recall eval before
+    // swapping it in.
+    "n6_ann_quantized" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val maxabs = array_max(transform(v, y => abs(y)))
+      val q8v = when(maxabs > 0d,
+          transform(v, x => floor(x * lit(127.0) / maxabs).cast("long")))
+        .otherwise(transform(v, x => lit(0L)))
+      val q8 = emb.select(col("vec_id"), q8v.as("q8"))
+      val idot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val scored = q8.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("q8").as("qa"))
+        .join(broadcast(q8.select(col("vec_id").as("neighbor"), col("q8").as("qb"))),
+          col("q") =!= col("neighbor"))
+        .select(col("q"), col("neighbor"), idot.as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("neighbor"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("q", "rank", "neighbor", "score")
+        .orderBy("q", "rank")
+    },
+
     // n4: ANN evaluation — per-query recall@3 of the IVF index
     // against exact brute force (the measurement loop every ANN
     // deployment runs; both sides deterministic, so even the metric
@@ -172,6 +220,30 @@ object DedupQ {
         emb.select(col("bucket"), col("vec_id"), col("embedding")),
         "vec_id", "embedding", "bucket", threshold = -2.0)
       // per query id (either side of the i<j pair), best same-bucket match
+      val cand = pairs.select(col("i").as("q"), col("j").as("neighbor"), col("cos"))
+        .union(pairs.select(col("j").as("q"), col("i").as("neighbor"), col("cos")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("cos").desc, col("neighbor"))
+      cand.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1 && col("q") < 50)
+        .select("q", "neighbor", "cos")
+        .orderBy("q")
+    },
+
+    // n2b: AUTO-SIZED LSH — the plane count grows with the corpus
+    // (integer ceil-log2 of n/targetBucketSize, target 64) so bucket
+    // population stays constant as data scales: 3 planes at 500
+    // vectors, 5 at 2k, 9 at 20k. The within-bucket quadratic is
+    // thereby bounded by design, not by luck — the general fix the
+    // sf1 audit demanded for every fixed-cardinality blocking key.
+    "n2b_ann_lsh_auto" -> { (s, dir) =>
+      import graft.similarity.CosineLsh
+      val embRaw = table(s, dir, "embeddings")
+      val np = CosineLsh.autoPlanes(embRaw.count(), targetBucketSize = 64)
+      val emb = CosineLsh.signBuckets(embRaw, "embedding", dims = 64, nPlanes = np)
+      val pairs = CosineSim.neardupPairs(
+        emb.select(col("bucket"), col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "bucket", threshold = -2.0)
       val cand = pairs.select(col("i").as("q"), col("j").as("neighbor"), col("cos"))
         .union(pairs.select(col("j").as("q"), col("i").as("neighbor"), col("cos")))
       val w = org.apache.spark.sql.expressions.Window
@@ -327,6 +399,25 @@ object DedupQ {
         |ORDER BY q""".stripMargin
     },
 
+    "n2b_ann_lsh_auto" -> {
+      val np = graft.similarity.CosineLsh
+        .autoPlanesSql("SELECT COUNT(*) FROM embeddings", 64L)
+      val bucket = graft.similarity.CosineLsh.bucketSqlDyn("v", 64, s"($np)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+        |p AS (SELECT a.vec_id AS i, b2.vec_id AS j,
+        |  list_dot_product(a.v, b2.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |cand AS (SELECT i AS q, j AS neighbor, cos FROM p
+        |         UNION ALL SELECT j, i, cos FROM p),
+        |r AS (SELECT q, neighbor, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk
+        |  FROM cand)
+        |SELECT q, neighbor, cos FROM r WHERE rk = 1 AND q < 50
+        |ORDER BY q""".stripMargin
+    },
+
     "n4_ann_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
@@ -367,6 +458,50 @@ object DedupQ {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
         |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+        |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |q AS (SELECT vec_id AS q, v AS qv, nm AS qn FROM n WHERE vec_id < 20),
+        |qp AS (SELECT q, qv, qn, cell FROM (
+        |  SELECT q.q, q.qv, q.qn, cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q
+        |      ORDER BY list_dot_product(qv, cv)/(qn*cn) DESC, cid) AS rk
+        |  FROM q CROSS JOIN c) WHERE rk <= 2),
+        |sc AS (SELECT qp.q, cell.vec_id AS neighbor,
+        |  list_dot_product(qp.qv, cell.v)/(qp.qn*cell.nm) AS cos
+        |  FROM qp JOIN cell ON qp.cell = cell.cell AND qp.q <> cell.vec_id),
+        |r AS (SELECT q, neighbor, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, cos FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n6_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS ma FROM e),
+        |q8 AS (SELECT vec_id,
+        |  CASE WHEN ma > 0
+        |    THEN list_transform(v, x -> CAST(floor(x * 127.0 / ma) AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM m),
+        |s AS (SELECT a.vec_id AS q, b.vec_id AS neighbor,
+        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS score
+        |  FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20),
+        |r AS (SELECT q, neighbor, score,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, neighbor) AS rk
+        |  FROM s)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, score FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n5_ann_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM (
+        |  SELECT vec_id, v, nm,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM n) WHERE rk <= 16),
         |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
         |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
         |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (

@@ -199,6 +199,35 @@ object GraphQ {
     "g1_connected_components" -> { (s, dir) =>
       new EdgeGraph(sparseEdges(s, dir)).connectedComponents(s)
         .orderBy("node")
+    },
+
+    // g3: PageRank in FIXED-POINT integer arithmetic (micro-units,
+    // damping 0.85, 2 unrolled iterations) — float PageRank can never
+    // hash-match across engines (summation order), so the ranks are
+    // integers end to end: contribution = floor(pr/outdeg), update =
+    // 150000 + floor(85*Σ/100). Per iteration: one join on src + one
+    // aggregate on dst — the standard shuffle shape; iterations
+    // compose without caching pitfalls because each is a pure
+    // DataFrame transform (a production run would persist between
+    // rounds and use GraphX/Pregel for many iterations).
+    "g3_pagerank" -> { (s, dir) =>
+      val e = suppPartEdges(s, dir)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val outd = e.groupBy("src").agg(count(lit(1)).as("d"))
+      def step(r: DataFrame): DataFrame = {
+        val contrib = e.join(outd, "src")
+          .join(r.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            floor(col("pr") / col("d")).cast("long").as("c"))
+        nodes.join(contrib.groupBy("node").agg(sum("c").as("sc")),
+            Seq("node"), "left")
+          .na.fill(0L, Seq("sc"))
+          .select(col("node"),
+            (lit(150000L) + floor(lit(85L) * col("sc") / lit(100L))).cast("long").as("pr"))
+      }
+      val r0 = nodes.withColumn("pr", lit(1000000L))
+      step(step(r0)).orderBy("node")
     }
   )
 
@@ -311,6 +340,28 @@ object GraphQ {
       s"""WITH e AS ($sp)
         |SELECT src AS suppkey, COUNT(*) AS out_deg FROM e
         |GROUP BY src ORDER BY suppkey""".stripMargin,
+
+    "g3_pagerank" ->
+      s"""WITH e AS ($sp),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |          UNION SELECT DISTINCT dst FROM e),
+        |outd AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS node,
+        |  SUM(CAST(floor(r0.pr / outd.d) AS BIGINT)) AS sc
+        |  FROM e JOIN outd ON e.src = outd.src JOIN r0 ON r0.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  CAST(150000 + floor(85 * COALESCE(sc, 0) / 100) AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |  SUM(CAST(floor(r1.pr / outd.d) AS BIGINT)) AS sc
+        |  FROM e JOIN outd ON e.src = outd.src JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  CAST(150000 + floor(85 * COALESCE(sc, 0) / 100) AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+        |SELECT node, pr FROM r2 ORDER BY node""".stripMargin,
 
     "g1_connected_components" ->
       """WITH RECURSIVE e AS (

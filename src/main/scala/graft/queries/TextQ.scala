@@ -100,6 +100,55 @@ object TextQ {
         .orderBy("source")
     },
 
+    // c5: TOKEN-budget mixture sampling — c3 samples by doc count,
+    // but a training mixture is specified in tokens: per source, docs
+    // are taken in deterministic md5 order until the source's token
+    // budget (1000) is exhausted (a doc is kept iff it STARTS inside
+    // the budget, so one doc may straddle the boundary — the
+    // keep-then-truncate convention). One window scan per source;
+    // integer cumsum, engine-exact.
+    "c5_token_budget" -> { (s, dir) =>
+      val d = docToks(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("cum", sum("n_tokens").over(w))
+        .where(col("cum") - col("n_tokens") < 1000L)
+        .select("source", "doc_id", "n_tokens", "cum")
+        .orderBy("source", "doc_id")
+    },
+
+    // t6: repetition signals (the Gopher-rule family): per doc the
+    // total 2-gram occurrences, the most frequent 2-gram (tie → count
+    // desc then lexicographic), its occupancy in basis points, and
+    // the fraction of 2-gram occurrences belonging to any repeated
+    // 2-gram. High dup2_bp/top2_bp = template/boilerplate text a
+    // quality filter drops. One explode + one (doc, gram) aggregate —
+    // shuffle keyed on the doc, linear in corpus token count.
+    "t6_repetition" -> { (s, dir) =>
+      val d = docToks(s, dir)
+      val counts = d.select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+      val top = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top_2gram"), col("c").as("top_n"))
+      val agg = counts.groupBy("doc_id")
+        .agg(sum("c").as("n_2grams"),
+          sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_dup_occ"))
+      table(s, dir, "documents").select("doc_id")
+        .join(top, Seq("doc_id"), "left")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+          col("top_2gram"),
+          coalesce(col("top_n"), lit(0L)).as("top_n"),
+          coalesce(bp(col("top_n"), col("n_2grams")), lit(0L)).as("top2_bp"),
+          coalesce(bp(col("n_dup_occ"), col("n_2grams")), lit(0L)).as("dup2_bp"))
+        .orderBy("doc_id")
+    },
+
     // c1: the composed cleaning pipeline a training corpus actually
     // runs — language-ID + quality score + exact-dedup keep-first,
     // materialized as the surviving clean rows. One pass shape: every
@@ -243,6 +292,46 @@ object TextQ {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "c5_token_budget" ->
+      s"""WITH tk AS ($toksSql),
+        |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+        |j AS (SELECT d.source, t.doc_id, t.n_tokens
+        |  FROM t JOIN documents d ON d.doc_id = t.doc_id),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j)
+        |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum - n_tokens < 1000
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "t6_repetition" ->
+      s"""WITH tk AS ($toksSql),
+        |g AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        |top AS (SELECT doc_id, g AS top_2gram, c AS top_n FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |  FROM c) WHERE rn = 1),
+        |agg AS (SELECT doc_id, SUM(c) AS n2,
+        |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_2grams,
+        |  top_2gram,
+        |  CAST(COALESCE(top_n, 0) AS BIGINT) AS top_n,
+        |  CAST(COALESCE(CASE WHEN n2 = 0 THEN 0
+        |    ELSE floor(10000 * top_n / n2) END, 0) AS BIGINT) AS top2_bp,
+        |  CAST(COALESCE(CASE WHEN n2 = 0 THEN 0
+        |    ELSE floor(10000 * dup / n2) END, 0) AS BIGINT) AS dup2_bp
+        |FROM documents d
+        |LEFT JOIN top ON d.doc_id = top.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "c2_scrub" ->
       """WITH r AS (SELECT doc_id,

@@ -19,13 +19,25 @@ import org.apache.spark.sql.functions._
 object CosineLsh {
 
   /** Plane count keeping expected bucket population ≈
-    * `targetBucketSize`: ceil(log2(n / target)), min 1 — the sizing
-    * rule the scaling audit mandates for every fixed-cardinality
-    * blocking key.
+    * `targetBucketSize` — the sizing rule the scaling audit mandates
+    * for every fixed-cardinality blocking key. Pure integer
+    * arithmetic (binary length of (n-1)/target, i.e.
+    * floor(log2)+1 ≈ ceil(log2(n/target))), so any engine — and the
+    * SQL oracle via `autoPlanesSql` — reproduces the same count with
+    * no float-boundary drift at powers of two.
     */
-  def autoPlanes(n: Long, targetBucketSize: Long = 1024L): Int =
-    math.max(1, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+  def autoPlanes(n: Long, targetBucketSize: Long = 1024L): Int = {
+    val v = math.max(0L, (n - 1) / targetBucketSize)
+    if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+  }
+
+  /** SQL fragment computing `autoPlanes` from a COUNT expression —
+    * same integer arithmetic (DuckDB `bin()` is the minimal binary
+    * string, so its length is floor(log2)+1).
+    */
+  def autoPlanesSql(nExpr: String, targetBucketSize: Long = 1024L): String =
+    s"(CASE WHEN (($nExpr) - 1) // $targetBucketSize <= 0 THEN 1 " +
+      s"ELSE length(bin((($nExpr) - 1) // $targetBucketSize)) END)"
 
   def planeExpr(p: Int, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
@@ -49,4 +61,15 @@ object CosineLsh {
         s"i -> CASE WHEN (i*31 + $p*17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** `bucketSql` with a RUNTIME plane count (any SQL expression, e.g.
+    * the `autoPlanesSql` scalar subquery) — the oracle twin of
+    * auto-sized `signBuckets`, where the plane count grows with the
+    * corpus instead of being baked into the query text.
+    */
+  def bucketSqlDyn(vExpr: String, dims: Int, npExpr: String): String =
+    s"CAST(list_sum(list_transform(range(0, CAST($npExpr AS BIGINT)), p -> " +
+      s"CASE WHEN list_dot_product($vExpr, list_transform(range(0, $dims), " +
+      s"i -> CASE WHEN (i*31 + p*17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 " +
+      s"THEN 1 << p ELSE 0 END)) AS BIGINT)"
 }

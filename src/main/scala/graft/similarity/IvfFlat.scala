@@ -32,9 +32,72 @@ object IvfFlat {
   def autoStride(n: Long): Long =
     math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
-  /** Assign every vector to its nearest sampled centroid by cosine.
+  /** Fixed-size codebook: the `k` corpus vectors with the smallest
+    * md5(id) — a deterministic hash sample, so the centroid COUNT is
+    * constant in corpus size and assignment stays n·k (linear in n),
+    * where the id-stride sampler's √n centroids make it n^1.5. This
+    * is the 100 TB coarse quantizer; `refine` turns it into a trained
+    * (Lloyd) codebook. Output: (__cid, __cv, __cn).
+    */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    require(k > 0, "IvfFlat.codebook: k must be positive")
+    corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__cn"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("__cid"))
+      .limit(k)
+      .drop("__h")
+  }
+
+  /** Assign every vector to its nearest codebook centroid by cosine.
     * Output: (idCol, vecCol, cell) — cell is the centroid's id; ties
-    * break to the lowest centroid id.
+    * break to the lowest centroid id. The codebook is broadcast, so
+    * the corpus shuffles only for the per-id argmax aggregate.
+    */
+  def assignTo(corpus: DataFrame, idCol: String, vecCol: String,
+               cb: DataFrame): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .join(broadcast(cb))
+      .select(col(idCol), col(vecCol),
+        col("__cid"),
+        (dot(col(vecCol), col("__cv")) / (col("__n") * col("__cn"))).as("__cos"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid"))).as("cell"))
+
+  /** Lloyd refinement: `iters` rounds of assign → per-cell mean.
+    * Improves cell balance and recall over the raw hash sample;
+    * float means are summation-order-sensitive, so refined codebooks
+    * are spec-gated (the oracle queries pin unrefined codebooks).
+    * A cell that loses all members keeps its previous centroid.
+    * Each round is one broadcast-join assign plus one (cell, pos)
+    * aggregate — linear in n, no per-iteration corpus shuffle growth.
+    */
+  def refine(corpus: DataFrame, idCol: String, vecCol: String,
+             cb: DataFrame, iters: Int): DataFrame = {
+    var cur = cb
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(corpus, idCol, vecCol, cur)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("__cv"))
+        .select(col("cell").as("__cid"), col("__cv"),
+          sqrt(dot(col("__cv"), col("__cv"))).as("__cn"))
+      cur = means.unionByName(
+        cur.join(means.select(col("__cid")), Seq("__cid"), "left_anti"))
+    }
+    cur
+  }
+
+  /** Assign every vector to its nearest sampled centroid by cosine
+    * (id-stride sampler — deterministic without a hash pass; centroid
+    * count ~n/stride, so pair `autoStride` for the √n balance).
+    * Output: (idCol, vecCol, cell).
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              stride: Long): DataFrame = {
@@ -47,14 +110,7 @@ object IvfFlat {
     require(!cents.isEmpty,
       s"IvfFlat: no centroid ids divisible by $stride in '$idCol' — " +
         "use a stride that intersects the id space")
-    corpus
-      .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .join(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        col("__cid"),
-        (dot(col(vecCol), col("__cv")) / (col("__n") * col("__cn"))).as("__cos"))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid"))).as("cell"))
+    assignTo(corpus, idCol, vecCol, cents)
   }
 
   /** Top-k cosine neighbors per query, searching only the query's
@@ -70,6 +126,16 @@ object IvfFlat {
     require(!cents.isEmpty,
       s"IvfFlat: no centroid ids divisible by $stride in '$idCol' — " +
         "searchTopK would probe zero cells and return no neighbors")
+    searchTopKWith(queries, assigned, cents, qCol, idCol, vecCol, k, nprobe)
+  }
+
+  /** `searchTopK` against an explicit codebook (`codebook`/`refine`
+    * output) instead of re-deriving stride-sampled centroids — the
+    * constant-k path. Same output: (q, rank, neighbor, cos).
+    */
+  def searchTopKWith(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
+                     qCol: String, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(qCol).as("q"), col(vecCol).as("qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
     val wQ = Window.partitionBy("q")

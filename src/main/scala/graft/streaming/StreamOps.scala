@@ -86,6 +86,73 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  case class BandRow(band: Int, bucket: String, doc_id: Long, ts: java.sql.Timestamp)
+  case class NearDupHit(band: Int, bucket: String, first_doc: Long, dup_doc: Long)
+  case class RepState(rep: Long, lastMs: Long)
+
+  /** Streaming near-dup CANDIDATE detection — the streaming form of
+    * `d2_minhash_lsh`'s banded MinHash: each arriving doc is
+    * min-hashed per row (`MinHashLSH.signatureExprs`, pure array
+    * expressions — a groupBy signature would be a second stateful op),
+    * exploded into band buckets, and matched against the bucket's
+    * retained representative (first arrival within the horizon).
+    *
+    * Output: one hit per (band, bucket) collision — a doc colliding
+    * with the representative in several bands yields several hits;
+    * run exact verification (`MinHashLSH.jaccardBp`) or a distinct
+    * downstream. Docs with no shingles are skipped (null signature).
+    *
+    * State is ONE representative per live bucket, evicted by
+    * event-time timeout when the watermark passes lastSeen +
+    * `horizonMs` — so state size is bounded by distinct buckets
+    * inside the horizon, never by stream length. That bound is what
+    * makes this runnable forever on an unbounded ingest firehose.
+    */
+  def neardupCandidatesStream(docs: DataFrame, tsCol: String, idCol: String,
+                              textCol: String, k: Int = 8, bands: Int = 4,
+                              shingleN: Int = 2,
+                              watermark: String = "10 minutes",
+                              horizonMs: Long = 600000L): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.MinHashLSH
+    val toked = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(tsCol).as("__ts"),
+      graft.text.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val sigs = MinHashLSH.signatureExprs(toked, "__toks", k, shingleN)
+      .where(col("sig0").isNotNull)
+    val bb = MinHashLSH.bandBuckets(sigs, "doc_id", k, bands, carry = Seq("__ts"))
+      .withWatermark("__ts", watermark)
+      .select(col("band"), col("bucket"), col("doc_id"), col("__ts").as("ts"))
+      .as[BandRow]
+    bb.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[RepState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[RepState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within a micro-batch: (event time, id) order
+            val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+            var rep = state.getOption.map(_.rep)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            sorted.foreach { r =>
+              lastMs = math.max(lastMs, r.ts.getTime)
+              rep match {
+                case None => rep = Some(r.doc_id)
+                case Some(f) if f != r.doc_id =>
+                  out += NearDupHit(key._1, key._2, f, r.doc_id)
+                case _ => ()
+              }
+            }
+            state.update(RepState(rep.get, lastMs))
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   /** A flush sentinel: an event at or beyond this second closes any
     * open session for its user without starting a new one.
     */

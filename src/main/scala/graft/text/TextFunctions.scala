@@ -18,16 +18,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles of a token array (space-joined), distinct.
-    * Guarded: Spark's `sequence(1, stop)` DESCENDS when stop < 1, so
-    * short docs must short-circuit to an empty array.
+  /** Word n-grams WITH multiplicity — repetition statistics need
+    * occurrence counts, where `shingles` collapses them. Guarded:
+    * Spark's `sequence(1, stop)` DESCENDS when stop < 1, so short
+    * docs must short-circuit to an empty array.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
     .otherwise(array().cast("array<string>"))
+
+  /** Word n-gram shingles of a token array (space-joined), distinct. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(ngrams(toks, n))
 
   /** Content fingerprint: lexicographic min of shingle md5s — a
     * 1-seed minhash; equal-content (and usually near-equal) docs

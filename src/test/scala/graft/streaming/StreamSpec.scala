@@ -127,4 +127,60 @@ class StreamSpec extends SparkSuite {
     assert(afterFlush === Set(
       Session(1, 0, 50, 2), Session(1, 400, 400, 1), Session(2, 10, 10, 1)))
   }
+
+  test("streaming LSH near-dup candidates match the batch banded-minhash pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word20", "CHANGED")
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val docsSeq = Seq((1L, base), (2L, edited), (3L, unrelated))
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.neardupCandidatesStream(df, "ts", "doc_id", "text",
+        k = 8, bands = 4, shingleN = 2, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("lshnd").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // rep arrives in batch 1; dup + unrelated in batch 2 (cross-batch state)
+    in.addData((t(10), 1L, base))
+    q.processAllAvailable()
+    in.addData((t(20), 2L, edited), (t(21), 3L, unrelated))
+    q.processAllAvailable()
+    val hits = spark.table("lshnd")
+      .select("first_doc", "dup_doc").distinct()
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+
+    // batch reference: same k/bands/shingleN over the same docs
+    import graft.dedup.MinHashLSH
+    import graft.text.TextFunctions
+    val docs = docsSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val batchPairs = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBuckets(
+          MinHashLSH.signatures(docs, "doc_id", "toks", 8, 2), "doc_id", 8, 4),
+        "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((1L, 2L)), s"batch found $batchPairs")
+    assert(hits === batchPairs, s"stream hits $hits != batch $batchPairs")
+  }
+
+  test("per-row signatureExprs equals the aggregated signatures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokens(col("text")).as("toks"))
+    import graft.dedup.MinHashLSH
+    val agg = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = MinHashLSH.signatureExprs(docs, "toks", k = 8, shingleN = 2)
+      .select("doc_id", (0 until 8).map(i => s"sig$i"): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(agg === perRow)
+  }
 }
