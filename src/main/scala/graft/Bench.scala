@@ -38,11 +38,19 @@ object Bench {
     // explicit Locale.ROOT: the default-locale formatter would emit
     // comma decimals (1,234) on e.g. de_DE hosts — invalid JSON
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver captures only a bounded tail of stdout, and the r2/r3
+    // runs proved a ~3 kB JSON line gets cut mid-map ("parsed": null in
+    // BENCH_r03.json) — so keep this line as short as possible: 2-decimal
+    // values and a numeric sf instead of the full directory path
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    println(line)
     spark.stop()
   }
 }

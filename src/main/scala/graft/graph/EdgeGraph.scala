@@ -90,4 +90,26 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
       .connectedComponents(maxIterations).vertices
     spark.createDataFrame(cc).toDF("node", "comp")
   }
+
+  /** Per-node triangle participation counts via GraphX TriangleCount.
+    * Edges are canonicalized (src<dst, self-loops dropped, deduped)
+    * first — TriangleCount requires canonical direction — and
+    * vertex-cut partitioned as its neighbor-set intersection expects.
+    * Requires long ids. Exact integer counts, so the result is
+    * engine-deterministic despite the distributed intersection order.
+    */
+  def triangleCounts(spark: SparkSession): DataFrame = {
+    import org.apache.spark.graphx.PartitionStrategy
+    val pairs = edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val tc = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+    spark.createDataFrame(tc).toDF("node", "n_tri")
+      .select(col("node"), col("n_tri").cast("long").as("n_triangles"))
+  }
 }

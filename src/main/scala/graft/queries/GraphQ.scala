@@ -228,6 +228,25 @@ object GraphQ {
       }
       val r0 = nodes.withColumn("pr", lit(1000000L))
       step(step(r0)).orderBy("node")
+    },
+
+    // g4: triangle counting — per-node triangle participation on the
+    // part co-occurrence graph (parts sharing an order; partkey<400
+    // keeps the demo graph mid-density: ~4.7k edges, ~3.5k
+    // triangles). Library path: GraphX TriangleCount over canonical
+    // vertex-cut-partitioned edges — per-vertex work bounded by the
+    // neighbor-set intersection, the standard distributed plan; the
+    // oracle is the equivalent 3-way canonical edge self-join.
+    "g4_triangles" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem").where(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+        .distinct()
+      new EdgeGraph(e).triangleCounts(s)
+        .where(col("n_triangles") > 0)
+        .orderBy("node")
     }
   )
 
@@ -362,6 +381,19 @@ object GraphQ {
         |  CAST(150000 + floor(85 * COALESCE(sc, 0) / 100) AS BIGINT) AS pr
         |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
         |SELECT node, pr FROM r2 ORDER BY node""".stripMargin,
+
+    "g4_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey < 400),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |t AS (SELECT x.p1 AS a, x.p2 AS b, y.p2 AS c
+        |  FROM e x JOIN e y ON y.p1 = x.p2
+        |  JOIN e z ON z.p1 = x.p1 AND z.p2 = y.p2),
+        |n AS (SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+        |SELECT node, COUNT(*) AS n_triangles FROM n
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "g1_connected_components" ->
       """WITH RECURSIVE e AS (

@@ -258,6 +258,36 @@ object IntervalsQ {
         .orderBy("wstart", "event_type")
     },
 
+    // J13 (new surface): AS-OF join — each click matched to the
+    // LATEST purchase by the same user at or before the click instant
+    // (ties: a same-second purchase matches; among equal-time
+    // purchases the max event_id wins — deterministic both sides).
+    // Spark lacks a native as-of join; the scalable composition is
+    // union-tag + one per-user ordered window with last(...,
+    // ignoreNulls) — ONE shuffle on user_id, one sorted scan, no
+    // range-join row explosion (an interval-join encoding would
+    // multiply rows by the candidate window; this is linear).
+    "j13_asof" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        sec("ts").as("t"), col("event_type"), col("value"))
+      val tagged = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), lit(0).as("k"), col("event_id"), col("value"))
+        .unionByName(ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("t"), lit(1).as("k"), col("event_id"),
+            lit(null).cast("double").as("value")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("k"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("p", last(when(col("k") === 0,
+          struct(col("t").as("pt"), col("event_id").as("pid"), col("value").as("pv"))),
+          ignoreNulls = true).over(w))
+        .where(col("k") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("t").as("click_t"), col("p.pid").as("purchase_id"),
+          col("p.pt").as("purchase_t"), (col("t") - col("p.pt")).as("lag_sec"),
+          col("p.pv").as("purchase_value"))
+        .orderBy("click_id")
+    },
+
     // P5: interval-set mask (SeqFilterDict): keep error windows
     // intersecting the per-user mask window, clipped to it.
     "p5_filter_mask" -> { (s, dir) =>
@@ -534,6 +564,25 @@ object IntervalsQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "j13_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)//1000 AS t,
+        |    event_type, value FROM events),
+        |tg AS (
+        |  SELECT user_id, t, 0 AS k, event_id, value FROM e
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, t, 1, event_id, NULL FROM e
+        |  WHERE event_type = 'click'),
+        |x AS (SELECT user_id, t, k, event_id,
+        |  last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER wnd AS pt,
+        |  last_value(CASE WHEN k = 0 THEN event_id END IGNORE NULLS) OVER wnd AS pid,
+        |  last_value(CASE WHEN k = 0 THEN value END IGNORE NULLS) OVER wnd AS pv
+        |  FROM tg WINDOW wnd AS (PARTITION BY user_id ORDER BY t, k, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id AS click_id, user_id, t AS click_t, pid AS purchase_id,
+        |  pt AS purchase_t, t - pt AS lag_sec, pv AS purchase_value
+        |FROM x WHERE k = 1 ORDER BY click_id""".stripMargin,
 
     "st2_sliding_window" ->
       """WITH e AS (SELECT epoch_ms(ts)//1000 AS t, event_type, value FROM events),

@@ -245,6 +245,118 @@ object TextQ {
           md5(col("text").cast("binary")).as("content_hash"),
           col("source"))
         .orderBy("doc_id")
+    },
+
+    // t7: the FULL Gopher-style quality-rule battery (t2/t6 compute
+    // individual signals; this is the composed accept/reject gate a
+    // pipeline actually applies): token-count bounds, mean-word-length
+    // bounds (integer centi-chars), >=2 distinct stopwords, >=80%
+    // alphabetic tokens, and top-2-gram occupancy <=20%. Every signal
+    // is a per-row expression except the 2-gram occupancy (one
+    // doc-keyed aggregate) — the whole gate is one corpus pass.
+    "t7_gopher_rules" -> { (s, dir) =>
+      val stops = array(Seq("the", "a", "of", "and", "to", "is").map(lit): _*)
+      val d = docToks(s, dir)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mwl_cp",
+          when(col("n_tokens") === 0, 0L).otherwise(
+            floor(lit(100L) * aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x) / col("n_tokens"))).cast("long"))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("toks")), stops)).cast("long"))
+        .withColumn("alpha_bp",
+          bp(size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).cast("long"),
+             col("n_tokens")))
+      val g2 = docToks(s, dir)
+        .select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val occ = g2.groupBy("doc_id")
+        .agg(max("c").as("top_n"), sum("c").as("n2"))
+        .select(col("doc_id"), bp(col("top_n"), col("n2")).as("top2_bp"))
+      d.join(occ, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top2_bp"))
+        .withColumn("keep",
+          col("n_tokens").between(20L, 100000L) &&
+          col("mwl_cp").between(300L, 1000L) &&
+          col("n_stop") >= 2L && col("alpha_bp") >= 8000L &&
+          col("top2_bp") <= 2000L)
+        .select("doc_id", "n_tokens", "mwl_cp", "n_stop", "alpha_bp", "top2_bp", "keep")
+        .orderBy("doc_id")
+    },
+
+    // d8: exact-substring duplicate-SPAN detection (the suffix-array
+    // dedup of Lee et al. 2022, in token space): every 10-token window
+    // is hashed; a window hash occurring more than once anywhere in
+    // the corpus marks all its occurrences as duplicated; overlapping
+    // duplicated windows merge into maximal spans per doc. Plan: one
+    // narrow window-explode pass (rows = corpus tokens), one hash-
+    // keyed aggregate for the occurrence counts, one hash-keyed join
+    // back, one doc-keyed window scan for the merge — everything
+    // linear in corpus token count. (At 100 TB the window hash is
+    // strided: stride S still catches any duplicate run >= W+S-1
+    // tokens; stride 1 here = full sensitivity at W.)
+    "d8_substring_dedup" -> { (s, dir) =>
+      val W = 10
+      val wins = docToks(s, dir)
+        .where(size(col("toks")) >= W)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1L), size(col("toks")).cast("long") - (W - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), i.cast("int"), lit(W)))).as("h")))).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      val dup = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+        .where(col("occ") > 1).select("h")
+      val hits = wins.join(dup, "h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      hits.withColumn("prev", lag("pos", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") > col("prev") + (W - 1), 1L).otherwise(0L))
+        .withColumn("grp", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("span_start"),
+          (max("pos") + (W - 1)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    },
+
+    // c6: exact-substring dedup REMOVAL — d8 detects, this one cuts:
+    // each duplicated window hash keeps its first occurrence (min
+    // (doc_id, pos)); every token covered by a non-keeper occurrence
+    // is cut, and the doc is re-emitted without the cut tokens (the
+    // Lee-et-al removal convention). Output is per-doc surviving
+    // token count + the md5 of the cleaned text, so the oracle checks
+    // the reassembly byte-for-byte. Extra work over d8: one window
+    // ranking (hash-keyed), one positions explode bounded by W x
+    // duplicated windows, one per-doc array filter — still linear.
+    "c6_window_dedup" -> { (s, dir) =>
+      val W = 10
+      val d = docToks(s, dir)
+      val wins = d.where(size(col("toks")) >= W)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1L), size(col("toks")).cast("long") - (W - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), i.cast("int"), lit(W)))).as("h")))).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      val wk = Window.partitionBy("h").orderBy("doc_id", "pos")
+      val nonKeeper = wins
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+        .withColumn("rn", row_number().over(wk))
+        .where(col("occ") > 1 && col("rn") > 1)
+      val cuts = nonKeeper
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(collect_set("cp").as("cut"))
+      d.join(cuts, Seq("doc_id"), "left")
+        .withColumn("cut", coalesce(col("cut"), array().cast("array<long>")))
+        .withColumn("clean",
+          filter(col("toks"), (t, i) => !array_contains(col("cut"), (i + 1).cast("long"))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("cut")).cast("long").as("n_cut"),
+          md5(concat_ws(" ", col("clean"))).as("clean_hash"))
+        .orderBy("doc_id")
     }
   )
 
@@ -441,6 +553,76 @@ object TextQ {
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_gopher_rules" ->
+      s"""WITH tk AS ($toksSql),
+        |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+        |m AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE CAST(floor(100 * list_sum(list_transform(toks, t -> length(t)))
+        |      / n_tokens) AS BIGINT) END AS mwl_cp,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','a','of','and','to','is'])) AS BIGINT) AS n_stop,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE CAST(floor(10000 * len(list_filter(toks,
+        |      t -> regexp_matches(t, '^[a-z]+$$'))) / n_tokens) AS BIGINT) END AS alpha_bp
+        |  FROM base),
+        |g AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        |o AS (SELECT doc_id,
+        |  CAST(floor(10000 * MAX(c) / SUM(c)) AS BIGINT) AS top2_bp
+        |  FROM c GROUP BY doc_id)
+        |SELECT m.doc_id, n_tokens, mwl_cp, n_stop, alpha_bp,
+        |  COALESCE(top2_bp, 0) AS top2_bp,
+        |  (n_tokens BETWEEN 20 AND 100000) AND (mwl_cp BETWEEN 300 AND 1000)
+        |    AND n_stop >= 2 AND alpha_bp >= 8000
+        |    AND COALESCE(top2_bp, 0) <= 2000 AS keep
+        |FROM m LEFT JOIN o USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+
+    "d8_substring_dedup" ->
+      s"""WITH tk AS ($toksSql),
+        |w AS (SELECT doc_id, i AS pos,
+        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+        |  FROM tk, UNNEST(range(1, len(toks) - 8)) AS t(i)),
+        |occ AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
+        |hits AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (h)),
+        |t AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 9
+        |    THEN 1 ELSE 0 END AS brk FROM hits),
+        |g AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM t)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 9 AS span_end,
+        |  COUNT(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "c6_window_dedup" ->
+      s"""WITH tk AS ($toksSql),
+        |w AS (SELECT doc_id, i AS pos,
+        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+        |  FROM tk, UNNEST(range(1, len(toks) - 8)) AS t(i)),
+        |r AS (SELECT doc_id, pos,
+        |  COUNT(*) OVER (PARTITION BY h) AS occ,
+        |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+        |cuts AS (SELECT DISTINCT doc_id, pos + o AS cp
+        |  FROM r, UNNEST(range(0, 10)) AS t(o) WHERE occ > 1 AND rn > 1),
+        |tp AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+        |  FROM tk, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp
+        |  LEFT JOIN cuts ON tp.doc_id = cuts.doc_id AND tp.i = cuts.cp
+        |  WHERE cuts.cp IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id),
+        |nc AS (SELECT doc_id, COUNT(*) AS n_cut FROM cuts GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(nc.n_cut, 0) AS BIGINT) AS n_cut,
+        |  md5(COALESCE(agg.txt, '')) AS clean_hash
+        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+        |LEFT JOIN nc ON tk.doc_id = nc.doc_id
+        |ORDER BY tk.doc_id""".stripMargin
   )
 }
