@@ -252,6 +252,26 @@ object DedupQ {
         .where(col("rk") === 1 && col("q") < 50)
         .select("q", "neighbor", "cos")
         .orderBy("q")
+    },
+
+    // n7: PRODUCT-QUANTIZED ANN (PQ/ADC) — the memory-side scale path:
+    // 64-dim vectors become 8 codeword ids (32× smaller index than
+    // float32), scoring is 8 integer LUT adds per candidate instead
+    // of a 64-dim float dot product. Integer milli-unit quantization
+    // + md5-order codebook draw make the WHOLE operator (encode and
+    // search) hash-exact against the oracle. Rank parity with exact
+    // cosine is approximate by construction — pair with n4-style
+    // recall before swapping in (n6's caveat applies).
+    "n7_ann_ivfpq" -> { (s, dir) =>
+      import graft.similarity.ProductQuantizer
+      val emb = table(s, dir, "embeddings")
+      val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding",
+        k = 16, nSub = 8, subDim = 8)
+      val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+        cb, nSub = 8, subDim = 8)
+      ProductQuantizer.adcTopK(emb.filter(col("vec_id") < 20), codes, cb,
+          "vec_id", "embedding", k = 3, nSub = 8, subDim = 8)
+        .orderBy("q", "rank")
     }
   )
 
@@ -519,6 +539,37 @@ object DedupQ {
         |r AS (SELECT q, neighbor, cos,
         |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
         |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, cos FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n7_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |cbv AS (SELECT vec_id AS cid, qv FROM (
+        |  SELECT vec_id, qv,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM e) WHERE rk <= 16),
+        |cb AS (SELECT m, cid, list_slice(qv, m*8 + 1, m*8 + 8) AS cw
+        |  FROM cbv, UNNEST(range(0, 8)) AS t(m)),
+        |sub AS (SELECT vec_id AS id, m, list_slice(qv, m*8 + 1, m*8 + 8) AS sv
+        |  FROM e, UNNEST(range(0, 8)) AS t(m)),
+        |enc0 AS (SELECT id, sub.m, cid,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d
+        |  FROM sub JOIN cb ON sub.m = cb.m),
+        |codes AS (SELECT id, m, cid AS code FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qsub AS (SELECT id AS q, m, sv AS qsv FROM sub WHERE id < 20),
+        |lut AS (SELECT q, qsub.m, cid,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) AS pd
+        |  FROM qsub JOIN cb ON qsub.m = cb.m),
+        |dist AS (SELECT q, id AS neighbor, CAST(SUM(pd) AS BIGINT) AS dist
+        |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+        |  WHERE q <> id GROUP BY q, id),
+        |r AS (SELECT q, neighbor, dist,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, neighbor) AS rk FROM dist)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, dist FROM r WHERE rk <= 3
         |ORDER BY q, rank""".stripMargin,
 
     "n1_ann_topk" ->

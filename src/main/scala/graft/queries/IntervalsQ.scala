@@ -258,6 +258,35 @@ object IntervalsQ {
         .orderBy("wstart", "event_type")
     },
 
+    // ST3: the STREAMING sessionizer under the oracle gate — the
+    // click stream is replayed through a MemoryStream into
+    // StreamOps.sessionize (flatMapGroupsWithState), open sessions are
+    // closed deterministically by the flush sentinel (no wall-clock
+    // timeout), and the memory-sink result is checked against the
+    // batch gaps-and-islands oracle. The driver-side collect here is
+    // the stream FEEDER only (a memory source is by definition
+    // driver-fed; production uses kafka/files) — sessionization
+    // itself runs distributed inside the streaming job.
+    "st3_stream_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamOps
+      implicit val sqlCtx = s.sqlContext
+      val evs = events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id").cast("long"), sec("ts").cast("long"))
+        .as[(Long, Long)].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev]
+      val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        in.addData(evs.toSeq.map { case (u, t) => StreamOps.Ev(u, t) })
+        q.processAllAvailable()
+        in.addData(evs.map(_._1).distinct.toSeq.map(u => StreamOps.Ev(u, StreamOps.FlushAt)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("user_id", "session_start")
+    },
+
     // J13 (new surface): AS-OF join — each click matched to the
     // LATEST purchase by the same user at or before the click instant
     // (ties: a same-second purchase matches; among equal-time
@@ -564,6 +593,20 @@ object IntervalsQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "st3_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS sec FROM events
+        |  WHERE event_type = 'click'),
+        |x AS (SELECT user_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec > lag(sec) OVER w + 1800
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |g AS (SELECT user_id, sec, SUM(brk) OVER (PARTITION BY user_id
+        |  ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp FROM x)
+        |SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "j13_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)//1000 AS t,
