@@ -287,6 +287,32 @@ object IntervalsQ {
       s.table(name).orderBy("user_id", "session_start")
     },
 
+    // ST4: the stream-static interval join under the oracle gate —
+    // clicks replay as the stream side; the static side is the
+    // error-window table; StreamOps.pointInIntervalStream broadcast-
+    // joins per micro-batch with no stream state. Same point-probe
+    // semantics as j1, now proven on a real streaming execution
+    // (previously spec-only).
+    "st4_stream_static_join" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val clicks = events(s, dir).where(col("event_type") === "click")
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          sec("ts").cast("long"))
+        .as[(Long, Long, Long)].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val name = "st4_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val joined = graft.streaming.StreamOps.pointInIntervalStream(
+          in.toDF().toDF("event_id", "user_id", "t"),
+          errorWindows(s, dir), "user_id", "t", "ws", "we")
+        .select("event_id", "user_id", "t", "wnd_id", "ws", "we")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { in.addData(clicks.toSeq); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("event_id", "wnd_id")
+    },
+
     // J13 (new surface): AS-OF join — each click matched to the
     // LATEST purchase by the same user at or before the click instant
     // (ties: a same-second purchase matches; among equal-time
@@ -593,6 +619,14 @@ object IntervalsQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "st4_stream_static_join" ->
+      s"""WITH w AS ($wndSql),
+        |c AS (SELECT event_id, user_id, epoch_ms(ts)//1000 AS t FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, t, wnd_id, ws, we
+        |FROM c JOIN w ON c.user_id = w.user_id AND t >= ws AND t < we
+        |ORDER BY c.event_id, wnd_id""".stripMargin,
 
     "st3_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS sec FROM events
