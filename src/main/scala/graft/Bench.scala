@@ -30,26 +30,59 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       subset.forall(_.exists(n.contains))
     }
+    // Inter-query hygiene: drop whatever the previous query pinned
+    // (GraphX caches vertex/edge RDDs and not all algorithms release
+    // them) so each timing measures the query, not its neighbor's
+    // leftover memory pressure.
+    def scrub(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    // SPARK_GRAFT_REPEAT=n times each query n times and keeps the last
+    // pass — steady-state cost without first-use codegen/footer reads.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      var last = 0.0
+      for (_ <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        last = (System.nanoTime() - t0) / 1e9
+        scrub()
+      }
+      name -> last
     }
     // explicit Locale.ROOT: the default-locale formatter would emit
     // comma decimals (1,234) on e.g. de_DE hosts — invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // the driver captures only a bounded tail of stdout, and the r2/r3
-    // runs proved a ~3 kB JSON line gets cut mid-map ("parsed": null in
-    // BENCH_r03.json) — so keep this line as short as possible: 2-decimal
-    // values and a numeric sf instead of the full directory path
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    // The driver captures only a bounded (~2.3 kB) tail of stdout: the
+    // r2/r3/r4 runs all proved a full 100-query map gets cut mid-line
+    // ("parsed": null). So the ONE parseable stdout line carries the
+    // total plus a fixed headline subset (~1 query per operator family,
+    // ≈0.5 kB), and the COMPLETE per-query map goes to a file.
+    val headline = Seq(
+      "q1_agg", "q3_join", "j1c_shuffled_index", "j2c_slice_indexed",
+      "j2b_twohop", "j5_motif", "j13_asof", "a2_sessionize", "a3_coverage",
+      "p5_filter_mask", "s9b_persist_slice", "w5_topk_per_group",
+      "d1_exact_dedup", "d2_minhash_lsh", "d4_embed_neardup",
+      "d8_substring_dedup", "n3_ann_ivf", "n7_ann_ivfpq", "t1_langid",
+      "t7_gopher_rules", "c1_clean_corpus", "g1_connected_components",
+      "st1_tumbling_window", "st3_stream_sessionize")
+    val lineQs = results.filter { case (k, _) => headline.contains(k) }
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":$sfNum}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // the stdout line is the contract
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"sf":$sfNum,"full":"$outPath"}"""
     println(line)
     spark.stop()
   }
