@@ -34,8 +34,9 @@ object Bench {
     // (GraphX caches vertex/edge RDDs and not all algorithms release
     // them) so each timing measures the query, not its neighbor's
     // leftover memory pressure.
-    def scrub(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val doScrub = sys.env.getOrElse("SPARK_GRAFT_SCRUB", "1") != "0"
+    def scrub(): Unit = if (doScrub) {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
     // SPARK_GRAFT_REPEAT=n times each query n times and keeps the last

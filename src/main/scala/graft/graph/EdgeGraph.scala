@@ -112,4 +112,31 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     spark.createDataFrame(tc).toDF("node", "n_tri")
       .select(col("node"), col("n_tri").cast("long").as("n_triangles"))
   }
+
+  /** Hop distances from a set of landmark nodes via GraphX
+    * ShortestPaths (Pregel BFS) — the multi-source traversal query of
+    * the reference's graph surface (pygr `graphquery.py` walks /
+    * `mapping.py` BFS-ish iteration), in its scalable form: one Pregel
+    * superstep per hop, messages only along frontier edges, no
+    * all-pairs anything. Distances follow edge direction; pass
+    * `undirected` edges for the symmetric metric. Results are exact
+    * integer hop counts — deterministic regardless of message order.
+    *
+    * Returns (node, landmark, dist) for every reachable pair with
+    * dist <= maxDist (the cap bounds Pregel supersteps AND keeps the
+    * row count per node at |landmarks| — constant-size vertex state).
+    */
+  def shortestPaths(spark: SparkSession, landmarks: Seq[Long],
+                    maxDist: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.graphx.lib.ShortestPaths
+    val pairs = edges
+      .select(col(src).cast("long"), col(dst).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val g = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
+    val sp = ShortestPaths.run(g, landmarks).vertices
+      .flatMap { case (node, m) =>
+        m.iterator.collect { case (lm, d) if d <= maxDist => (node, lm, d.toLong) }
+      }
+    spark.createDataFrame(sp).toDF("node", "landmark", "dist")
+  }
 }

@@ -247,6 +247,22 @@ object GraphQ {
       new EdgeGraph(e).triangleCounts(s)
         .where(col("n_triangles") > 0)
         .orderBy("node")
+    },
+
+    // g5: multi-source shortest paths (hop distance from the 3
+    // smallest node ids) on the undirected sparse graph — the graph
+    // TRAVERSAL query of the reference's surface (pygr graph walks
+    // answer "what is reachable, how far"), in its distributed form:
+    // GraphX Pregel BFS, one superstep per hop, messages only on the
+    // frontier. The landmark fetch is a 3-row TakeOrdered (constant
+    // driver traffic at any scale); the oracle is a depth-capped
+    // recursive CTE over the same edges.
+    "g5_shortest_paths" -> { (s, dir) =>
+      val und = new EdgeGraph(sparseEdges(s, dir)).undirected
+      val lms = und.select(col("src").cast("long")).distinct()
+        .orderBy("src").limit(3).collect().map(_.getLong(0)).toSeq
+      new EdgeGraph(und).shortestPaths(s, lms, maxDist = 15)
+        .orderBy("node", "landmark")
     }
   )
 
@@ -406,6 +422,21 @@ object GraphQ {
         |  UNION
         |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
         |SELECT n AS node, MIN(lbl) AS comp FROM walk
-        |GROUP BY n ORDER BY node""".stripMargin
+        |GROUP BY n ORDER BY node""".stripMargin,
+
+    "g5_shortest_paths" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+        |  FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1),
+        |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM ud),
+        |lm AS (SELECT n AS l FROM nodes ORDER BY n LIMIT 3),
+        |walk(n, l, d) AS (
+        |  SELECT l, l, 0 FROM lm
+        |  UNION
+        |  SELECT ud.b, walk.l, walk.d + 1 FROM walk
+        |  JOIN ud ON ud.a = walk.n WHERE walk.d < 15)
+        |SELECT n AS node, l AS landmark, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY n, l ORDER BY node, landmark""".stripMargin
   )
 }

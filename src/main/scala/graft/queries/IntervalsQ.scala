@@ -313,6 +313,44 @@ object IntervalsQ {
       s.table(name).orderBy("event_id", "wnd_id")
     },
 
+    // ST5: stream-STREAM interval join — clicks and purchases replay
+    // as two independent streams; each click matches the purchases by
+    // the same user in the preceding 10 minutes (the attribution
+    // join). Both sides watermarked + a time-range predicate, so the
+    // state for BOTH buffers is evictable — the unbounded-run shape.
+    // Inner-join rows emit in the batch they match, so feeding both
+    // streams fully then draining yields the complete batch-equal
+    // result the oracle checks.
+    "st5_stream_stream_join" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def side(t: String) = events(s, dir).where(col("event_type") === t)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          sec("ts").cast("long"))
+        .as[(Long, Long, Long)].collect()
+      val cin = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val pin = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val clicks = cin.toDF().toDF("click_id", "user_id", "c_t")
+        .withColumn("c_ts", col("c_t").cast("timestamp"))
+      val purchases = pin.toDF().toDF("purchase_id", "user_id", "p_t")
+        .withColumn("p_ts", col("p_t").cast("timestamp"))
+      val name = "st5_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val joined = graft.streaming.StreamOps.intervalJoinStreams(
+          clicks, purchases, "user_id", "c_ts", "p_ts",
+          horizon = "30 minutes", windowSec = 600L)
+        .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        cin.addData(side("click").toSeq)
+        pin.addData(side("purchase").toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("click_id", "purchase_id")
+    },
+
     // J13 (new surface): AS-OF join — each click matched to the
     // LATEST purchase by the same user at or before the click instant
     // (ties: a same-second purchase matches; among equal-time
@@ -627,6 +665,16 @@ object IntervalsQ {
         |SELECT c.event_id, c.user_id, t, wnd_id, ws, we
         |FROM c JOIN w ON c.user_id = w.user_id AND t >= ws AND t < we
         |ORDER BY c.event_id, wnd_id""".stripMargin,
+
+    "st5_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts)//1000 AS c_t
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts)//1000 AS p_t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, c.user_id, c_t, p_t
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c_t >= p_t AND c_t < p_t + 600
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "st3_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS sec FROM events

@@ -357,6 +357,68 @@ object TextQ {
           size(col("cut")).cast("long").as("n_cut"),
           md5(concat_ws(" ", col("clean"))).as("clean_hash"))
         .orderBy("doc_id")
+    },
+
+    // b1: BM25 top-k retrieval — the lexical-search complement to the
+    // ANN family (and the retrieval half of decontamination-by-search:
+    // query a training corpus with an eval set, drop the hits). Plan:
+    // term explode filtered to the query terms BEFORE the aggregate
+    // (at 100 TB the same shape runs against a pre-built term-
+    // partitioned inverted index instead of a scan — the operator is
+    // the scoring, not the scan); df and corpus stats are tiny
+    // broadcast sides; top-k is TakeOrderedAndProject, never a global
+    // sort. Scoring is engine-exact: BM25's tf normalization at
+    // k1=1.2, b=0.75 is rational, so with T = corpus tokens, N = docs,
+    // dl = doc length, the per-term contribution is the INTEGER
+    //   (idf_u * 22*T*tf) div (10*T*tf + 3*T + 9*dl*N)
+    // (multiply tf(k1+1) / (tf + k1(1-b) + k1*b*dl*N/T) through by
+    // 10T), with idf_u = floor(1e6*ln(1+(N-df+.5)/(df+.5))) the f6-
+    // style ulp-quantized float. Integer sums are associative — no
+    // partial-agg float drift. (Products stay < 2^63 through sf5;
+    // a 100 TB build would widen the numerator to DECIMAL(38,0).)
+    "b1_bm25_topk" -> { (s, dir) =>
+      val qterms = Seq("table", "hash", "merge", "window")
+      val d = docToks(s, dir)
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("idf_u",
+          floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
+            .cast("long"))
+        .withColumn("c_u",
+          expr("(idf_u * 22 * t_toks * tf) div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum("c_u").as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))))
+        .select("rank", "doc_id", "n_hit_terms", "score_u")
+        .orderBy("rank")
+    },
+
+    // t8: TF-IDF keyword extraction — top-3 terms per doc by
+    // tf * floor(1e6*ln(N/df)) (integer score, term-asc tiebreak).
+    // One term explode + one (doc, term) aggregate + one term-keyed
+    // df join (vocabulary-sized — a shuffle join, NOT broadcast: at
+    // corpus scale the vocabulary doesn't fit a broadcast) + one
+    // per-doc window for the top-3.
+    "t8_tfidf" -> { (s, dir) =>
+      val d = docToks(s, dir)
+      val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_u").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score_u",
+          col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * lit(1e6)).cast("long"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score_u")
+        .orderBy("doc_id", "rank")
     }
   )
 
@@ -623,6 +685,43 @@ object TextQ {
         |  md5(COALESCE(agg.txt, '')) AS clean_hash
         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
         |LEFT JOIN nc ON tk.doc_id = nc.doc_id
-        |ORDER BY tk.doc_id""".stripMargin
+        |ORDER BY tk.doc_id""".stripMargin,
+
+    "b1_bm25_topk" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS t_toks FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('table', 'hash', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  (CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+        |    * 22 * st.t_toks * tf.tf)
+        |  // (10 * st.t_toks * tf.tf + 3 * st.t_toks + 9 * tf.dl * st.n_docs) AS c_u
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(SUM(c_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_hit_terms, score_u,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank FROM ag)
+        |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    "t8_tfidf" ->
+      s"""WITH tk AS ($toksSql),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tk),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |  tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS score_u
+        |  FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT doc_id, term, tf, df, score_u, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY score_u DESC, term) AS INT) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score_u FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -44,6 +44,27 @@ object StreamOps {
   case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   case class SessState(start: Long, end: Long, n: Long)
 
+  /** Stream-STREAM interval join: left rows matched to right rows of
+    * the same key with the left event time in [right time, right time
+    * + windowSec) — the streaming as-of/attribution join (every click
+    * within 10 minutes of a purchase by the same user). Both sides
+    * are watermarked and the join condition ranges over the two
+    * event-time columns, so Spark derives a state-eviction bound for
+    * BOTH buffers: state is horizon x arrival rate, not stream
+    * length — the property that lets this run forever. Column names
+    * must be disjoint apart from `key`.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          horizon: String, windowSec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon)
+    val r = right.withWatermark(rightTs, horizon)
+    l.join(r, l(key) === r(key) &&
+        col(leftTs) >= col(rightTs) &&
+        col(leftTs) < col(rightTs) + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop(r(key))
+  }
+
   /** Stream-static interval join: a stream of (key, point) events
     * joined against a static interval table (key, start, end) — the
     * streaming form of the NCList point lookup (J1). Broadcast-joins

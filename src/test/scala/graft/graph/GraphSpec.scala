@@ -80,6 +80,23 @@ class GraphSpec extends SparkSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("EdgeGraph.shortestPaths: hop distances from landmarks, capped") {
+    // path 1-2-3-4-5, separate component 10-11
+    val e = edgesDF((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val und = new EdgeGraph(new EdgeGraph(e).undirected)
+    val got = und.shortestPaths(spark, Seq(1L, 10L)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 1L)) === 0L)
+    assert(got((3L, 1L)) === 2L)
+    assert(got((5L, 1L)) === 4L)
+    assert(got((11L, 10L)) === 1L)
+    assert(!got.contains((5L, 10L)), "cross-component pair must be absent")
+    // the cap drops far pairs but keeps near ones
+    val capped = und.shortestPaths(spark, Seq(1L), maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("graph_test.py:88-100 basic query golden (verbatim)") {
     val g = edgesDF((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
       (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L))

@@ -166,6 +166,29 @@ class StreamSpec extends SparkSuite {
     assert(hits === batchPairs, s"stream hits $hits != batch $batchPairs")
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cin = MemoryStream[(Long, Long, Long)]
+    val pin = MemoryStream[(Long, Long, Long)]
+    val clicks = cin.toDF().toDF("click_id", "user_id", "c_t")
+      .withColumn("c_ts", col("c_t").cast("timestamp"))
+    val purchases = pin.toDF().toDF("purchase_id", "user_id", "p_t")
+      .withColumn("p_ts", col("p_t").cast("timestamp"))
+    val q = StreamOps.intervalJoinStreams(
+        clicks, purchases, "user_id", "c_ts", "p_ts", "10 minutes", 60L)
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    // user 1: purchase at 100 → clicks at 100 (match), 159 (match), 160 (out)
+    // user 2: click before any purchase (no match); cross-user no match
+    cin.addData((11L, 1L, 100L), (12L, 1L, 159L), (13L, 1L, 160L), (21L, 2L, 50L))
+    pin.addData((91L, 1L, 100L), (92L, 2L, 70L))
+    q.processAllAvailable()
+    val got = spark.table("ssj").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set((11L, 91L), (12L, 91L)))
+  }
+
   test("per-row signatureExprs equals the aggregated signatures") {
     import spark.implicits._
     val docs = Seq(
