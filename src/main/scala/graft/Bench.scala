@@ -73,7 +73,8 @@ object Bench {
       "d1_exact_dedup", "d2_minhash_lsh", "d4_embed_neardup",
       "d8_substring_dedup", "n3_ann_ivf", "n7_ann_ivfpq", "t1_langid",
       "t7_gopher_rules", "c1_clean_corpus", "g1_connected_components",
-      "st1_tumbling_window", "st3_stream_sessionize")
+      "st1_tumbling_window", "st3_stream_sessionize", "b1_bm25_topk",
+      "t8_tfidf", "g5_shortest_paths", "st5_stream_stream_join")
     val lineQs = results.filter { case (k, _) => headline.contains(k) }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":$sfNum}"""

@@ -384,8 +384,11 @@ object TextQ {
       val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .where(col("term").isin(qterms: _*))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      // df via a window over the term-filtered postings — NOT a
+      // groupBy+join, which would re-run the corpus scan for the df
+      // branch (Spark doesn't share unpersisted subtrees across joins)
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(stats))
         .withColumn("idf_u",
           floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
             .cast("long"))
@@ -402,18 +405,19 @@ object TextQ {
 
     // t8: TF-IDF keyword extraction — top-3 terms per doc by
     // tf * floor(1e6*ln(N/df)) (integer score, term-asc tiebreak).
-    // One term explode + one (doc, term) aggregate + one term-keyed
-    // df join (vocabulary-sized — a shuffle join, NOT broadcast: at
-    // corpus scale the vocabulary doesn't fit a broadcast) + one
-    // per-doc window for the top-3.
+    // One corpus pass: term explode + (doc, term) aggregate, df as a
+    // count-window over term (a second shuffle of the postings — at
+    // corpus scale the vocabulary outgrows broadcast, and a
+    // groupBy+join would rescan the corpus for the df branch), then
+    // the per-doc top-3 window.
     "t8_tfidf" -> { (s, dir) =>
       val d = docToks(s, dir)
       val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_u").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .withColumn("score_u",
           col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * lit(1e6)).cast("long"))
         .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
