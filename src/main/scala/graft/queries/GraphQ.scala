@@ -249,6 +249,29 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // P9: graph-step filter — the reference applies user predicates
+    // DURING the traversal (graphquery.py edge/node filters), not as a
+    // pre-filter on the edge table: the predicate sees the PARTIALLY
+    // BOUND match row. Here the c→n step keeps only even customer
+    // nodes; Catalyst pushes the predicate into the join exactly where
+    // the reference's backtracking DFS would test it. Previously
+    // spec-only; oracle-gated here.
+    "p9_step_filter" -> { (s, dir) =>
+      val cn = table(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      val nr = table(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      MotifQuery.find(Seq(
+          MotifEdge("c", "n", cn,
+            filter = Some(expr("CAST(substring(c, 2, 18) AS BIGINT) % 2 = 0"))),
+          MotifEdge("n", "r", nr)))
+        .groupBy(col("r").as("region_node"))
+        .agg(count(lit(1)).as("n_even_customers"))
+        .orderBy("region_node")
+    },
+
     // g5: multi-source shortest paths (hop distance from the 3
     // smallest node ids) on the undirected sparse graph — the graph
     // TRAVERSAL query of the reference's surface (pygr graph walks
@@ -423,6 +446,13 @@ object GraphQ {
         |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
         |SELECT n AS node, MIN(lbl) AS comp FROM walk
         |GROUP BY n ORDER BY node""".stripMargin,
+
+    "p9_step_filter" ->
+      """SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS region_node,
+        |  COUNT(*) AS n_even_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 2 = 0
+        |GROUP BY region_node ORDER BY region_node""".stripMargin,
 
     "g5_shortest_paths" ->
       """WITH RECURSIVE e AS (

@@ -165,6 +165,40 @@ object Relational {
         .filter(col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")
+    },
+
+    // W6: rolling aggregates — per-user moving sum/count over the
+    // last 3 events by event time (the ordered-iteration surface, W3,
+    // upgraded to a sliding frame). One shuffle on user_id + one
+    // sorted scan; money math in DECIMAL so partial-agg order can't
+    // drift (the st1 lesson).
+    "w6_rolling" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id")).rowsBetween(-2, 0)
+      IntervalsQ.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t"), col("value"))
+        .withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("roll_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .select("event_id", "user_id", "t", "n_window", "roll_sum")
+        .orderBy("event_id")
+    },
+
+    // X2: HLL approximate distinct — the sketch a 100 TB pipeline uses
+    // where exact COUNT(DISTINCT) would shuffle every value (distinct
+    // URLs/users per slice). HLL++ register merges are max-commutative,
+    // so the estimate is deterministic for fixed data regardless of
+    // partitioning — but it is engine-SPECIFIC, so this query is
+    // rows-gated only (no DuckDB oracle); the spec asserts <5% relative
+    // error against the exact count.
+    "x2_approx_distinct" -> { (s, dir) =>
+      IntervalsQ.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
     }
   )
 
@@ -259,6 +293,15 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
-        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "w6_rolling" ->
+      """SELECT event_id, user_id, epoch_ms(ts)//1000 AS t,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_ms(ts)//1000, event_id ROWS 2 PRECEDING)
+        |ORDER BY event_id""".stripMargin
   )
 }

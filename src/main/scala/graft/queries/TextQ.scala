@@ -403,6 +403,34 @@ object TextQ {
         .orderBy("rank")
     },
 
+    // t9: bigram-surprise quality score — the KenLM-perplexity shape
+    // of a pretraining quality filter without the external LM: the
+    // corpus's own bigram counts are the model, a doc's mean
+    // -ln P(w2|w1) = mean ln(c(w1·)/c(w1 w2)) is its surprise (low =
+    // templated/boilerplate, high = unusual token transitions). All
+    // per-occurrence surprises are floored to integer micro-units
+    // BEFORE the per-doc mean (integer sum div count — associative, no
+    // float drift; nonneg since c(w1·) >= c(w1 w2), so trunc = floor
+    // in both engines). Plan: one bigram explode, two count
+    // aggregates, two keyed joins (bigram, then first-word), one
+    // per-doc aggregate — linear in corpus tokens, every join keyed.
+    "t9_bigram_surprise" -> { (s, dir) =>
+      val bg = docToks(s, dir)
+        .select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+      val bgc = bg.groupBy("g").agg(count(lit(1)).as("cg"))
+      val w1c = bg.select(substring_index(col("g"), " ", 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cw"))
+      bg.join(bgc, "g")
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(w1c, "w1")
+        .withColumn("sup_u",
+          floor(log(col("cw").cast("double") / col("cg")) * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(sup_u) div count(1)").as("mean_surprise_u"))
+        .orderBy("doc_id")
+    },
+
     // t8: TF-IDF keyword extraction — top-3 terms per doc by
     // tf * floor(1e6*ln(N/df)) (integer score, term-asc tiebreak).
     // One corpus pass: term explode + (doc, term) aggregate, df as a
@@ -712,6 +740,22 @@ object TextQ {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank FROM ag)
         |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    "t9_bigram_surprise" ->
+      s"""WITH tk AS ($toksSql),
+        |bg AS (SELECT doc_id,
+        |  toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS g
+        |  FROM tk, UNNEST(range(1, len(toks))) AS t(i)),
+        |bgc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cg FROM bg GROUP BY g),
+        |w1c AS (SELECT split_part(g, ' ', 1) AS w1,
+        |  CAST(COUNT(*) AS BIGINT) AS cw FROM bg GROUP BY 1),
+        |j AS (SELECT doc_id,
+        |  CAST(floor(ln(CAST(cw AS DOUBLE) / cg) * 1e6) AS BIGINT) AS sup_u
+        |  FROM bg JOIN bgc USING (g)
+        |  JOIN w1c ON split_part(g, ' ', 1) = w1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(sup_u) // COUNT(*) AS BIGINT) AS mean_surprise_u
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t8_tfidf" ->
       s"""WITH tk AS ($toksSql),

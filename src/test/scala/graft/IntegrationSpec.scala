@@ -78,4 +78,20 @@ class IntegrationSpec extends SparkSuite {
     assert(loaded.adjacency(2L).collect().map(_.getLong(1)).toSet === Set(3L))
     assert(loaded.outDegrees.count() === 2)
   }
+
+  test("x2 HLL approx distinct within 5% of exact (rows-only gated query)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x2_approx_distinct")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet === exact.keySet)
+    for ((k, ex) <- exact) {
+      val ap = got(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
 }
