@@ -186,6 +186,31 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // W7: ordered conversion funnel — users progressing signup ->
+    // view -> click -> purchase in event-time order (each stage's
+    // event must be strictly after the user's previous-stage
+    // frontier). Plan: per stage one user-keyed min-aggregate joined
+    // to the previous frontier — 4 shuffles all keyed on user_id, so
+    // AQE reuses one partitioning end-to-end; frontier tables are
+    // |users| rows (tiny next to events), broadcast-able at 100 TB.
+    "w7_funnel" -> { (s, dir) =>
+      val e = IntervalsQ.events(s, dir).select("user_id", "event_type", "ts")
+      def frontier(prev: org.apache.spark.sql.DataFrame, etype: String) =
+        e.where(col("event_type") === etype)
+          .join(prev, "user_id")
+          .where(col("ts") > col("t0"))
+          .groupBy("user_id").agg(min("ts").as("t0"))
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val s2 = frontier(s1, "view")
+      val s3 = frontier(s2, "click")
+      val s4 = frontier(s3, "purchase")
+      Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3, "4_purchase" -> s4)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"), col("n_users"))
+        }.reduce(_ unionByName _).orderBy("stage")
+    },
+
     // X2: HLL approximate distinct — the sketch a 100 TB pipeline uses
     // where exact COUNT(DISTINCT) would shuffle every value (distinct
     // URLs/users per slice). HLL++ register merges are max-commutative,
@@ -294,6 +319,25 @@ object Relational {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "w7_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t0 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t0 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t0 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t0 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t0 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t0 GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_view', COUNT(*) FROM s2
+        |  UNION ALL SELECT '3_click', COUNT(*) FROM s3
+        |  UNION ALL SELECT '4_purchase', COUNT(*) FROM s4)
+        |ORDER BY stage""".stripMargin,
 
     "w6_rolling" ->
       """SELECT event_id, user_id, epoch_ms(ts)//1000 AS t,

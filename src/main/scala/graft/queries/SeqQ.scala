@@ -306,6 +306,29 @@ object SeqQ {
           split(col("nid"), "\\|").getItem(1).cast("long").as("gi"),
           split(col("nid"), "\\|").getItem(3).as("tag"))
         .orderBy("doc_id")
+    },
+
+    // K1: k-mer spectrum — the classic distributed sequence
+    // aggregate (count every length-4 substring corpus-wide, report
+    // the top of the spectrum with doc frequency). One explode
+    // (rows = Σ(len-3)) + one kmer-keyed count + bounded top-k. At
+    // 100 TB the count is map-side combinable into at most 4^k
+    // distinct keys, and the top-k is TakeOrderedAndProject — no
+    // global sort, no skew (the key space is uniform by
+    // construction of the hash-derived dna).
+    "k1_kmer_spectrum" -> { (s, dir) =>
+      val K = 4
+      val top = withDna(s, dir)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("dna")) - (K - 1)),
+          i => col("dna").substr(i, lit(K)))).as("kmer"))
+        .groupBy("kmer")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occ").desc, col("kmer")).limit(30)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n_occ").desc, col("kmer"))).cast("long"))
+        .select("rk", "kmer", "n_occ", "n_docs")
+        .orderBy("rk")
     }
   )
 
@@ -501,6 +524,17 @@ object SeqQ {
         |SELECT doc_id, nid,
         |  CAST(string_split(nid, '|')[2] AS BIGINT) AS gi,
         |  string_split(nid, '|')[4] AS tag
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "k1_kmer_spectrum" ->
+      s"""WITH d AS ($dnaSql),
+        |km AS (SELECT doc_id, substr(dna, CAST(i AS INT), 4) AS kmer
+        |  FROM d, UNNEST(range(1, length(dna) - 2)) AS t(i)),
+        |c AS (SELECT kmer, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM km GROUP BY kmer),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, kmer) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT rk, kmer, n_occ, n_docs FROM r WHERE rk <= 30
+        |ORDER BY rk""".stripMargin
   )
 }

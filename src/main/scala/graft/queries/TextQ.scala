@@ -431,6 +431,78 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // c7: stratified fixed-quota sampling — exactly 10 docs per
+    // source stratum in deterministic md5 order (the eval-split /
+    // seed-set draw; hash order = uniform-without-RNG, reproducible
+    // across engines and re-runs — the c3 rate sampler's fixed-COUNT
+    // sibling). One shuffle keyed on source + one window scan; at
+    // 100 TB the per-stratum quota is a bounded top-k per key, never
+    // a global sort.
+    "c7_stratified_sample" -> { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .select("source", "rk", "doc_id", "n_tokens")
+        .orderBy("source", "rk")
+    },
+
+    // d9: disjoint-CHUNK dedup — the C4/CCNet granularity: cut each
+    // doc into fixed 20-token chunks, keep only each chunk's
+    // corpus-wide FIRST occurrence, re-emit the doc from its
+    // surviving chunks (d8/c6 are sliding-window span detection/
+    // removal; this is the cheaper chunk-level REMOVAL convention —
+    // 1/20th the hash rows). Plan: one chunk explode (rows =
+    // tokens/20), first-occurrence ranking keyed on the chunk hash,
+    // per-doc ordered reassembly — linear, every shuffle keyed.
+    "d9_chunk_dedup" -> { (s, dir) =>
+      val C = 20
+      val chunks = docToks(s, dir)
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0L), floor((size(col("toks")).cast("long") - 1L) / C).cast("long")),
+          i => struct(i.as("cno"),
+            concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C))).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.cno").as("cno"), col("c.chunk").as("chunk"))
+      val wk = Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "cno")
+      val kept = chunks.withColumn("rn", row_number().over(wk))
+        .where(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("cno"), col("chunk")))),
+            x => x.getField("chunk")))).as("clean_hash"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+
+    // x3: exact per-stratum quantiles (disc convention: the value at
+    // sorted row floor((n-1)*q)+1, integer arithmetic only) — the
+    // token-length distribution half of the t5 dataset card. One
+    // shuffle keyed on source + one window scan. At 100 TB the same
+    // call shape swaps in approx_percentile per stratum; the exact
+    // form is what the oracle can hash.
+    "x3_source_quantiles" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("rn") === expr("((n-1)*50) div 100 + 1"), col("n_tokens"))).as("p50_tokens"),
+          min(when(col("rn") === expr("((n-1)*90) div 100 + 1"), col("n_tokens"))).as("p90_tokens"))
+        .orderBy("source")
+    },
+
     // t8: TF-IDF keyword extraction — top-3 terms per doc by
     // tf * floor(1e6*ln(N/df)) (integer score, term-asc tiebreak).
     // One corpus pass: term explode + (doc, term) aggregate, df as a
@@ -756,6 +828,44 @@ object TextQ {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(sup_u) // COUNT(*) AS BIGINT) AS mean_surprise_u
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c7_stratified_sample" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT t.doc_id, dd.source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM tk t JOIN documents dd USING (doc_id)),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM d)
+        |SELECT source, rk, doc_id, n_tokens FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
+    "d9_chunk_dedup" ->
+      s"""WITH tk AS ($toksSql),
+        |ch AS (SELECT doc_id, i AS cno,
+        |  array_to_string(list_slice(toks, CAST(i*20+1 AS INT), CAST(i*20+20 AS INT)), ' ') AS chunk
+        |  FROM tk, UNNEST(range(0, (len(toks)+19)//20)) AS t(i)
+        |  WHERE len(toks) > 0),
+        |r AS (SELECT doc_id, cno, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cno) AS rn FROM ch),
+        |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  md5(string_agg(chunk, ' ' ORDER BY cno)) AS clean_hash
+        |  FROM r WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(clean_hash, md5('')) AS clean_hash
+        |FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x3_source_quantiles" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT t.doc_id, dd.source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM tk t JOIN documents dd USING (doc_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_tokens, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN n_tokens END) AS BIGINT) AS p50_tokens,
+        |  CAST(MIN(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN n_tokens END) AS BIGINT) AS p90_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "t8_tfidf" ->
       s"""WITH tk AS ($toksSql),
