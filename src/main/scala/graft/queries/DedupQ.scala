@@ -272,6 +272,40 @@ object DedupQ {
       ProductQuantizer.adcTopK(emb.filter(col("vec_id") < 20), codes, cb,
           "vec_id", "embedding", k = 3, nSub = 8, subDim = 8)
         .orderBy("q", "rank")
+    },
+
+    // n8: two-stage retrieve→RERANK — the production ANN serving
+    // shape: PQ/ADC coarse scoring (the 32×-compressed index scan of
+    // n7) proposes 20 candidates per query, then an exact fixed-point
+    // L2 over only those candidates picks the final top-3. The rerank
+    // touches |queries|·20 full vectors instead of the corpus — at
+    // 100 TB the full-precision vectors stay in cold storage and only
+    // candidates are fetched by a keyed join, never a scan. Integer
+    // end-to-end (milli-unit fixed point both stages), so the
+    // COMPOSED operator is hash-gated like n6/n7, not just its parts.
+    "n8_ann_rerank" -> { (s, dir) =>
+      import graft.similarity.ProductQuantizer
+      val emb = table(s, dir, "embeddings")
+      val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding",
+        k = 16, nSub = 8, subDim = 8)
+      val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+        cb, nSub = 8, subDim = 8)
+      val cand = ProductQuantizer.adcTopK(emb.filter(col("vec_id") < 20), codes, cb,
+          "vec_id", "embedding", k = 20, nSub = 8, subDim = 8)
+        .select(col("q"), col("neighbor"))
+      val fx = emb.select(col("vec_id"),
+        ProductQuantizer.qint(col("embedding")).as("fv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("d2"), col("neighbor"))
+      cand
+        .join(fx.select(col("vec_id").as("q"), col("fv").as("qv")), "q")
+        .join(fx.select(col("vec_id").as("neighbor"), col("fv").as("nv")), "neighbor")
+        .select(col("q"), col("neighbor"),
+          ProductQuantizer.l2(col("qv"), col("nv")).as("d2"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("q", "rank", "neighbor", "d2")
+        .orderBy("q", "rank")
     }
   )
 
@@ -570,6 +604,45 @@ object DedupQ {
         |r AS (SELECT q, neighbor, dist,
         |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, neighbor) AS rk FROM dist)
         |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, dist FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n8_ann_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |cbv AS (SELECT vec_id AS cid, qv FROM (
+        |  SELECT vec_id, qv,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM e) WHERE rk <= 16),
+        |cb AS (SELECT m, cid, list_slice(qv, m*8 + 1, m*8 + 8) AS cw
+        |  FROM cbv, UNNEST(range(0, 8)) AS t(m)),
+        |sub AS (SELECT vec_id AS id, m, list_slice(qv, m*8 + 1, m*8 + 8) AS sv
+        |  FROM e, UNNEST(range(0, 8)) AS t(m)),
+        |enc0 AS (SELECT id, sub.m, cid,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d
+        |  FROM sub JOIN cb ON sub.m = cb.m),
+        |codes AS (SELECT id, m, cid AS code FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cid) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qsub AS (SELECT id AS q, m, sv AS qsv FROM sub WHERE id < 20),
+        |lut AS (SELECT q, qsub.m, cid,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) AS pd
+        |  FROM qsub JOIN cb ON qsub.m = cb.m),
+        |dist AS (SELECT q, id AS neighbor, CAST(SUM(pd) AS BIGINT) AS dist
+        |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+        |  WHERE q <> id GROUP BY q, id),
+        |cand AS (SELECT q, neighbor FROM (
+        |  SELECT q, neighbor,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, neighbor) AS rk
+        |  FROM dist) WHERE rk <= 20),
+        |ex AS (SELECT c.q, c.neighbor,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT) AS d2
+        |  FROM cand c JOIN e a ON a.vec_id = c.q JOIN e b ON b.vec_id = c.neighbor),
+        |r AS (SELECT q, neighbor, d2,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY d2, neighbor) AS rk FROM ex)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, d2 FROM r WHERE rk <= 3
         |ORDER BY q, rank""".stripMargin,
 
     "n1_ann_topk" ->

@@ -351,6 +351,47 @@ object IntervalsQ {
       s.table(name).orderBy("click_id", "purchase_id")
     },
 
+    // ST6: watermark LATE-DATA accounting under the oracle gate —
+    // the semantics every streaming pipeline must get right: the
+    // on-time wave advances the watermark to max(on-time ts)−7201 s,
+    // then a late wave arrives and rows whose hour window already
+    // closed (window end ≤ watermark) are DROPPED, while still-open
+    // windows absorb their stragglers. The replay is deterministic
+    // (two MemoryStream waves split on event_id%3 + a flush
+    // sentinel), so the exact batch-SQL drop rule is hash-checked.
+    // Append mode: the sink only ever sees closed windows — the
+    // contract that makes downstream writes idempotent at 100 TB.
+    "st6_late_drop" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = events(s, dir)
+        .select(col("event_id").cast("long"), sec("ts").cast("long"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect()
+      val (late, ontime) = rows.partition(_._1 % 3 == 0)
+      val flushT = rows.map(_._2).max + 100000L
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val src = in.toDF().toDF("event_id", "t", "event_type", "value")
+        .select(timestamp_seconds(col("t")).as("ts"),
+          col("event_type"), col("value"))
+      val out = graft.streaming.StreamOps.tumblingCounts(
+        src, "ts", "event_type", 3600L, watermark = Some("7201 seconds"))
+      val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(ontime.toSeq)
+        q.processAllAvailable()
+        in.addData(late.toSeq)
+        q.processAllAvailable()
+        in.addData(Seq((-1L, flushT, "zz_flush", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).where(col("event_type") =!= "zz_flush")
+        .orderBy("wstart", "event_type")
+    },
+
     // J13 (new surface): AS-OF join — each click matched to the
     // LATEST purchase by the same user at or before the click instant
     // (ties: a same-second purchase matches; among equal-time
@@ -665,6 +706,20 @@ object IntervalsQ {
         |SELECT c.event_id, c.user_id, t, wnd_id, ws, we
         |FROM c JOIN w ON c.user_id = w.user_id AND t >= ws AND t < we
         |ORDER BY c.event_id, wnd_id""".stripMargin,
+
+    "st6_late_drop" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts)//1000 AS t, event_type, value
+        |  FROM events),
+        |ontime AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        |late AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        |wm AS (SELECT MAX(t) - 7201 AS w1 FROM ontime),
+        |keep_late AS (SELECT late.* FROM late, wm
+        |  WHERE (t // 3600) * 3600 + 3600 > w1),
+        |kept AS (SELECT * FROM ontime UNION ALL SELECT * FROM keep_late)
+        |SELECT (t // 3600) * 3600 AS wstart, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM kept GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
 
     "st5_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts)//1000 AS c_t
