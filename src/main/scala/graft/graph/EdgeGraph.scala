@@ -17,6 +17,28 @@ object EdgeGraph {
   def load(spark: SparkSession, path: String,
            src: String = "src", dst: String = "dst"): EdgeGraph =
     new EdgeGraph(spark.read.parquet(path), src, dst)
+
+  /** Ensure a checkpoint dir exists for iterative algorithms. A
+    * driver-local tmpdir is only a valid checkpoint target in local
+    * mode; on a real cluster Spark requires a shared (e.g.
+    * HDFS/object-store) directory — require one via
+    * spark.graft.checkpointDir rather than checkpoint somewhere
+    * executors can't read.
+    */
+  private[graph] def ensureCheckpointDir(spark: SparkSession, who: String): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val configured = sc.getConf.getOption("spark.graft.checkpointDir")
+      val dir = configured.getOrElse {
+        require(sc.isLocal,
+          s"$who needs a cluster-visible checkpoint dir: " +
+            "set spark.graft.checkpointDir (or SparkContext.setCheckpointDir) " +
+            "to a shared filesystem path")
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}"
+      }
+      sc.setCheckpointDir(dir)
+    }
+  }
 }
 
 class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") {
@@ -66,23 +88,7 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     */
   def connectedComponents(spark: SparkSession,
                           maxIterations: Int = Int.MaxValue): DataFrame = {
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty) {
-      // A driver-local tmpdir is only a valid checkpoint target in
-      // local mode; on a real cluster Spark requires a shared
-      // (e.g. HDFS/object-store) directory — require one via
-      // spark.graft.checkpointDir rather than checkpoint somewhere
-      // executors can't read.
-      val configured = sc.getConf.getOption("spark.graft.checkpointDir")
-      val dir = configured.getOrElse {
-        require(sc.isLocal,
-          "connectedComponents needs a cluster-visible checkpoint dir: " +
-            "set spark.graft.checkpointDir (or SparkContext.setCheckpointDir) " +
-            "to a shared filesystem path")
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}"
-      }
-      sc.setCheckpointDir(dir)
-    }
+    EdgeGraph.ensureCheckpointDir(spark, "connectedComponents")
     val pairs = edges
       .select(col(src).cast("long"), col(dst).cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
@@ -138,5 +144,55 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
         m.iterator.collect { case (lm, d) if d <= maxDist => (node, lm, d.toLong) }
       }
     spark.createDataFrame(sp).toDF("node", "landmark", "dist")
+  }
+
+  /** k-core: the maximal induced subgraph in which every node has
+    * undirected degree >= k, by synchronous iterative peeling
+    * (each round simultaneously drops all nodes whose degree within
+    * the current subgraph is < k — Matula–Beck 1983). Returns
+    * (node, deg) for core members with their degree INSIDE the core.
+    *
+    * Scale design: every round is one keyed aggregate (degrees) plus
+    * two semi-joins, all shuffles keyed on the node id, and the
+    * working edge set only shrinks — there is no per-node sequential
+    * peel (the classic O(E) heap algorithm is inherently serial; the
+    * synchronous-round form is the distributed equivalent and needs
+    * O(peel depth) rounds, tens on real graphs). Each round's edge
+    * set is persisted and the previous one unpersisted, so a round
+    * costs one pass over current edges, not its lineage; every 5th
+    * round is a reliable checkpoint (same `spark.graft.checkpointDir`
+    * contract as connectedComponents) so neither the logical plan nor
+    * the recovery lineage grows with round count.
+    *
+    * Throws if `maxRounds` is hit before the peel reaches its
+    * fixpoint — a truncated peel is NOT a k-core, so fail loudly
+    * rather than return a superset.
+    */
+  def kCore(spark: SparkSession, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    EdgeGraph.ensureCheckpointDir(spark, "kCore")
+    var ue = undirected.select(col(src).as("a"), col(dst).as("b")).persist()
+    var nEdges = ue.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val alive = ue.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("a")
+      val next0 = ue.join(alive, Seq("a"), "left_semi")
+        .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+      round += 1
+      val next = if (round % 5 == 0) next0.checkpoint() else next0.persist()
+      val m = next.count()
+      ue.unpersist()
+      converged = m == nEdges || m == 0L
+      nEdges = m
+      ue = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: peel did not converge within $maxRounds rounds " +
+          s"($nEdges edges still shrinking); raise maxRounds")
+    ue.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 }

@@ -201,6 +201,20 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // g6: k-core decomposition membership (densest-region extraction:
+    // community pruning, spam-farm detection). Synchronous peel — each
+    // round one keyed degree aggregate + two semi-joins over an
+    // only-shrinking edge set; see EdgeGraph.kCore. The low-quantity
+    // edge subset has a non-trivial 3-core (~half the edges peel off);
+    // the full graph is so dense its core is the whole graph.
+    "g6_kcore" -> { (s, dir) =>
+      val e = table(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 3.0)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + POFF).as("dst"))
+        .distinct()
+      new EdgeGraph(e).kCore(s, k = 3).orderBy("node")
+    },
+
     // g3: PageRank in FIXED-POINT integer arithmetic (micro-units,
     // damping 0.85, 2 unrolled iterations) — float PageRank can never
     // hash-match across engines (summation order), so the ranks are
@@ -433,6 +447,30 @@ object GraphQ {
         |  UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
         |SELECT node, COUNT(*) AS n_triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // The recursive term sees only the PREVIOUS iteration's rows (the
+    // recursive working table), so iteration i holds the degrees of
+    // round-(i-1) survivors within the subgraph they induce; selecting
+    // exactly iter = 50 (the Spark side's maxRounds) reads the
+    // fixpoint — and is empty when the peel dies out, matching the
+    // empty-core case.
+    "g6_kcore" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+        |  FROM lineitem WHERE l_quantity <= 3),
+        |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |alive(iter, node, deg) AS (
+        |  SELECT 0, a, CAST(COUNT(*) AS BIGINT) FROM ud GROUP BY a
+        |  UNION ALL
+        |  SELECT nxt.iter + 1, nxt.node, nxt.deg FROM (
+        |    SELECT al.iter AS iter, u.a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |    FROM alive al JOIN ud u ON u.a = al.node
+        |    WHERE al.deg >= 3 AND al.iter < 50
+        |      AND u.b IN (SELECT a2.node FROM alive a2 WHERE a2.deg >= 3)
+        |    GROUP BY al.iter, u.a
+        |  ) nxt)
+        |SELECT node, deg FROM alive WHERE iter = 50
+        |ORDER BY node""".stripMargin,
 
     "g1_connected_components" ->
       """WITH RECURSIVE e AS (

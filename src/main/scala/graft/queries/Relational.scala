@@ -211,6 +211,65 @@ object Relational {
         }.reduce(_ unionByName _).orderBy("stage")
     },
 
+    // W8: cohort retention — users bucketed by first-activity week,
+    // distinct actives per (cohort, week offset). The activity→frontier
+    // join is keyed on user_id and the frontier is |users| rows (tiny
+    // next to events, broadcast-able at 100 TB); the dedup shuffles
+    // only (cohort, week, user) triples — bounded by users × weeks,
+    // never raw event volume.
+    "w8_retention" -> { (s, dir) =>
+      val e = IntervalsQ.events(s, dir)
+        .select(col("user_id"),
+          expr("(ts div 1000000000) div 604800").as("week"))
+      val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      e.join(first, "user_id")
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_no"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_no")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_no")
+    },
+
+    // X4: fixed-width histogram — integer bucket keys, so the whole
+    // aggregation is map-side combinable into a tiny key space
+    // (priorities × buckets); the classic profile-a-column scan.
+    "x4_histogram" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority", "bucket")
+    },
+
+    // X5: per-group Pearson correlation from EXACT decimal co-moment
+    // sums (one map-side-combinable aggregate — never a row-pair
+    // join); the float formula runs once per GROUP on the exact sums,
+    // so summation order can't drift the result, and the operand
+    // magnitudes stay under 2^53 so decimal→double is exact in any
+    // engine. Quantized to integer micro-units like f6.
+    "x5_correlation" -> { (s, dir) =>
+      val dq = col("l_quantity").cast(dec)
+      val dd = col("l_discount").cast(dec)
+      val d28 = DecimalType(28, 4)
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dq).as("sx"), sum(dd).as("sy"),
+          sum((dq * dq).cast(d28)).as("sxx"),
+          sum((dq * dd).cast(d28)).as("sxy"),
+          sum((dd * dd).cast(d28)).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          floor(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * lit(1e6)))
+            .cast("long").as("corr_u"))
+        .orderBy("l_returnflag")
+    },
+
     // X2: HLL approximate distinct — the sketch a 100 TB pipeline uses
     // where exact COUNT(DISTINCT) would shuffle every value (distinct
     // URLs/users per slice). HLL++ register merges are max-commutative,
@@ -338,6 +397,36 @@ object Relational {
         |  UNION ALL SELECT '3_click', COUNT(*) FROM s3
         |  UNION ALL SELECT '4_purchase', COUNT(*) FROM s4)
         |ORDER BY stage""".stripMargin,
+
+    "w8_retention" ->
+      """WITH w AS (SELECT user_id, (epoch_ms(ts)//1000)//604800 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+        |a AS (SELECT DISTINCT cohort_week, week - cohort_week AS week_no, w.user_id
+        |  FROM w JOIN f USING (user_id))
+        |SELECT cohort_week, week_no, COUNT(*) AS n_users
+        |FROM a GROUP BY cohort_week, week_no
+        |ORDER BY cohort_week, week_no""".stripMargin,
+
+    "x4_histogram" ->
+      """SELECT o_orderpriority,
+        |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    "x5_correlation" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxy,
+        |  SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS corr_u
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "w6_rolling" ->
       """SELECT event_id, user_id, epoch_ms(ts)//1000 AS t,

@@ -403,6 +403,69 @@ object TextQ {
         .orderBy("rank")
     },
 
+    // b2: exact PHRASE match ("merge join", adjacent tokens) as a pure
+    // projection — position filtering happens inside one generated
+    // expression per row, so the plan has NO shuffle and no postings
+    // index at all: the optimal 100 TB shape for a fixed-phrase scan
+    // (b1's inverted-index path is for when the query terms vary).
+    // Positions are 1-based first-word indexes.
+    "b2_phrase" -> { (s, dir) =>
+      docToks(s, dir)
+        .withColumn("hits",
+          when(size(col("toks")) >= 2,
+            expr("filter(sequence(1, size(toks) - 1), " +
+              "i -> toks[i-1] = 'merge' AND toks[i] = 'join')"))
+          .otherwise(array().cast("array<int>")))
+        .where(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_matches"),
+          element_at(col("hits"), 1).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
+    // t10: unigram-LM negative log-likelihood per doc — the corpus's
+    // own unigram distribution is the model; a doc's mean -ln p(w) is
+    // its perplexity proxy (t9's bigram sibling, one order lower).
+    // Plan: term counts aggregate map-side into a VOCABULARY-sized
+    // table (so the corpus total is a window over that tiny table,
+    // not a second corpus scan), which broadcasts back onto the
+    // postings — the postings themselves never shuffle until the
+    // final doc-keyed aggregate. Per-occurrence nll is floored to
+    // integer micro-nats BEFORE the per-doc mean (nonneg, so trunc =
+    // floor in both engines).
+    "t10_unigram_logprob" -> { (s, dir) =>
+      val d = docToks(s, dir)
+      val tc = d.select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ct"))
+        .withColumn("tot", sum("ct").over(Window.partitionBy()))
+      d.select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(tc), "term")
+        .withColumn("nll_u",
+          floor(log(col("tot").cast("double") / col("ct")) * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("sum(nll_u) div count(1)").as("mean_nll_u"))
+        .orderBy("doc_id")
+    },
+
+    // c8: hashed-feature linear classifier (the fastText-style
+    // quality-model scoring pass of a training pipeline): each token
+    // hashes to a deterministic weight in [-500, 500] (md5 draw — no
+    // trained weights in this sandbox, same plumbing), doc score =
+    // Σ weights. Evaluated as ONE generated expression over the token
+    // array — zero shuffle, embarrassingly parallel: exactly how a
+    // 100 TB scoring pass should look (model broadcast, scan-only).
+    "c8_hash_classifier" -> { (s, dir) =>
+      docToks(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          coalesce(aggregate(
+            transform(col("toks"),
+              t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L),
+            lit(0L), (acc, x) => acc + x), lit(0L)).as("score_sum"))
+        .withColumn("label",
+          when(col("score_sum") >= 0, lit("keep")).otherwise(lit("drop")))
+        .orderBy("doc_id")
+    },
+
     // t9: bigram-surprise quality score — the KenLM-perplexity shape
     // of a pretraining quality filter without the external LM: the
     // corpus's own bigram counts are the model, a doc's mean
@@ -812,6 +875,38 @@ object TextQ {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank FROM ag)
         |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    "b2_phrase" ->
+      s"""WITH tk AS ($toksSql),
+        |h AS (SELECT doc_id,
+        |  list_filter(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] = 'merge' AND toks[CAST(i+1 AS INT)] = 'join') AS hits
+        |  FROM tk)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  CAST(hits[1] AS BIGINT) AS first_pos
+        |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    "t10_unigram_logprob" ->
+      s"""WITH tk AS ($toksSql),
+        |p AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM p GROUP BY term),
+        |st AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot FROM tc),
+        |j AS (SELECT doc_id,
+        |  CAST(floor(ln(CAST(tot AS DOUBLE) / ct) * 1e6) AS BIGINT) AS nll_u
+        |  FROM p JOIN tc USING (term), st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS mean_nll_u
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c8_hash_classifier" ->
+      s"""WITH tk AS ($toksSql),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(toks,
+        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500)), 0) AS BIGINT) AS score_sum
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, score_sum,
+        |  CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t9_bigram_surprise" ->
       s"""WITH tk AS ($toksSql),
