@@ -404,21 +404,24 @@ object TextQ {
     },
 
     // b2: exact PHRASE match ("merge join", adjacent tokens) as a pure
-    // projection — position filtering happens inside one generated
-    // expression per row, so the plan has NO shuffle and no postings
-    // index at all: the optimal 100 TB shape for a fixed-phrase scan
-    // (b1's inverted-index path is for when the query terms vary).
-    // Positions are 1-based first-word indexes.
+    // projection — no shuffle, no postings index: the optimal 100 TB
+    // shape for a fixed-phrase scan (b1's inverted-index path is for
+    // when the query terms vary). The pair test is a zip_with against
+    // the shifted array so the HOF lambda touches ONLY lambda
+    // variables: indexing the toks alias inside the lambda would let
+    // predicate pushdown inline the whole tokenizer per ELEMENT
+    // (O(tokens²) per doc — measured 4x slower). Positions are
+    // 1-based first-word indexes (zip index i = pair (w_i, w_i+1)).
     "b2_phrase" -> { (s, dir) =>
+      val matched = zip_with(
+        col("toks"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => a === "merge" && b === "join")
       docToks(s, dir)
-        .withColumn("hits",
-          when(size(col("toks")) >= 2,
-            expr("filter(sequence(1, size(toks) - 1), " +
-              "i -> toks[i-1] = 'merge' AND toks[i] = 'join')"))
-          .otherwise(array().cast("array<int>")))
-        .where(size(col("hits")) > 0)
-        .select(col("doc_id"), size(col("hits")).cast("long").as("n_matches"),
-          element_at(col("hits"), 1).cast("long").as("first_pos"))
+        .select(col("doc_id"),
+          size(filter(matched, p => p)).cast("long").as("n_matches"),
+          array_position(matched, true).as("first_pos"))
+        .where(col("n_matches") > 0)
         .orderBy("doc_id")
     },
 
