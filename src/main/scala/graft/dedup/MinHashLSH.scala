@@ -105,11 +105,11 @@ object MinHashLSH {
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket)
 
-  /** Exact Jaccard (basis points) between shingle sets of id pairs.
-    * `pairs` has (i, j); `docs` has (idCol, toksCol).
+  /** Shingle-set overlap per candidate pair: (i, j, inter, szi, szj).
+    * Shared engine of the exact-verify metrics (Jaccard, containment).
     */
-  def jaccardBp(pairs: DataFrame, docs: DataFrame, idCol: String,
-                toksCol: String, shingleN: Int = 2): DataFrame = {
+  private def pairOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
+                          toksCol: String, shingleN: Int): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -132,8 +132,29 @@ object MinHashLSH {
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), "i")
       .join(sizes.select(col(idCol).as("j"), col("sz").as("szj")), "j")
+  }
+
+  /** Exact Jaccard (basis points) between shingle sets of id pairs.
+    * `pairs` has (i, j); `docs` has (idCol, toksCol).
+    */
+  def jaccardBp(pairs: DataFrame, docs: DataFrame, idCol: String,
+                toksCol: String, shingleN: Int = 2): DataFrame =
+    pairOverlap(pairs, docs, idCol, toksCol, shingleN)
       .select(col("i"), col("j"),
         TextFunctions.bp(col("inter"), col("szi") + col("szj") - col("inter"))
           .as("jac_bp"))
-  }
+
+  /** Asymmetric shingle CONTAINMENT (basis points) per candidate pair:
+    * |A∩B|/|A| and |A∩B|/|B| — the "document swallowed by a larger
+    * one" test that symmetric Jaccard underweights when sizes differ
+    * (a quote-page containing a full article scores low Jaccard but
+    * ~10000 containment on the article side). Same restricted-join
+    * plan as jaccardBp.
+    */
+  def containmentBp(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    toksCol: String, shingleN: Int = 2): DataFrame =
+    pairOverlap(pairs, docs, idCol, toksCol, shingleN)
+      .select(col("i"), col("j"),
+        TextFunctions.bp(col("inter"), col("szi")).as("cont_i_bp"),
+        TextFunctions.bp(col("inter"), col("szj")).as("cont_j_bp"))
 }

@@ -52,6 +52,21 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d10: asymmetric containment on the d2 candidate pairs — the
+    // RefinedWeb/CCNet "near-dup by inclusion" test: |A∩B|/|A| vs
+    // |A∩B|/|B| catches a short doc swallowed by a longer one that
+    // symmetric Jaccard scores low. Same LSH candidate generation and
+    // candidate-restricted verify join as d2 (never all-pairs).
+    "d10_containment" -> { (s, dir) =>
+      val docs = docToks(s, dir)
+      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id")
+      MinHashLSH.containmentBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        .where(greatest(col("cont_i_bp"), col("cont_j_bp")) >= 6000)
+        .orderBy("i", "j")
+    },
+
     // d3: 32-bit simhash fingerprints.
     "d3_simhash" -> { (s, dir) =>
       SimHash.simhash(docToks(s, dir), "doc_id", "toks").orderBy("doc_id")
@@ -366,6 +381,44 @@ object DedupQ {
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "d10_containment" ->
+      s"""WITH tk AS ($tkSql),
+        |sh AS ($shSql),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        |  FROM sh CROSS JOIN range(8) r(seed)),
+        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
+        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
+        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
+        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
+        |  FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sc AS (SELECT c.i, c.j,
+        |  CASE WHEN za.sz = 0 THEN 0
+        |    ELSE (10000 * COALESCE(ic, 0)) // za.sz END AS cont_i_bp,
+        |  CASE WHEN zb.sz = 0 THEN 0
+        |    ELSE (10000 * COALESCE(ic, 0)) // zb.sz END AS cont_j_bp
+        |  FROM cand c
+        |  LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+        |  JOIN sz za ON za.doc_id = c.i
+        |  JOIN sz zb ON zb.doc_id = c.j)
+        |SELECT i, j, cont_i_bp, cont_j_bp FROM sc
+        |WHERE GREATEST(cont_i_bp, cont_j_bp) >= 6000
+        |ORDER BY i, j""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH tk AS ($tkSql),

@@ -270,6 +270,31 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // W9: z-score outlier flagging — per-type mean/std from EXACT
+    // decimal sums (value has 2 decimals, so the sums are exact; the
+    // float formula runs once per row on exact inputs, so no
+    // summation-order drift). Plan: one tiny type-keyed aggregate
+    // broadcast back onto the scan — the events themselves never
+    // shuffle; the anomaly scan is a pure second pass. The per-row
+    // z is quantized to milli-sigma.
+    "w9_zscore_outliers" -> { (s, dir) =>
+      val dv = col("value").cast(dec)
+      val stats = IntervalsQ.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dv).as("sx"),
+          sum((dv * dv).cast(DecimalType(28, 4))).as("sxx"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      IntervalsQ.events(s, dir)
+        .join(broadcast(stats), "event_type")
+        .withColumn("z_u",
+          floor((col("value") - sx / n) /
+            sqrt((sxx - sx * sx / n) / n) * lit(1000.0)).cast("long"))
+        .where(col("z_u") >= 3000)
+        .select("event_id", "event_type", "value", "z_u")
+        .orderBy("event_id")
+    },
+
     // X2: HLL approximate distinct — the sketch a 100 TB pipeline uses
     // where exact COUNT(DISTINCT) would shuffle every value (distinct
     // URLs/users per slice). HLL++ register merges are max-commutative,
@@ -406,6 +431,21 @@ object Relational {
         |SELECT cohort_week, week_no, COUNT(*) AS n_users
         |FROM a GROUP BY cohort_week, week_no
         |ORDER BY cohort_week, week_no""".stripMargin,
+
+    "w9_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  CAST(floor((value - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * 1000.0) AS BIGINT) AS z_u
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE floor((value - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * 1000.0) >= 3000
+        |ORDER BY event_id""".stripMargin,
 
     "x4_histogram" ->
       """SELECT o_orderpriority,

@@ -450,6 +450,48 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // t11: BPE-style pair-merge training, one merge round unrolled —
+    // the tokenizer-training shape at scale: ONE corpus pass builds
+    // the word-frequency table, and the whole training loop (pair
+    // stats → argmax merge → re-stats) runs on that vocabulary-sized
+    // table, never touching the corpus again. Ranking excludes
+    // self-pairs (a,a) so the simultaneous merge is well-defined
+    // without leftmost-greedy sequencing (matches can never be
+    // adjacent); ties break on (count desc, pair asc). Output:
+    // top-5 merge candidates before and after applying merge #1.
+    "t11_bpe_merges" -> { (s, dir) =>
+      val wOrd = Window.partitionBy("word").orderBy("pos")
+      val words = docToks(s, dir).select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val syms1 = words.select(col("word"), col("freq"),
+        posexplode(split(trim(regexp_replace(col("word"), "(.)", "$1 ")), " "))
+          .as(Seq("pos", "s")))
+      def pairCounts(syms: org.apache.spark.sql.DataFrame) =
+        syms.withColumn("nx", lead("s", 1).over(wOrd))
+          .where(col("nx").isNotNull && col("s") =!= col("nx"))
+          .groupBy(concat(col("s"), lit(" "), col("nx")).as("pair"))
+          .agg(sum("freq").as("cnt"))
+      val p1 = pairCounts(syms1)
+      val top1 = p1.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("ma"),
+                split(col("pair"), " ").getItem(1).as("mb"))
+      val merged = syms1.crossJoin(broadcast(top1))
+        .withColumn("m", coalesce(
+          col("s") === col("ma") && lead("s", 1).over(wOrd) === col("mb"),
+          lit(false)))
+        .withColumn("pm", coalesce(lag("m", 1).over(wOrd), lit(false)))
+        .where(!col("pm"))
+        .select(col("word"), col("freq"), col("pos"),
+          when(col("m"), concat(col("ma"), col("mb"))).otherwise(col("s")).as("s"))
+      def top5(p: org.apache.spark.sql.DataFrame, round: Int) =
+        p.withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+          .where(col("rank") <= 5)
+          .select(lit(round).as("round"), col("rank"), col("pair"), col("cnt"))
+      top5(p1, 1).unionByName(top5(pairCounts(merged), 2))
+        .orderBy("round", "rank")
+    },
+
     // c8: hashed-feature linear classifier (the fastText-style
     // quality-model scoring pass of a training pipeline): each token
     // hashes to a deterministic weight in [-500, 500] (md5 draw — no
@@ -900,6 +942,38 @@ object TextQ {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS mean_nll_u
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_bpe_merges" ->
+      s"""WITH tk AS ($toksSql),
+        |wf AS (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(toks) AS term FROM tk) GROUP BY 1),
+        |sy AS (SELECT word, freq,
+        |  list_filter(regexp_split_to_array(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' '),
+        |    x -> x <> '') AS sl FROM wf),
+        |s1 AS (SELECT word, freq, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS s FROM sy),
+        |pc1 AS (SELECT s || ' ' || nx AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT word, freq, s,
+        |      lead(s) OVER (PARTITION BY word ORDER BY pos) AS nx FROM s1)
+        |  WHERE nx IS NOT NULL AND s <> nx GROUP BY 1),
+        |t1 AS (SELECT split_part(pair, ' ', 1) AS ma, split_part(pair, ' ', 2) AS mb
+        |  FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+        |m1 AS (SELECT word, freq, pos, s, ma, mb,
+        |  COALESCE(s = ma AND lead(s) OVER (PARTITION BY word ORDER BY pos) = mb, FALSE) AS m
+        |  FROM s1, t1),
+        |m2 AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pm FROM m1),
+        |mg AS (SELECT word, freq, pos, CASE WHEN m THEN ma || mb ELSE s END AS s
+        |  FROM m2 WHERE NOT pm),
+        |pc2 AS (SELECT s || ' ' || nx AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT word, freq, s,
+        |      lead(s) OVER (PARTITION BY word ORDER BY pos) AS nx FROM mg)
+        |  WHERE nx IS NOT NULL AND s <> nx GROUP BY 1),
+        |r AS (
+        |  SELECT 1 AS round, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank,
+        |    pair, cnt FROM pc1
+        |  UNION ALL
+        |  SELECT 2, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT), pair, cnt FROM pc2)
+        |SELECT round, rank, pair, cnt FROM r WHERE rank <= 5
+        |ORDER BY round, rank""".stripMargin,
 
     "c8_hash_classifier" ->
       s"""WITH tk AS ($toksSql),
