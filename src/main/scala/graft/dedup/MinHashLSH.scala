@@ -107,31 +107,28 @@ object MinHashLSH {
 
   /** Shingle-set overlap per candidate pair: (i, j, inter, szi, szj).
     * Shared engine of the exact-verify metrics (Jaccard, containment).
+    *
+    * Plan: fetch each side's shingle ARRAY by a doc-id-keyed join and
+    * intersect in-row — cost is linear in candidate pairs (two keyed
+    * shuffles), with per-row work bounded by shingle-array length.
+    * The tempting alternative — a shingle-keyed equi-join counting
+    * co-occurrences — is quadratic in per-shingle doc frequency and
+    * degenerates on boilerplate-heavy corpora where every shingle is
+    * hot (measured: an unbounded sf1 run vs seconds here); with
+    * capped candidate generation the pair count is the small side by
+    * construction, so the in-row intersect wins at any scale.
     */
   private def pairOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
                           toksCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // restrict the shingle set to docs that occur in any candidate
-    // pair BEFORE the self-join — the join cost is then quadratic in
-    // candidate-doc shingles, not corpus shingles
-    val candIds = pairs.select(col("i").as(idCol))
-      .union(pairs.select(col("j").as(idCol))).distinct()
-    val shc = sh.join(broadcast(candIds), idCol)
-    // intersection via shingle equi-join (shuffle keyed on shingle, so
-    // per-task work is bounded by shingle popularity, not corpus size),
-    // then restricted to the candidate pairs
-    val inter = shc.select(col(idCol).as("i"), col("sh"))
-      .join(shc.select(col(idCol).as("j"), col("sh")), Seq("sh"))
-      .where(col("i") < col("j"))
-      .join(pairs, Seq("i", "j"), "left_semi")
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    val sha = docs.select(col(idCol),
+      TextFunctions.shingles(col(toksCol), shingleN).as("shs"))
     pairs
-      .join(inter, Seq("i", "j"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), "i")
-      .join(sizes.select(col(idCol).as("j"), col("sz").as("szj")), "j")
+      .join(sha.select(col(idCol).as("i"), col("shs").as("shi")), "i")
+      .join(sha.select(col(idCol).as("j"), col("shs").as("shj")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("shi"), col("shj"))).cast("long").as("inter"),
+        size(col("shi")).cast("long").as("szi"),
+        size(col("shj")).cast("long").as("szj"))
   }
 
   /** Exact Jaccard (basis points) between shingle sets of id pairs.

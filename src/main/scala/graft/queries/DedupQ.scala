@@ -46,8 +46,15 @@ object DedupQ {
     "d2_minhash_lsh" -> { (s, dir) =>
       val docs = docToks(s, dir)
       val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      // maxBucket = 16: this corpus's tiny vocabulary (~40 words ⇒
+      // ~1600 possible 2-shingles) degenerates LSH buckets as the
+      // corpus grows — the sf1 audit measured candidate pairs growing
+      // 100x for 10x docs uncapped. The cap is the standard fix (an
+      // oversized bucket is a non-discriminative hash, not a dup
+      // cluster); audit drops with MinHashLSH.oversizedBuckets.
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id")
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        maxBucket = 16)
       MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .orderBy("i", "j")
     },
@@ -61,7 +68,8 @@ object DedupQ {
       val docs = docToks(s, dir)
       val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id")
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        maxBucket = 16)
       MinHashLSH.containmentBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .where(greatest(col("cont_i_bp"), col("cont_j_bp")) >= 6000)
         .orderBy("i", "j")
@@ -365,8 +373,10 @@ object DedupQ {
         |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
         |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
         |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
         |    AND a.doc_id < b.doc_id),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
@@ -399,8 +409,10 @@ object DedupQ {
         |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
         |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
         |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
         |    AND a.doc_id < b.doc_id),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
