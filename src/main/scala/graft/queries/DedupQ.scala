@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Graft.table
 import graft.dedup.{MinHashLSH, SimHash}
+import graft.graph.EdgeGraph
 import graft.similarity.CosineSim
 import graft.text.TextFunctions.tokens
 
@@ -73,6 +74,29 @@ object DedupQ {
       MinHashLSH.containmentBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .where(greatest(col("cont_i_bp"), col("cont_j_bp")) >= 6000)
         .orderBy("i", "j")
+    },
+
+    // c10: near-dup REMOVAL end-to-end — the action the detection
+    // queries feed (the C4/CCNet step): capped-LSH candidates →
+    // exact-Jaccard verify ≥ 0.8 → connected components over the
+    // dup-pair graph → keep the min doc_id per cluster, emit every
+    // removed doc with its keeper. Transitive closure matters: a≈b,
+    // b≈c must drop BOTH b and c even when a≉c directly — pairwise
+    // keep-first would keep c. CC runs on the pair graph (tiny next
+    // to the corpus), not the corpus.
+    "c10_neardup_removal" -> { (s, dir) =>
+      val docs = docToks(s, dir)
+      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        maxBucket = 16)
+      val dup = MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        .where(col("jac_bp") >= 8000)
+      new EdgeGraph(dup.select(col("i").as("src"), col("j").as("dst")))
+        .connectedComponents(s)
+        .where(col("node") =!= col("comp"))
+        .select(col("node").as("removed_doc"), col("comp").as("kept_doc"))
+        .orderBy("removed_doc")
     },
 
     // d3: 32-bit simhash fingerprints.
@@ -391,6 +415,50 @@ object DedupQ {
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "c10_neardup_removal" ->
+      s"""WITH RECURSIVE tk AS ($tkSql),
+        |sh AS ($shSql),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        |  FROM sh CROSS JOIN range(8) r(seed)),
+        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
+        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
+        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
+        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
+        |  FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |dup AS (SELECT c.i AS a, c.j AS b
+        |  FROM cand c
+        |  LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+        |  JOIN sz za ON za.doc_id = c.i
+        |  JOIN sz zb ON zb.doc_id = c.j
+        |  WHERE (za.sz + zb.sz - COALESCE(ic, 0)) > 0
+        |    AND (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) >= 8000),
+        |ud AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+        |nodes AS (SELECT DISTINCT a AS n FROM ud),
+        |walk(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
+        |SELECT n AS removed_doc, MIN(lbl) AS kept_doc FROM walk
+        |GROUP BY n HAVING MIN(lbl) <> n
+        |ORDER BY removed_doc""".stripMargin,
 
     "d10_containment" ->
       s"""WITH tk AS ($tkSql),

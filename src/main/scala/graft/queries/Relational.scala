@@ -295,6 +295,23 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // X6: approximate quantiles (GK/QuantileSummaries sketch) — x3's
+    // exact row-index quantiles need a per-stratum sort; the sketch
+    // is what a 100 TB profile pass actually runs (mergeable partial
+    // summaries, map-side combinable, bounded memory at any scale).
+    // Like x2 the estimate is engine-specific ⇒ rows-gated only; the
+    // spec bounds it against the exact x3-style answer.
+    "x6_approx_quantiles" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)")
+            .as("pq"))
+        .select(col("o_orderpriority"), col("n"),
+          element_at(col("pq"), 1).as("p50"), element_at(col("pq"), 2).as("p90"))
+        .orderBy("o_orderpriority")
+    },
+
     // X2: HLL approximate distinct — the sketch a 100 TB pipeline uses
     // where exact COUNT(DISTINCT) would shuffle every value (distinct
     // URLs/users per slice). HLL++ register merges are max-commutative,

@@ -79,6 +79,21 @@ class IntegrationSpec extends SparkSuite {
     assert(loaded.outDegrees.count() === 2)
   }
 
+  test("x6 approx quantiles within 2% relative rank of exact (rows-only gated query)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x6_approx_quantiles")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    for ((prio, (p50, p90)) <- got) {
+      val vals = orders.where(col("o_orderpriority") === prio)
+        .select(expr("o_totalprice")).collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) < 0.02, s"$prio p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) < 0.02, s"$prio p90 rank ${rankOf(p90)}")
+    }
+  }
+
   test("x2 HLL approx distinct within 5% of exact (rows-only gated query)") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("x2_approx_distinct")(spark, dir).collect()
