@@ -74,17 +74,27 @@ object Bench {
       "d8_substring_dedup", "n3_ann_ivf", "n7_ann_ivfpq", "t1_langid",
       "t7_gopher_rules", "c1_clean_corpus", "g1_connected_components",
       "st1_tumbling_window", "st3_stream_sessionize", "b1_bm25_topk",
-      "t8_tfidf", "g5_shortest_paths", "st5_stream_stream_join")
+      "t8_tfidf", "g5_shortest_paths", "st5_stream_stream_join",
+      "g6_kcore", "b2_phrase", "d10_containment", "c10_neardup_removal",
+      "t11_bpe_merges", "w8_retention")
     val lineQs = results.filter { case (k, _) => headline.contains(k) }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":$sfNum}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_full.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // the stdout line is the contract
+    // the stdout line is the contract: a failed write must NOT leave a
+    // stale file from an earlier run advertised as this run's output —
+    // delete first, and advertise null on failure so the condition is
+    // detectable downstream
+    val wrote =
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        java.nio.file.Files.deleteIfExists(p)
+        java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false }
+    val fullField = if (wrote) "\"" + outPath + "\"" else "null"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"sf":$sfNum,"full":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"sf":$sfNum,"full":$fullField}"""
     println(line)
     spark.stop()
   }

@@ -120,8 +120,13 @@ object MinHashLSH {
     */
   private def pairOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
                           toksCol: String, shingleN: Int): DataFrame = {
+    // shingles() is NULL for docs shorter than shingleN tokens; drop
+    // those docs so a pair referencing one is dropped (matching the
+    // previous exploded-join implementation and the oracle's inner
+    // join against per-doc sizes) instead of emitting NULL metrics
     val sha = docs.select(col(idCol),
       TextFunctions.shingles(col(toksCol), shingleN).as("shs"))
+      .where(col("shs").isNotNull)
     pairs
       .join(sha.select(col(idCol).as("i"), col("shs").as("shi")), "i")
       .join(sha.select(col(idCol).as("j"), col("shs").as("shj")), "j")

@@ -119,29 +119,52 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
       .select(col("node"), col("n_tri").cast("long").as("n_triangles"))
   }
 
-  /** Hop distances from a set of landmark nodes via GraphX
-    * ShortestPaths (Pregel BFS) — the multi-source traversal query of
-    * the reference's graph surface (pygr `graphquery.py` walks /
-    * `mapping.py` BFS-ish iteration), in its scalable form: one Pregel
-    * superstep per hop, messages only along frontier edges, no
-    * all-pairs anything. Distances follow edge direction; pass
-    * `undirected` edges for the symmetric metric. Results are exact
-    * integer hop counts — deterministic regardless of message order.
+  /** Hop distances from a set of landmark nodes (Pregel BFS) — the
+    * multi-source traversal query of the reference's graph surface
+    * (pygr `graphquery.py` walks / `mapping.py` BFS-ish iteration),
+    * in its scalable form: one Pregel superstep per hop, messages
+    * only along frontier edges, no all-pairs anything. Distances
+    * follow edge direction (node → … → landmark, the GraphX
+    * ShortestPaths convention); pass `undirected` edges for the
+    * symmetric metric. Results are exact integer hop counts —
+    * deterministic regardless of message order.
+    *
+    * Hand-rolled Pregel (same vertex program as GraphX's
+    * lib.ShortestPaths) so `maxDist` can be passed as Pregel's
+    * maxIterations: BFS layer d is final after superstep d, so the
+    * cap genuinely bounds supersteps on a high-diameter graph —
+    * lib.ShortestPaths always runs to full convergence and a
+    * post-filter would only trim output. The cap also keeps vertex
+    * state at |landmarks| entries.
     *
     * Returns (node, landmark, dist) for every reachable pair with
-    * dist <= maxDist (the cap bounds Pregel supersteps AND keeps the
-    * row count per node at |landmarks| — constant-size vertex state).
+    * dist <= maxDist.
     */
   def shortestPaths(spark: SparkSession, landmarks: Seq[Long],
                     maxDist: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.graphx.lib.ShortestPaths
+    import org.apache.spark.graphx.{EdgeTriplet, Pregel, VertexId}
+    type SPMap = Map[VertexId, Int]
+    def addMaps(a: SPMap, b: SPMap): SPMap =
+      (a.keySet ++ b.keySet).iterator
+        .map(k => k -> math.min(a.getOrElse(k, Int.MaxValue),
+                                b.getOrElse(k, Int.MaxValue)))
+        .toMap
+    val lm = landmarks.toSet
     val pairs = edges
       .select(col(src).cast("long"), col(dst).cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     val g = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
-    val sp = ShortestPaths.run(g, landmarks).vertices
+      .mapVertices((vid, _) =>
+        if (lm.contains(vid)) Map(vid -> 0) else Map.empty[VertexId, Int])
+    def send(e: EdgeTriplet[SPMap, Int]): Iterator[(VertexId, SPMap)] = {
+      val fromDst = e.dstAttr.map { case (k, v) => k -> (v + 1) }
+      if (e.srcAttr != addMaps(fromDst, e.srcAttr)) Iterator((e.srcId, fromDst))
+      else Iterator.empty
+    }
+    val sp = Pregel(g, Map.empty[VertexId, Int], maxIterations = maxDist)(
+        (_, attr, msg) => addMaps(attr, msg), send, addMaps).vertices
       .flatMap { case (node, m) =>
-        m.iterator.collect { case (lm, d) if d <= maxDist => (node, lm, d.toLong) }
+        m.iterator.collect { case (l, d) if d <= maxDist => (node, l, d.toLong) }
       }
     spark.createDataFrame(sp).toDF("node", "landmark", "dist")
   }
@@ -193,6 +216,11 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
       throw new IllegalStateException(
         s"kCore: peel did not converge within $maxRounds rounds " +
           s"($nEdges edges still shrinking); raise maxRounds")
-    ue.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // hand the caller a checkpoint-backed result and release the
+    // loop's cache — otherwise every kCore call leaks one persisted
+    // edge set into the block manager for the session's lifetime
+    val core = ue.checkpoint()
+    ue.unpersist()
+    core.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 }

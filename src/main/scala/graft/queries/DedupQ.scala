@@ -367,6 +367,38 @@ object DedupQ {
       |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh
       |FROM tk""".stripMargin
 
+  /** Shared LSH candidate pipeline (minhash k=8 → 4 bands → bucket
+    * cap 16 → candidate pairs → per-pair shingle overlap) — ONE copy
+    * so the Spark-side parameters (k, bands, maxBucket) can never
+    * desynchronize from a subset of the oracles. Expects tk/sh CTEs
+    * in scope; yields cand(i,j), sz(doc_id,sz), inter(i,j,ic).
+    */
+  private val lshCandSql =
+    """seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+      |  FROM sh CROSS JOIN range(8) r(seed)),
+      |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+      |sig AS (SELECT doc_id,
+      |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
+      |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
+      |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
+      |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
+      |  FROM mh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
+      |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
+      |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
+      |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+      |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+      |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d7_decontam" ->
       s"""WITH tk AS ($tkSql),
@@ -383,30 +415,7 @@ object DedupQ {
     "d2_minhash_lsh" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
-        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-        |  FROM sh CROSS JOIN range(8) r(seed)),
-        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
-        |sig AS (SELECT doc_id,
-        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
-        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
-        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
-        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
-        |  FROM mh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
-        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
-        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |$lshCandSql
         |SELECT c.i, c.j,
         |  CASE WHEN (za.sz + zb.sz - COALESCE(ic, 0)) = 0 THEN 0
         |    ELSE (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) END AS jac_bp
@@ -419,30 +428,7 @@ object DedupQ {
     "c10_neardup_removal" ->
       s"""WITH RECURSIVE tk AS ($tkSql),
         |sh AS ($shSql),
-        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-        |  FROM sh CROSS JOIN range(8) r(seed)),
-        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
-        |sig AS (SELECT doc_id,
-        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
-        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
-        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
-        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
-        |  FROM mh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
-        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
-        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
+        |$lshCandSql,
         |dup AS (SELECT c.i AS a, c.j AS b
         |  FROM cand c
         |  LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
@@ -463,30 +449,7 @@ object DedupQ {
     "d10_containment" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
-        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-        |  FROM sh CROSS JOIN range(8) r(seed)),
-        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
-        |sig AS (SELECT doc_id,
-        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
-        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
-        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
-        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
-        |  FROM mh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
-        |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
-        |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
+        |$lshCandSql,
         |sc AS (SELECT c.i, c.j,
         |  CASE WHEN za.sz = 0 THEN 0
         |    ELSE (10000 * COALESCE(ic, 0)) // za.sz END AS cont_i_bp,

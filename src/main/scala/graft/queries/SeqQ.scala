@@ -318,7 +318,10 @@ object SeqQ {
     // construction of the hash-derived dna).
     "k1_kmer_spectrum" -> { (s, dir) =>
       val K = 4
+      // guard: sequence(1, stop) DESCENDS when stop < 1 (the
+      // TextFunctions.ngrams hazard) — short dna must yield NO k-mers
       val top = withDna(s, dir)
+        .where(length(col("dna")) >= K)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), length(col("dna")) - (K - 1)),
           i => col("dna").substr(i, lit(K)))).as("kmer"))
