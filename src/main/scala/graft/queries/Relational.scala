@@ -270,6 +270,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // X7: ROLLUP — hierarchical subtotals (year ⊃ priority ⊃ grand
+    // total) in ONE pass: Catalyst's Expand emits each row once per
+    // grouping set BEFORE the partial aggregate, so the subtotal
+    // levels ride the same map-side combine + single shuffle as the
+    // leaf grouping — never one job per level.
+    "x7_rollup" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"),
+                col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("yr").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    },
+
+    // X8: PIVOT — long→wide reshape as conditional aggregation over a
+    // FIXED column list (the only scalable form: a dynamic pivot
+    // needs a driver-side distinct first; with the list pinned the
+    // plan is one groupBy with k filtered aggregates, map-side
+    // combinable, one shuffle).
+    "x8_pivot" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+
     // W9: z-score outlier flagging — per-type mean/std from EXACT
     // decimal sums (value has 2 decimals, so the sums are exact; the
     // float formula runs once per row on exact inputs, so no
@@ -448,6 +479,21 @@ object Relational {
         |SELECT cohort_week, week_no, COUNT(*) AS n_users
         |FROM a GROUP BY cohort_week, week_no
         |ORDER BY cohort_week, week_no""".stripMargin,
+
+    "x7_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+        |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "x8_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "w9_zscore_outliers" ->
       """WITH st AS (SELECT event_type, COUNT(*) AS n,

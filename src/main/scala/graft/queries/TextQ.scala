@@ -511,6 +511,43 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // st7: STREAMING exact dedup under the oracle gate — documents
+    // replayed as a real streaming query through
+    // StreamOps.dedupeByContent (dropDuplicatesWithinWatermark on the
+    // content key). Replay determinism: docs are fed in WAVES (the
+    // r-th doc of each key group per micro-batch), so every batch
+    // holds at most one doc per key and keep-first is decided by
+    // batch sequence alone (existing state beats the new batch) —
+    // never by intra-batch partition order, on any executor count.
+    // Oracle = keep min doc_id per key.
+    "st7_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("key5"))
+        .as[(Long, String)].collect()
+      val waves = docs.groupBy(_._2).values.toSeq
+        .flatMap(_.sortBy(_._1).zipWithIndex.map { case ((id, k), r) => (r, id, k) })
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val src = in.toDF().toDF("doc_id", "key5")
+        .select(col("doc_id"), col("key5"),
+          timestamp_seconds(lit(1000000L)).as("ts"))
+      val out = graft.streaming.StreamOps.dedupeByContent(src, "ts", "key5")
+      val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        waves.foreach { case (_, rows) =>
+          in.addData(rows.map { case (_, id, k) => (id, k) })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(name).select(col("doc_id"), col("key5")).orderBy("doc_id")
+    },
+
     // t9: bigram-surprise quality score — the KenLM-perplexity shape
     // of a pretraining quality filter without the external LM: the
     // corpus's own bigram counts are the model, a doc's mean
@@ -984,6 +1021,14 @@ object TextQ {
         |SELECT doc_id, n_tokens, score_sum,
         |  CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "st7_stream_dedup" ->
+      s"""WITH tk AS ($toksSql),
+        |k AS (SELECT doc_id,
+        |  array_to_string(list_slice(toks, 1, 5), ' ') AS key5 FROM tk),
+        |r AS (SELECT doc_id, key5,
+        |  ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM k)
+        |SELECT doc_id, key5 FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t9_bigram_surprise" ->
       s"""WITH tk AS ($toksSql),
