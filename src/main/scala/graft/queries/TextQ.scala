@@ -548,6 +548,38 @@ object TextQ {
       s.table(name).select(col("doc_id"), col("key5")).orderBy("doc_id")
     },
 
+    // st8: STREAMING near-dup candidates under the oracle gate — the
+    // last spec-only streaming operator. Each arriving doc min-hashes
+    // per row, explodes into band buckets, and collides against the
+    // bucket's retained representative (flatMapGroupsWithState, one
+    // rep per live bucket, event-time eviction). Replay determinism
+    // needs no waves here: the operator itself sorts each group's
+    // batch by (event time, doc_id), so a single-batch replay with a
+    // constant timestamp makes the representative = min doc_id —
+    // exactly the oracle's window-min rule.
+    "st8_stream_neardup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val src = in.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1000000L)).as("ts"))
+      val out = graft.streaming.StreamOps.neardupCandidatesStream(
+        src, "ts", "doc_id", "text")
+      val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(docs.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("band", "bucket", "dup_doc")
+    },
+
     // t9: bigram-surprise quality score — the KenLM-perplexity shape
     // of a pretraining quality filter without the external LM: the
     // corpus's own bigram counts are the model, a doc's mean
@@ -1021,6 +1053,29 @@ object TextQ {
         |SELECT doc_id, n_tokens, score_sum,
         |  CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "st8_stream_neardup" ->
+      s"""WITH tk AS ($toksSql),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+        |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh FROM tk),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        |  FROM sh CROSS JOIN range(8) r(seed)),
+        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
+        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
+        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
+        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
+        |  FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |w AS (SELECT band, bucket, doc_id AS dup_doc,
+        |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc FROM bands)
+        |SELECT band, bucket, first_doc, dup_doc FROM w
+        |WHERE dup_doc <> first_doc ORDER BY band, bucket, dup_doc""".stripMargin,
 
     "st7_stream_dedup" ->
       s"""WITH tk AS ($toksSql),
