@@ -18,6 +18,32 @@ object TextQ {
     table(s, dir, "documents")
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
 
+  private val bm25Terms = Seq("table", "hash", "merge", "window")
+
+  /** All-integer BM25 per matching doc: (doc_id, n_hit_terms,
+    * score_u) — shared by b1 (top-k) and b3 (hybrid fusion leg).
+    * df via a window over the term-filtered postings — NOT a
+    * groupBy+join, which would re-run the corpus scan for the df
+    * branch (Spark doesn't share unpersisted subtrees across joins).
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val d = docToks(s, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_u",
+        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("long"))
+      .withColumn("c_u",
+        expr("(idf_u * 22 * t_toks * tf) div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), sum("c_u").as("score_u"))
+  }
+
   val defs: Map[String, Q] = Map(
     // t1: heuristic language-ID by marker-word scoring, argmax with
     // deterministic (score desc, lang asc) tie-break.
@@ -377,29 +403,43 @@ object TextQ {
     // partial-agg float drift. (Products stay < 2^63 through sf5;
     // a 100 TB build would widen the numerator to DECIMAL(38,0).)
     "b1_bm25_topk" -> { (s, dir) =>
-      val qterms = Seq("table", "hash", "merge", "window")
-      val d = docToks(s, dir)
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .where(col("term").isin(qterms: _*))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      // df via a window over the term-filtered postings — NOT a
-      // groupBy+join, which would re-run the corpus scan for the df
-      // branch (Spark doesn't share unpersisted subtrees across joins)
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_u",
-          floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
-            .cast("long"))
-        .withColumn("c_u",
-          expr("(idf_u * 22 * t_toks * tf) div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hit_terms"), sum("c_u").as("score_u"))
+      bm25Scores(s, dir)
         .orderBy(col("score_u").desc, col("doc_id")).limit(10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score_u").desc, col("doc_id"))))
         .select("rank", "doc_id", "n_hit_terms", "score_u")
+        .orderBy("rank")
+    },
+
+    // b3: HYBRID retrieval — the BM25 lexical ranking fused with a
+    // dense-vector cosine ranking by reciprocal-rank fusion
+    // (rrf = Σ floor(1e6/(60+rank)), the Cormack et al. constant).
+    // RRF works on RANKS, so the fusion is all-integer and needs no
+    // score normalization across legs — the property that makes it
+    // the standard hybrid-search combiner. Each leg is top-20; a doc
+    // missing from one leg contributes 0 from it (rank stays NULL in
+    // the output). Plan: two independent top-k pipelines (each its
+    // own bounded TakeOrdered) full-outer-joined on doc_id — 40 rows
+    // meet, regardless of corpus size.
+    "b3_hybrid_rrf" -> { (s, dir) =>
+      val lex = bm25Scores(s, dir)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+        .where(col("lex_rank") <= 20).select("doc_id", "lex_rank")
+      val emb = table(s, dir, "embeddings")
+      val vec = graft.similarity.CosineSim.topK(
+          emb.where(col("vec_id") === 0L), emb,
+          "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("neighbor").as("doc_id"),
+          col("rank").cast("long").as("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id", "rrf_u", "lex_rank", "vec_rank")
         .orderBy("rank")
     },
 
@@ -1084,6 +1124,42 @@ object TextQ {
         |r AS (SELECT doc_id, key5,
         |  ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM k)
         |SELECT doc_id, key5 FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "b3_hybrid_rrf" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS t_toks FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('table', 'hash', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  (CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+        |    * 22 * st.t_toks * tf.tf)
+        |  // (10 * st.t_toks * tf.tf + 3 * st.t_toks + 9 * tf.dl * st.n_docs) AS c_u
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term),
+        |lexag AS (SELECT doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id, lex_rank FROM (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM lexag) WHERE lex_rank <= 20),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+        |vs AS (SELECT doc_id,
+        |  list_dot_product(qv, v) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM cv, q),
+        |vec AS (SELECT doc_id, vec_rank FROM (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM vs) WHERE vec_rank <= 20),
+        |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+        |  CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+        |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_u
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT rank, doc_id, rrf_u, lex_rank, vec_rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank FROM f)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "t9_bigram_surprise" ->
       s"""WITH tk AS ($toksSql),
