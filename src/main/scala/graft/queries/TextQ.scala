@@ -273,6 +273,30 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // m3: shard packing with manifest — the webdataset/training-ingest
+    // sharding step: payloads pack in doc_id order into ~4 KB shards
+    // per source; each manifest row carries item count, byte total,
+    // and an ORDER-SENSITIVE content hash (md5 of the items' hashes
+    // concatenated in pack order) so a reader can integrity-check a
+    // shard without touching others. Plan: one cumulative-sum window
+    // per source assigns shard numbers (a single keyed shuffle), then
+    // a per-shard aggregate; at 100 TB the writer would range-
+    // partition by (source, shard_no) and stream items straight to
+    // shard files — the manifest math is unchanged.
+    "m3_shard_manifest" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("nb"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("shard_no", expr("(sum(nb) over (partition by source order by doc_id) - 1) div 4096"))
+        .groupBy("source", "shard_no")
+        .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"),
+          md5(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(doc_id, h))), x -> x.h)")))
+            .as("shard_hash"))
+        .orderBy("source", "shard_no")
+    },
+
     // t7: the FULL Gopher-style quality-rule battery (t2/t6 compute
     // individual signals; this is the composed accept/reject gate a
     // pipeline actually applies): token-count bounds, mean-word-length
@@ -937,6 +961,20 @@ object TextQ {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_shard_manifest" ->
+      """WITH it AS (SELECT source, doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |  md5(text) AS h FROM documents),
+        |sn AS (SELECT source, doc_id, nb, h,
+        |  (SUM(nb) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 4096 AS shard_no
+        |  FROM it)
+        |SELECT source, CAST(shard_no AS BIGINT) AS shard_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_hash
+        |FROM sn GROUP BY source, shard_no
+        |ORDER BY source, shard_no""".stripMargin,
 
     "t7_gopher_rules" ->
       s"""WITH tk AS ($toksSql),
