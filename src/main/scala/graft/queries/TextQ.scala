@@ -446,10 +446,14 @@ object TextQ {
     // own bounded TakeOrdered) full-outer-joined on doc_id — 40 rows
     // meet, regardless of corpus size.
     "b3_hybrid_rrf" -> { (s, dir) =>
+      // bounded TakeOrdered FIRST, then the rank window over just the
+      // 20 survivors — a bare global row_number window would funnel
+      // every scored doc into one partition (the b1 shape)
       val lex = bm25Scores(s, dir)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(20)
         .withColumn("lex_rank", row_number().over(
           Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
-        .where(col("lex_rank") <= 20).select("doc_id", "lex_rank")
+        .select("doc_id", "lex_rank")
       val emb = table(s, dir, "embeddings")
       val vec = graft.similarity.CosineSim.topK(
           emb.where(col("vec_id") === 0L), emb,
