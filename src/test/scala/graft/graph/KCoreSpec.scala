@@ -45,4 +45,31 @@ class KCoreSpec extends SparkSuite {
     val g = edgesDF((1L, 2L), (2L, 3L), (3L, 1L))
     assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  /** Reference peel: iterate "drop all nodes with degree < k" on an
+    * in-memory adjacency map until stable.
+    */
+  private def bruteCore(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val dead = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+      changed = dead.nonEmpty
+      adj = (adj -- dead).map { case (n, ns) => n -> (ns -- dead) }
+        .filter(_._2.nonEmpty)
+    }
+    adj.map { case (n, ns) => n -> ns.size.toLong }
+  }
+
+  test("matches a brute-force peel on seeded random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(60)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      for (k <- Seq(2, 3))
+        assert(core(edgesDF(es: _*), k) === bruteCore(es, k),
+          s"seed=$seed k=$k")
+    }
+  }
 }
