@@ -39,6 +39,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("xxhash64 production path finds the planted near-dups the md5 path finds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def randDoc() = (1 to 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, randDoc()))
+    // exact copies MUST collide in any hash family (identical shingle
+    // set ⇒ identical signature); one-word edits check the s-curve
+    val exact = (0 until 3).map(i => (200L + i, base(i)._2))
+    val near = (0 until 3).map { i =>
+      val words = base(i)._2.split(" "); words(20) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val docs = (base ++ exact ++ near).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val candXx = MinHashLSH.candidatePairs(
+      MinHashLSH.bandBucketsXx(
+        MinHashLSH.signaturesXx(docs, "doc_id", "toks", 8, 2), "doc_id", 8, 4),
+      "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { i =>
+      assert(candXx.contains((i.toLong, 200L + i)), s"exact dup $i missed by xx path")
+      assert(candXx.contains((i.toLong, 100L + i)), s"near dup $i missed by xx path")
+    }
+  }
+
   test("simhash of a near-duplicate is within small hamming distance") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")
