@@ -297,6 +297,45 @@ object TextQ {
         .orderBy("source", "shard_no")
     },
 
+    // c11: T5-style SPAN CORRUPTION — the make-training-examples step
+    // of a denoising-LM pipeline: ~15% of tokens are selected by a
+    // deterministic hash draw (md5(doc_id:pos) — reproducible across
+    // runs/engines, no RNG state to coordinate across executors),
+    // consecutive selections collapse into numbered sentinel spans
+    // (<extra_id_k> in the input; sentinel + original tokens in the
+    // target). Plan: one posexplode + two doc-keyed window passes
+    // (lag for span starts, running sum for span ids) + one doc-keyed
+    // aggregate — linear, one partitioning reused end to end. Output
+    // hashes pin both sequences byte-for-byte.
+    "c11_span_corruption" -> { (s, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val p = docToks(s, dir)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("sel",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15)
+        .withColumn("newspan",
+          col("sel") && !coalesce(lag("sel", 1).over(w), lit(false)))
+        .withColumn("span_id",
+          sum(when(col("newspan"), 1L).otherwise(0L)).over(w) - 1)
+      val sentinel = concat(lit("<extra_id_"), col("span_id"), lit(">"))
+      val masked = when(!col("sel"), col("tok"))
+        .when(col("newspan"), sentinel)
+      val target = when(col("newspan"), concat(sentinel, lit(" "), col("tok")))
+        .when(col("sel"), col("tok"))
+      p.withColumn("ms", when(masked.isNotNull, struct(col("pos"), masked.as("t"))))
+        .withColumn("ts", when(target.isNotNull, struct(col("pos"), target.as("t"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("newspan"), 1L).otherwise(0L)).as("n_spans"),
+          md5(concat_ws(" ",
+            expr("transform(array_sort(collect_list(ms)), x -> x.t)"))).as("masked_hash"),
+          md5(concat_ws(" ",
+            expr("transform(array_sort(collect_list(ts)), x -> x.t)"))).as("targets_hash"))
+        .orderBy("doc_id")
+    },
+
     // t7: the FULL Gopher-style quality-rule battery (t2/t6 compute
     // individual signals; this is the composed accept/reject gate a
     // pipeline actually applies): token-count bounds, mean-word-length
@@ -965,6 +1004,33 @@ object TextQ {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c11_span_corruption" ->
+      s"""WITH tk AS ($toksSql),
+        |p AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |  unnest(toks) AS tok FROM tk),
+        |s1 AS (SELECT doc_id, pos, tok,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100 < 15 AS sel
+        |  FROM p),
+        |s2 AS (SELECT *, sel AND NOT COALESCE(
+        |    lag(sel) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS newspan
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |  SUM(CASE WHEN newspan THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span_id
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, pos, sel, newspan,
+        |  CASE WHEN NOT sel THEN tok
+        |       WHEN newspan THEN '<extra_id_' || span_id || '>' END AS ms,
+        |  CASE WHEN newspan THEN '<extra_id_' || span_id || '> ' || tok
+        |       WHEN sel THEN tok END AS ts
+        |  FROM s3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(SUM(CASE WHEN newspan THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  md5(COALESCE(string_agg(ms, ' ' ORDER BY pos), '')) AS masked_hash,
+        |  md5(COALESCE(string_agg(ts, ' ' ORDER BY pos), '')) AS targets_hash
+        |FROM s4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m3_shard_manifest" ->
       """WITH it AS (SELECT source, doc_id,
