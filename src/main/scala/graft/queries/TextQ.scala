@@ -557,6 +557,34 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // t12: Zipf-law fit — the corpus-statistics profile a data survey
+    // reports (does the token distribution look natural-language-like
+    // or templated?): least-squares slope of ln(freq) on ln(rank).
+    // Per-term logs are ulp-quantized to integer micro-nats FIRST, so
+    // the regression sums are exact integers (one vocabulary-sized
+    // aggregate); the float division runs once at the end. The corpus
+    // appears only in the term-count aggregate — map-side combinable
+    // into vocab-sized keys.
+    "t12_zipf" -> { (s, dir) =>
+      val ranked = docToks(s, dir)
+        .select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+        .select(floor(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("lr"),
+          floor(log(col("freq").cast("double")) * lit(1e6)).cast("long").as("lf"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      ranked.agg(count(lit(1)).as("n"),
+          sum("lr").as("sx"), sum("lf").as("sy"),
+          sum(col("lr") * col("lr")).as("sxx"),
+          sum(col("lr") * col("lf")).as("sxy"))
+        .select(col("n").as("n_vocab"),
+          floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * lit(1e6))
+            .cast("long").as("zipf_slope_u"))
+    },
+
     // t11: BPE-style pair-merge training, one merge round unrolled —
     // the tokenizer-training shape at scale: ONE corpus pass builds
     // the word-frequency table, and the whole training loop (pair
@@ -1159,6 +1187,25 @@ object TextQ {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS mean_nll_u
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t12_zipf" ->
+      s"""WITH tk AS ($toksSql),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(toks) AS term FROM tk) GROUP BY term),
+        |rk AS (SELECT freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+        |  FROM tc),
+        |lg AS (SELECT
+        |  CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lr,
+        |  CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS lf FROM rk),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(lr) AS BIGINT) AS sx, CAST(SUM(lf) AS BIGINT) AS sy,
+        |  CAST(SUM(lr * lr) AS BIGINT) AS sxx, CAST(SUM(lr * lf) AS BIGINT) AS sxy
+        |  FROM lg)
+        |SELECT n AS n_vocab,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS zipf_slope_u
+        |FROM ag""".stripMargin,
 
     "t11_bpe_merges" ->
       s"""WITH tk AS ($toksSql),
