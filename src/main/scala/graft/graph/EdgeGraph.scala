@@ -169,6 +169,55 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     spark.createDataFrame(sp).toDF("node", "landmark", "dist")
   }
 
+  /** Community detection by label propagation (Raghavan et al. 2007)
+    * in its deterministic synchronous form: every node starts with its
+    * own id as label; each round, every node simultaneously adopts the
+    * most frequent label among its (undirected) neighbors, ties broken
+    * toward the smallest label. `rounds` is fixed by the caller — LPA
+    * has no monotone convergence guarantee (synchronous updates can
+    * 2-cycle on bipartite structures), so a pinned round count is the
+    * reproducible contract, matching how the reference iterates its
+    * graph updates a fixed number of steps.
+    *
+    * Scale design: one round = one join (shuffle keyed on the
+    * neighbor id) + one (node,label) count aggregate + one argmax
+    * aggregate keyed on the node — all map-side combinable, nothing
+    * quadratic, no window over an unbounded partition (the argmax is
+    * `min(struct(-count, label))`, not a row_number sort). Each
+    * round's label set is persisted and the previous one released, so
+    * round r costs one pass over E, not r passes of lineage.
+    *
+    * Returns (node, label). Requires long ids.
+    */
+  def labelPropagation(spark: SparkSession, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    EdgeGraph.ensureCheckpointDir(spark, "labelPropagation")
+    val ue = undirected
+      .select(col(src).cast("long").as("node"), col(dst).cast("long").as("nbr"))
+      .persist()
+    var labels = ue.select(col("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    labels.count()
+    for (_ <- 1 to rounds) {
+      val next = ue
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    ue.unpersist()
+    // hand back a checkpoint-backed result and release the loop cache
+    // (same leak-avoidance contract as kCore)
+    val out = labels.checkpoint()
+    labels.unpersist()
+    out
+  }
+
   /** k-core: the maximal induced subgraph in which every node has
     * undirected degree >= k, by synchronous iterative peeling
     * (each round simultaneously drops all nodes whose degree within

@@ -215,6 +215,19 @@ object GraphQ {
       new EdgeGraph(e).kCore(s, k = 3).orderBy("node")
     },
 
+    // g7: community detection by label propagation in its
+    // deterministic synchronous form (4 pinned rounds, mode label
+    // with smallest-label tie-break) — the communities complement to
+    // g1: components say "reachable", LPA groups say "densely
+    // linked". Per round one neighbor join + two keyed aggregates
+    // (argmax as min(struct(-count, label)) — map-side combinable, no
+    // unbounded window sort); see EdgeGraph.labelPropagation for the
+    // cache/checkpoint hygiene.
+    "g7_label_propagation" -> { (s, dir) =>
+      new EdgeGraph(sparseEdges(s, dir)).labelPropagation(s, rounds = 4)
+        .orderBy("node")
+    },
+
     // g3: PageRank in FIXED-POINT integer arithmetic (micro-units,
     // damping 0.85, 2 unrolled iterations) — float PageRank can never
     // hash-match across engines (summation order), so the ranks are
@@ -484,6 +497,29 @@ object GraphQ {
         |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
         |SELECT n AS node, MIN(lbl) AS comp FROM walk
         |GROUP BY n ORDER BY node""".stripMargin,
+
+    // g7: the 4 synchronous LPA rounds unrolled as CTEs — each round
+    // is the same argmax-of-neighbor-label-counts, expressed with
+    // ROW_NUMBER (identical total order to the engine's
+    // min(struct(-count, label))).
+    "g7_label_propagation" -> {
+      val rounds = (1 to 4).map { i =>
+        val prev = if (i == 1) "l0" else s"r${i - 1}"
+        s"""r$i AS (SELECT node, label FROM (
+           |  SELECT ud.a AS node, l.label,
+           |    ROW_NUMBER() OVER (PARTITION BY ud.a
+           |      ORDER BY COUNT(*) DESC, l.label) AS rn
+           |  FROM ud JOIN $prev l ON l.node = ud.b
+           |  GROUP BY ud.a, l.label) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+        |  FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1),
+        |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM ud),
+        |$rounds
+        |SELECT node, label FROM r4 ORDER BY node""".stripMargin
+    },
 
     "p9_step_filter" ->
       """SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS region_node,

@@ -285,6 +285,82 @@ object Relational {
                  col("o_orderpriority").asc_nulls_first)
     },
 
+    // M4: CDC snapshot diff — the incremental-refresh primitive: diff
+    // two keyed summaries of the order book (two 2-year windows) into
+    // added/removed/changed rows. ONE full-outer join on the key over
+    // two pre-aggregated sides; output is proportional to the churn,
+    // not the fact table. See operators.SnapshotDiff.
+    "m4_snapshot_diff" -> { (s, dir) =>
+      def snap(lo: String, hi: String) =
+        table(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+            col("o_orderdate") < to_timestamp(lit(hi)))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+      graft.operators.SnapshotDiff.diff(
+          snap("1995-01-01", "1997-01-01"),
+          snap("1999-01-01", "2001-01-01"), Seq("custkey"))
+        .orderBy("custkey")
+    },
+
+    // M5: bucketed co-located join — the 100 TB join-layout lever:
+    // both fact sides are written bucketed (and sorted) by the join
+    // key, so the subsequent sort-merge join plans with ZERO exchange
+    // on either side (see plans.BucketedJoinSpec for the plan
+    // assertion). At this SF the optimizer may still pick broadcast —
+    // also fine — but at cluster scale, where neither side fits in
+    // memory, pre-bucketing is what turns every recurring join on the
+    // key into a shuffle-free local merge. Tables are external
+    // (tmp-pathed, app-scoped) and written once per session.
+    "m5_bucketed_join" -> { (s, dir) =>
+      val tag = java.lang.Integer.toHexString(dir.hashCode) +
+        "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"graft_m5_orders_$tag"
+      val lt = s"graft_m5_lineitem_$tag"
+      if (!s.catalog.tableExists(ot)) {
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", tmpPath(s, ot)).saveAsTable(ot)
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", tmpPath(s, lt)).saveAsTable(lt)
+      }
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // M6: z-order layout audit — Morton-interleave binned
+    // (extendedprice, quantity) coordinates and group rows by
+    // z-prefix quadtree cell (top 8 of 24 bits): per cell the row
+    // count and the bounding box of both dimensions. A bounded bbox per cell is exactly what makes
+    // parquet min/max pruning fire on predicates over EITHER column
+    // once the table is laid out in z order. The interleave is a pure
+    // bitwise codegen expression and the audit is one map-side-
+    // combinable aggregate — no global sort needed to assess the
+    // layout (the rewrite itself would be one repartitionByRange(z)).
+    "m6_zorder" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      table(s, dir, "lineitem")
+        .select(
+          least(floor(col("l_extendedprice") / 32).cast("long"), lit(4095L)).as("px"),
+          floor(col("l_quantity") * 80).cast("long").as("sx"))
+        .withColumn("z", ZOrder.interleave(col("px"), col("sx"), 12))
+        .withColumn("cell", shiftright(col("z"), 16).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_rows"),
+          min("px").as("min_px"), max("px").as("max_px"),
+          min("sx").as("min_sx"), max("sx").as("max_sx"),
+          ((max("px") - min("px") + lit(1L)) *
+           (max("sx") - min("sx") + lit(1L))).as("bbox_area"))
+        .orderBy("cell")
+    },
+
     // X8: PIVOT — long→wide reshape as conditional aggregation over a
     // FIXED column list (the only scalable form: a dynamic pivot
     // needs a driver-side distinct first; with the list pinned the
@@ -486,6 +562,45 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "m4_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        |b AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1),
+        |d AS (SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+        |  CASE WHEN a.custkey IS NULL THEN 'added'
+        |       WHEN b.custkey IS NULL THEN 'removed'
+        |       WHEN a.n_orders <> b.n_orders OR a.total <> b.total THEN 'changed'
+        |  END AS status,
+        |  a.n_orders AS old_n_orders, a.total AS old_total,
+        |  b.n_orders AS new_n_orders, b.total AS new_total
+        |  FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
+        |SELECT * FROM d WHERE status IS NOT NULL ORDER BY custkey""".stripMargin,
+
+    "m5_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "m6_zorder" -> {
+      val z = graft.operators.ZOrder.interleaveSql("px", "sx", 12)
+      s"""WITH p AS (SELECT
+        |  LEAST(CAST(floor(l_extendedprice / 32) AS BIGINT), 4095) AS px,
+        |  CAST(floor(l_quantity * 80) AS BIGINT) AS sx
+        |  FROM lineitem),
+        |zc AS (SELECT px, sx, ($z) >> 16 AS cell FROM p)
+        |SELECT cell, COUNT(*) AS n_rows,
+        |  MIN(px) AS min_px, MAX(px) AS max_px,
+        |  MIN(sx) AS min_sx, MAX(sx) AS max_sx,
+        |  (MAX(px) - MIN(px) + 1) * (MAX(sx) - MIN(sx) + 1) AS bbox_area
+        |FROM zc GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     "x8_pivot" ->
       """SELECT o_orderpriority,

@@ -197,6 +197,38 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // x10: CUBE over (source, lang) — every grouping-set combination
+    // of the dataset-card dimensions in ONE pass (x7 covers ROLLUP's
+    // hierarchy; CUBE completes the grouping-set surface). Spark
+    // expands the cube into a single expand+aggregate — map-side
+    // combinable, one shuffle — instead of 4 separate scans.
+    "x10_cube" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("source").asc_nulls_first,
+                 col("lang").asc_nulls_first)
+    },
+
+    // c13: curriculum sequencing — the data-ordering stage of a
+    // training pipeline: documents sequenced high-quality-first
+    // (qual_bp desc, deterministic md5 tie-break), then dealt
+    // round-robin to 8 shards so every shard sees the same curriculum
+    // profile. The global row_number here is the sf-scale form; the
+    // 100 TB rewrite is repartitionByRange on the sort key + per-
+    // partition offsets (zipWithIndex shape) — same assignment, no
+    // single-partition window.
+    "c13_curriculum" -> { (s, dir) =>
+      val w = Window.orderBy(col("qual_bp").desc,
+        md5(col("doc_id").cast("string")), col("doc_id"))
+      defs("t2_quality")(s, dir).select(col("doc_id"), col("qual_bp"))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .withColumn("shard", col("pos") % 8L)
+        .orderBy("pos")
+    },
+
     // c2: entity scrub — regex redaction of configured entity terms
     // (the PII/boilerplate-removal stage of a cleaning pipeline; the
     // corpus has no digits, so the scrub targets its entity words).
@@ -882,6 +914,29 @@ object TextQ {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "x10_cube" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    "c13_curriculum" ->
+      s"""WITH tk AS ($toksSql),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+        |  FROM tk),
+        |q AS (SELECT doc_id,
+        |  ((CASE WHEN n_tokens = 0 THEN 0 ELSE (10000 * n_uniq) // n_tokens END)
+        |    + LEAST(n_tokens * 100, 10000)) // 2 AS qual_bp FROM m),
+        |r AS (SELECT doc_id, CAST(qual_bp AS BIGINT) AS qual_bp,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY qual_bp DESC,
+        |    md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM q)
+        |SELECT doc_id, qual_bp, pos, pos % 8 AS shard FROM r
+        |ORDER BY pos""".stripMargin,
 
     "c5_token_budget" ->
       s"""WITH tk AS ($toksSql),
