@@ -361,6 +361,30 @@ object Relational {
         .orderBy("cell")
     },
 
+    // M7: incremental aggregate maintenance — the merge half of the
+    // m4 story: yesterday's keyed aggregate + the delta wave's
+    // aggregate are MERGED (counts add, decimal sums add) instead of
+    // rescanning history; the oracle computes the full aggregate from
+    // scratch, so a hash-match PROVES the merge algebra. Merge stays
+    // in DECIMAL until the final cast — merging doubles would break
+    // exactness. Plan: two filtered partial aggregates + one union +
+    // one re-aggregate, all keyed on custkey (the re-aggregate
+    // reuses the same hash partitioning — no extra shuffle).
+    "m7_incremental_agg" -> { (s, dir) =>
+      val cut = to_timestamp(lit("1999-01-01"))
+      val o = table(s, dir, "orders")
+      def part(p: org.apache.spark.sql.Column) =
+        o.where(p).groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).as("total_d"))
+      part(col("o_orderdate") < cut)
+        .unionByName(part(col("o_orderdate") >= cut))
+        .groupBy("custkey")
+        .agg(sum("n_orders").as("n_orders"),
+          sum("total_d").cast("double").as("total"))
+        .orderBy("custkey")
+    },
+
     // X8: PIVOT — long→wide reshape as conditional aggregation over a
     // FIXED column list (the only scalable form: a dynamic pivot
     // needs a driver-side distinct first; with the list pinned the
@@ -581,6 +605,11 @@ object Relational {
         |  b.n_orders AS new_n_orders, b.total AS new_total
         |  FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
         |SELECT * FROM d WHERE status IS NOT NULL ORDER BY custkey""".stripMargin,
+
+    "m7_incremental_agg" ->
+      """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m5_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

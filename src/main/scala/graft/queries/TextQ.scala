@@ -197,6 +197,74 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // s10: JSONL roundtrip — the LLM-corpus interchange format: write
+    // the documents table as JSON-lines text, read it back with an
+    // EXPLICIT schema (schema-on-read; no inference pass, which would
+    // double-scan 100 TB), and the result must be byte-identical to
+    // the source. to_json/from_json are codegen'd; one write + one
+    // scan, embarrassingly parallel, no shuffle.
+    "s10_jsonl_roundtrip" -> { (s, dir) =>
+      val path = tmpPath(s, "s10_jsonl")
+      table(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // x11: ingest-wave drift monitor — the distribution check a
+    // pipeline runs between crawl waves: split the corpus into two
+    // deterministic halves (md5 parity — stands in for wave A/B), per
+    // source compare composition shares in integer basis points.
+    // ONE scan + one conditional aggregate + a broadcast of the
+    // 2-row totals; output is |sources| rows.
+    "x11_drift" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2L === 0L).as("in_a"))
+      val per = d.groupBy("source").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      val tot = per.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_a"), col("n_b"),
+          expr("10000 * n_a div tot_a").as("share_a_bp"),
+          expr("10000 * n_b div tot_b").as("share_b_bp"),
+          abs(expr("10000 * n_a div tot_a") - expr("10000 * n_b div tot_b"))
+            .as("delta_bp"))
+        .orderBy("source")
+    },
+
+    // b5: snippet extraction — the hit-highlighting / context-window
+    // op of a retrieval stack: per matching doc, the densest 10-token
+    // window for the query terms (max hits, earliest start on ties)
+    // and its text. One posexplode + one doc-keyed range-frame window
+    // + one argmin aggregate — shuffle keyed on the doc throughout,
+    // linear in corpus tokens.
+    "b5_snippet" -> { (s, dir) =>
+      val d = docToks(s, dir)
+      val pos = d.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("hit", when(col("tok").isin(bm25Terms: _*), 1L).otherwise(0L))
+      val wf = Window.partitionBy("doc_id").orderBy("pos").rangeBetween(0, 9)
+      val best = pos
+        .withColumn("n_hits", sum("hit").over(wf))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("n_hits")).as("neg"), col("pos").as("p"))).as("m"))
+        .select(col("doc_id"), (-col("m.neg")).as("n_hits"),
+          col("m.p").cast("long").as("best_pos"))
+        .where(col("n_hits") > 0)
+      best.join(d, "doc_id")
+        .select(col("doc_id"), col("n_hits"), col("best_pos"),
+          concat_ws(" ", slice(col("toks"), (col("best_pos") + 1).cast("int"), lit(10)))
+            .as("snippet"))
+        .orderBy("doc_id")
+    },
+
     // x10: CUBE over (source, lang) — every grouping-set combination
     // of the dataset-card dimensions in ONE pass (x7 covers ROLLUP's
     // hierarchy; CUBE completes the grouping-set surface). Spark
@@ -914,6 +982,46 @@ object TextQ {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "s10_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "x11_drift" ->
+      """WITH d AS (SELECT source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS in_a
+        |  FROM documents),
+        |per AS (SELECT source,
+        |  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |  CAST(SUM(n_b) AS BIGINT) AS tot_b FROM per)
+        |SELECT source, n_a, n_b,
+        |  CAST(10000 * n_a // tot_a AS BIGINT) AS share_a_bp,
+        |  CAST(10000 * n_b // tot_b AS BIGINT) AS share_b_bp,
+        |  CAST(abs(10000 * n_a // tot_a - 10000 * n_b // tot_b) AS BIGINT) AS delta_bp
+        |FROM per, t ORDER BY source""".stripMargin,
+
+    "b5_snippet" -> {
+      val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS ($toksSql),
+        |p AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |  unnest(toks) AS tok FROM tk),
+        |h AS (SELECT doc_id, pos,
+        |  CASE WHEN tok IN ($terms) THEN 1 ELSE 0 END AS hit FROM p),
+        |wv AS (SELECT doc_id, pos, SUM(hit) OVER (PARTITION BY doc_id
+        |  ORDER BY pos RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS n_hits
+        |  FROM h),
+        |b AS (SELECT doc_id, n_hits, pos AS best_pos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY n_hits DESC, pos) AS rn FROM wv)
+        |  WHERE rn = 1 AND n_hits > 0)
+        |SELECT b.doc_id, CAST(b.n_hits AS BIGINT) AS n_hits,
+        |  CAST(b.best_pos AS BIGINT) AS best_pos,
+        |  array_to_string(list_slice(tk.toks, b.best_pos + 1, b.best_pos + 10), ' ') AS snippet
+        |FROM b JOIN tk ON tk.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
+    },
 
     "x10_cube" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
