@@ -228,6 +228,38 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // g8: partition-quality evaluation — modularity of the g7
+    // communities in EXACT integers (the graph analog of n4's ANN
+    // recall query): per community, q_contrib_u = 4·m·e_in − d_c²
+    // = 4m² × (e_in/m − (d_c/2m)²), the standard modularity term
+    // scaled to an integer so the iteration's QUALITY is itself
+    // oracle-checkable. Three keyed aggregates + two label joins over
+    // the canonical edge list; m arrives as a broadcast 1-row
+    // aggregate, not a driver-side collect.
+    "g8_modularity" -> { (s, dir) =>
+      val e = sparseEdges(s, dir) // canonical: dst range is disjoint above src
+      val labels = new EdgeGraph(e).labelPropagation(s, rounds = 4)
+      val ein = e
+        .join(labels.select(col("node").as("src"), col("label").as("lsrc")), "src")
+        .join(labels.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+        .where(col("lsrc") === col("ldst"))
+        .groupBy(col("lsrc").as("community")).agg(count(lit(1)).as("e_in"))
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dc = labels.join(deg, "node")
+        .groupBy(col("label").as("community"))
+        .agg(sum("deg").as("d_c"), count(lit(1)).as("n_nodes"))
+      val m = e.agg(count(lit(1)).as("m"))
+      dc.join(ein, Seq("community"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"), col("d_c"), col("e_in"),
+          (lit(4L) * col("m") * col("e_in") - col("d_c") * col("d_c"))
+            .as("q_contrib_u"))
+        .orderBy("community")
+    },
+
     // g3: PageRank in FIXED-POINT integer arithmetic (micro-units,
     // damping 0.85, 2 unrolled iterations) — float PageRank can never
     // hash-match across engines (summation order), so the ranks are
@@ -317,6 +349,27 @@ object GraphQ {
   )
 
   private val sp = "SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem"
+
+  /** Shared oracle prefix: sparse edge set + 4 unrolled synchronous
+    * LPA rounds ending in CTE `r4` (used by g7 and g8).
+    */
+  private val lpaSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "l0" else s"r${i - 1}"
+      s"""r$i AS (SELECT node, label FROM (
+         |  SELECT ud.a AS node, l.label,
+         |    ROW_NUMBER() OVER (PARTITION BY ud.a
+         |      ORDER BY COUNT(*) DESC, l.label) AS rn
+         |  FROM ud JOIN $prev l ON l.node = ud.b
+         |  GROUP BY ud.a, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+      |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+      |  FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1),
+      |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |l0 AS (SELECT DISTINCT a AS node, a AS label FROM ud),
+      |$rounds""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "j4_adjacency" ->
@@ -502,24 +555,32 @@ object GraphQ {
     // is the same argmax-of-neighbor-label-counts, expressed with
     // ROW_NUMBER (identical total order to the engine's
     // min(struct(-count, label))).
-    "g7_label_propagation" -> {
-      val rounds = (1 to 4).map { i =>
-        val prev = if (i == 1) "l0" else s"r${i - 1}"
-        s"""r$i AS (SELECT node, label FROM (
-           |  SELECT ud.a AS node, l.label,
-           |    ROW_NUMBER() OVER (PARTITION BY ud.a
-           |      ORDER BY COUNT(*) DESC, l.label) AS rn
-           |  FROM ud JOIN $prev l ON l.node = ud.b
-           |  GROUP BY ud.a, l.label) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-        |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
-        |  FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1),
-        |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM ud),
-        |$rounds
-        |SELECT node, label FROM r4 ORDER BY node""".stripMargin
-    },
+    "g7_label_propagation" ->
+      s"""WITH $lpaSql
+        |SELECT node, label FROM r4 ORDER BY node""".stripMargin,
+
+    // g8: modularity of the g7 partition in exact integers —
+    // q_contrib_u = 4·m·e_in − d_c², i.e. 4m² × the standard
+    // per-community modularity term.
+    "g8_modularity" ->
+      s"""WITH $lpaSql,
+        |lab AS (SELECT node, label FROM r4),
+        |m AS (SELECT COUNT(*) AS m FROM e),
+        |ein AS (SELECT la.label AS community, COUNT(*) AS e_in
+        |  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+        |  WHERE la.label = lb.label GROUP BY la.label),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY node),
+        |dc AS (SELECT label AS community,
+        |  CAST(SUM(deg) AS BIGINT) AS d_c, COUNT(*) AS n_nodes
+        |  FROM lab JOIN deg USING (node) GROUP BY label)
+        |SELECT dc.community, dc.n_nodes, dc.d_c,
+        |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(4 * m.m * COALESCE(ein.e_in, 0) - dc.d_c * dc.d_c AS BIGINT)
+        |    AS q_contrib_u
+        |FROM dc LEFT JOIN ein USING (community) CROSS JOIN m
+        |ORDER BY community""".stripMargin,
 
     "p9_step_filter" ->
       """SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS region_node,
