@@ -385,6 +385,48 @@ object Relational {
         .orderBy("custkey")
     },
 
+    // ST9: streaming CDC-apply under the oracle gate — the MERGE SINK
+    // the streaming surface was missing: orders replayed in two
+    // MemoryStream waves; each micro-batch foreachBatch-merges its
+    // keyed aggregate into a versioned state table
+    // (StreamOps.upsertAggregate: counts add, DECIMAL totals add,
+    // idempotent per batchId). The final state must equal the
+    // from-scratch batch aggregate — the oracle proves the
+    // incremental sink converges exactly, the streaming twin of m7.
+    "st9_stream_upsert" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = table(s, dir, "orders")
+        .select(col("o_custkey").cast("long"), col("o_totalprice"))
+        .as[(Long, Double)].collect()
+      val (w1, w2) = rows.partition(_._1 % 2 == 0)
+      val statePath = tmpPath(s, "st9_state")
+      val sp = new org.apache.hadoop.fs.Path(statePath)
+      val fs = sp.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(sp, true) // stale versions from a prior run would win the latest-version race
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val src = in.toDF().toDF("custkey", "price")
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.StreamOps.upsertAggregate(
+            batch, id, "custkey", "price", statePath)
+          ()
+        }
+        .start()
+      try {
+        in.addData(w1.toSeq); q.processAllAvailable()
+        in.addData(w2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val latest = graft.streaming.StreamOps
+        .latestStateVersion(s, statePath, Long.MaxValue)
+        .getOrElse(sys.error("st9: no state version written"))
+      s.read.parquet(latest)
+        .select(col("custkey"), col("n").as("n_orders"),
+          col("total_d").cast("double").as("total"))
+        .orderBy("custkey")
+    },
+
     // X8: PIVOT — long→wide reshape as conditional aggregation over a
     // FIXED column list (the only scalable form: a dynamic pivot
     // needs a driver-side distinct first; with the list pinned the
@@ -605,6 +647,11 @@ object Relational {
         |  b.n_orders AS new_n_orders, b.total AS new_total
         |  FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
         |SELECT * FROM d WHERE status IS NOT NULL ORDER BY custkey""".stripMargin,
+
+    "st9_stream_upsert" ->
+      """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m7_incremental_agg" ->
       """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,

@@ -179,6 +179,59 @@ object StreamOps {
     */
   val FlushAt: Long = Long.MaxValue / 2
 
+  /** Streaming CDC-apply: an incremental-merge SINK. Each micro-batch
+    * is aggregated to (key, n, total) and MERGED into a keyed state
+    * table (counts add, DECIMAL totals add — never doubles, so
+    * incremental == from-scratch exactly). State versions are written
+    * to `$statePath/v<batchId>` and the latest version wins: the
+    * write is idempotent per batchId (a replayed batch overwrites its
+    * own version, it never double-applies), which is the property
+    * that makes a streaming warehouse sink exactly-once on top of
+    * at-least-once delivery. Returns the path of the latest version.
+    *
+    * Scale: per batch one keyed aggregate (map-side combinable) + one
+    * keyed merge join against state — both shuffles on the key; state
+    * size is |keys|, not |events|. A production sink would range-
+    * bucket the state table by key and compact versions; the merge
+    * math is unchanged.
+    */
+  def upsertAggregate(batch: DataFrame, batchId: Long, keyCol: String,
+                      amountCol: String, statePath: String): String = {
+    val spark = batch.sparkSession
+    val agg = batch.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("total_d"))
+    val prev = latestStateVersion(spark, statePath, batchId)
+    val merged = prev match {
+      case Some(p) =>
+        spark.read.parquet(p).unionByName(agg)
+          .groupBy(col(keyCol))
+          .agg(sum("n").as("n"),
+            sum("total_d").cast("decimal(18,2)").as("total_d"))
+      case None => agg
+    }
+    val out = s"$statePath/v$batchId"
+    merged.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Latest state version strictly below `batchId` (so a replayed
+    * batch merges against its ORIGINAL predecessor, not itself).
+    * Hadoop FS API — works on local paths and shared filesystems
+    * alike.
+    */
+  def latestStateVersion(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String, batchId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter(_._1 < batchId)
+      .sortBy(_._1).lastOption.map(_._2.toString)
+  }
+
   /** Stateful gap-rule sessionizer over a stream of per-user events —
     * the streaming form of `Sessionize.merge` (pygr A2 semantics).
     * Emits a session when a newer event exceeds `gapSec` from the
