@@ -468,6 +468,42 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // X12: A/B experiment readout — the two-proportion z-test over a
+    // deterministic arm split (user_id parity): among users with at
+    // least one click, does conversion (any purchase) differ by arm?
+    // ONE user-keyed aggregate → 2-row arm table → 1-row conditional
+    // pivot; z is quantized (floor ×1000) like w9 so the float
+    // arithmetic is hash-comparable, and both engines evaluate the
+    // IDENTICAL expression tree (IEEE ops are correctly rounded, so
+    // same association ⇒ same bits).
+    "x12_ab_test" -> { (s, dir) =>
+      val perUser = IntervalsQ.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+          max(when(col("event_type") === "purchase" && col("value") >= 75.0, 1L)
+            .otherwise(0L)).as("conv"))
+        .where(col("clicked") === 1L)
+        .withColumn("arm", col("user_id") % 2L)
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val p0 = col("x0").cast("double") / col("n0").cast("double")
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val pp = (col("x0") + col("x1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val den = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+      arms.agg(
+          sum(when(col("arm") === 0L, col("n"))).as("n0"),
+          sum(when(col("arm") === 0L, col("x"))).as("x0"),
+          sum(when(col("arm") === 1L, col("n"))).as("n1"),
+          sum(when(col("arm") === 1L, col("x"))).as("x1"))
+        // pooled p of 0 or 1 ⇒ zero variance ⇒ z undefined; report 0
+        // (no detectable difference) instead of dividing by zero
+        .withColumn("z_u", when(den === 0.0, 0L)
+          .otherwise(floor((p0 - p1) / den * lit(1000.0)).cast("long")))
+        .withColumn("significant", abs(col("z_u")) >= 1960L)
+    },
+
     // X6: approximate quantiles (GK/QuantileSummaries sketch) — x3's
     // exact row-index quantiles need a per-stratum sort; the sketch
     // is what a 100 TB profile pass actually runs (mergeable partial
@@ -685,6 +721,36 @@ object Relational {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "x12_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        |  MAX(CASE WHEN event_type = 'purchase' AND value >= 75.0
+        |    THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT user_id % 2 AS arm, conv FROM pu WHERE clicked = 1),
+        |ar AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(conv) AS BIGINT) AS x FROM a GROUP BY arm),
+        |w AS (SELECT
+        |  CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x0,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x1
+        |  FROM ar),
+        |d AS (SELECT n0, x0, n1, x1,
+        |  sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |    * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS den
+        |  FROM w),
+        |zz AS (SELECT n0, x0, n1, x1,
+        |  CASE WHEN den = 0.0 THEN 0 ELSE
+        |  CAST(floor(
+        |    (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / den * 1000.0) AS BIGINT) END AS z_u
+        |  FROM d)
+        |SELECT n0, x0, n1, x1, z_u, abs(z_u) >= 1960 AS significant
+        |FROM zz""".stripMargin,
 
     "w9_zscore_outliers" ->
       """WITH st AS (SELECT event_type, COUNT(*) AS n,

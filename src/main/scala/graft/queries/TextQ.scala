@@ -265,6 +265,29 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // c14: privacy-budgeted release — the publish step of a dataset
+    // card: per-source counts and token totals released with
+    // additive integer noise in [-10, 10]. The noise here is a
+    // DETERMINISTIC md5 draw keyed on (source, stat) — a stand-in
+    // for calibrated Laplace noise (the sandbox gate needs
+    // cross-engine reproducibility); the plumbing (per-released-cell
+    // noise, nothing else about the corpus leaves the aggregate) is
+    // the real shape. One aggregate + a scan-level noise projection.
+    "c14_dp_release" -> { (s, dir) =>
+      def noise(tag: String) =
+        conv(substring(md5(concat(col("source"), lit(":" + tag))), 1, 8), 16, 10)
+          .cast("long") % 21L - 10L
+      docToks(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+        .select(col("source"),
+          (col("nd") + noise("docs")).as("n_docs_released"),
+          (col("nt") + noise("tokens")).as("n_tokens_released"))
+        .orderBy("source")
+    },
+
     // x10: CUBE over (source, lang) — every grouping-set combination
     // of the dataset-card dimensions in ONE pass (x7 covers ROLLUP's
     // hierarchy; CUBE completes the grouping-set surface). Spark
@@ -1022,6 +1045,19 @@ object TextQ {
         |  array_to_string(list_slice(tk.toks, b.best_pos + 1, b.best_pos + 10), ' ') AS snippet
         |FROM b JOIN tk ON tk.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
     },
+
+    "c14_dp_release" ->
+      s"""WITH tk AS ($toksSql),
+        |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+        |g AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(t.n_tokens) AS BIGINT) AS nt
+        |  FROM t JOIN documents d ON d.doc_id = t.doc_id GROUP BY d.source)
+        |SELECT source,
+        |  nd + ('0x' || substr(md5(source || ':docs'), 1, 8))::BIGINT % 21 - 10
+        |    AS n_docs_released,
+        |  nt + ('0x' || substr(md5(source || ':tokens'), 1, 8))::BIGINT % 21 - 10
+        |    AS n_tokens_released
+        |FROM g ORDER BY source""".stripMargin,
 
     "x10_cube" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
