@@ -30,6 +30,25 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Rewrite a table into z-order layout: range-partition on the
+    * Morton key and sort within partitions, so every output file
+    * covers one contiguous z-range = a small tile in (x, y) space —
+    * parquet footer min/max on BOTH columns then prune range
+    * predicates on either one. The only cluster-scale cost is the
+    * range-partitioned sort a layout rewrite pays anyway; the key is
+    * dropped on write.
+    */
+  def layout(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+             bits: Int, path: String, partitions: Int): Unit = {
+    require(partitions >= 1, s"ZOrder.layout: partitions >= 1, got $partitions")
+    val cols = df.columns.map(col)
+    df.withColumn("__z", interleave(col(xCol), col(yCol), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(cols: _*) // projection preserves the sort; __z never hits disk
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The same interleave as ANSI SQL text (for the DuckDB oracle):
     * identical shift/mask arithmetic over column expressions `x`, `y`.
     */

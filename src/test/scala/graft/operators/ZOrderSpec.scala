@@ -52,6 +52,31 @@ class ZOrderSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("layout writes tile-local files that prune on both dimensions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/zorder_layout_${spark.sparkContext.applicationId}"
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    ZOrder.layout(pts.toDF("x", "y"), "x", "y", bits = 6, path = path, partitions = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 64L * 64L)
+    assert(back.columns.toSeq === Seq("x", "y")) // __z dropped
+    // the pruning effect itself: a predicate on x alone (x < 8) must
+    // leave some files untouched (their footer min_x already excludes
+    // it). A y-sorted row-slice layout would put x<8 points in EVERY
+    // file; in z order, ranges inside the x>=32 quadrants (half the
+    // curve) contain none.
+    val boxes = back.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .collect()
+    assert(boxes.length >= 4, s"expected several files, got ${boxes.length}")
+    val touched = boxes.count(_.getAs[Long]("min_x") < 8L)
+    assert(touched <= boxes.length - 2,
+      s"x<8 touches $touched of ${boxes.length} files — no pruning benefit")
+  }
+
   test("bits bounds are enforced") {
     import org.apache.spark.sql.functions.col
     intercept[IllegalArgumentException] { ZOrder.interleave(col("x"), col("y"), 0) }
