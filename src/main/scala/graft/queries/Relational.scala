@@ -468,6 +468,41 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // X13: time-of-week activity profile — counts and decimal-exact
+    // value mass per (day-of-week, event_type). Day-of-week comes
+    // from PURE integer epoch arithmetic ((day + 3) % 7, Monday=0;
+    // epoch day 0 was a Thursday) —
+    // no calendar/timezone function, so both engines agree by
+    // construction. One map-side-combinable aggregate.
+    "x13_time_profile" -> { (s, dir) =>
+      IntervalsQ.events(s, dir)
+        .withColumn("dow", expr("((ts div 1000000000 div 86400) + 3) % 7"))
+        .groupBy("dow", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("value_sum"))
+        .orderBy("dow", "event_type")
+    },
+
+    // W10: rate-spike detection — per event_type, hourly buckets
+    // whose count is at least 2× the type's mean bucket rate, flagged
+    // in EXACT integer arithmetic (n · n_buckets ≥ 2 · total — no
+    // float rates, no drift). Two keyed aggregates + a broadcast
+    // join of the per-type totals; the anomaly scan shape of an
+    // operational monitor at any scale.
+    "w10_rate_spike" -> { (s, dir) =>
+      val hourly = IntervalsQ.events(s, dir)
+        .withColumn("h", expr("ts div 1000000000 div 3600"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val totals = hourly.groupBy("event_type")
+        .agg(sum("n").as("total"), count(lit(1)).as("n_buckets"))
+      hourly.join(broadcast(totals), "event_type")
+        .where(col("n") * col("n_buckets") >= lit(2L) * col("total"))
+        .select(col("event_type"), col("h"), col("n"),
+          (col("n") * col("n_buckets")).as("lhs"),
+          (lit(2L) * col("total")).as("rhs"))
+        .orderBy("event_type", "h")
+    },
+
     // X12: A/B experiment readout — the two-proportion z-test over a
     // deterministic arm split (user_id parity): among users with at
     // least one click, does conversion (any purchase) differ by arm?
@@ -721,6 +756,25 @@ object Relational {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "x13_time_profile" ->
+      """SELECT ((epoch_ms(ts)//1000 // 86400) + 3) % 7 AS dow, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w10_rate_spike" ->
+      """WITH hourly AS (SELECT event_type, epoch_ms(ts)//1000 // 3600 AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.h, h.n,
+        |  h.n * t.n_buckets AS lhs, 2 * t.total AS rhs
+        |FROM hourly h JOIN tot t ON t.event_type = h.event_type
+        |WHERE h.n * t.n_buckets >= 2 * t.total
+        |ORDER BY h.event_type, h.h""".stripMargin,
 
     "x12_ab_test" ->
       """WITH pu AS (SELECT user_id,

@@ -265,6 +265,32 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // t13: classifier evaluation — per-language precision/recall of
+    // t1's language-ID against the documents table's ground-truth
+    // lang column (the eval loop every pipeline classifier needs
+    // next to its scoring pass). Integer basis points; explicit
+    // zero-denominator guards (a language never predicted has
+    // undefined precision → reported -1). One join + two keyed
+    // aggregates.
+    "t13_langid_eval" -> { (s, dir) =>
+      val pred = defs("t1_langid")(s, dir).select(col("doc_id"), col("lang_pred"))
+      val j = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+      val perLang = j.groupBy("lang").agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val perPred = j.groupBy(col("lang_pred").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      perLang.join(perPred, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_pred"))
+        .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+          when(col("n_pred") === 0L, -1L)
+            .otherwise(expr("10000 * tp div n_pred")).as("prec_bp"),
+          when(col("n_true") === 0L, -1L)
+            .otherwise(expr("10000 * tp div n_true")).as("rec_bp"))
+        .orderBy("lang")
+    },
+
     // c14: privacy-budgeted release — the publish step of a dataset
     // card: per-source counts and token totals released with
     // additive integer noise in [-10, 10]. The noise here is a
@@ -1045,6 +1071,28 @@ object TextQ {
         |  array_to_string(list_slice(tk.toks, b.best_pos + 1, b.best_pos + 10), ' ') AS snippet
         |FROM b JOIN tk ON tk.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
     },
+
+    "t13_langid_eval" ->
+      s"""WITH tk AS ($toksSql),
+        |sc AS ($markerSql),
+        |r AS (SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn FROM sc) WHERE rn = 1),
+        |j AS (SELECT d.lang, r.lang_pred FROM documents d
+        |  JOIN r ON r.doc_id = d.doc_id),
+        |pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |  CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM j GROUP BY lang),
+        |pp AS (SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM j GROUP BY lang_pred)
+        |SELECT pl.lang, pl.n_true, CAST(COALESCE(pp.n_pred, 0) AS BIGINT) AS n_pred,
+        |  pl.tp,
+        |  CAST(CASE WHEN COALESCE(pp.n_pred, 0) = 0 THEN -1
+        |       ELSE 10000 * pl.tp // pp.n_pred END AS BIGINT) AS prec_bp,
+        |  CAST(CASE WHEN pl.n_true = 0 THEN -1
+        |       ELSE 10000 * pl.tp // pl.n_true END AS BIGINT) AS rec_bp
+        |FROM pl LEFT JOIN pp ON pp.lang = pl.lang
+        |ORDER BY pl.lang""".stripMargin,
 
     "c14_dp_release" ->
       s"""WITH tk AS ($toksSql),
