@@ -26,6 +26,8 @@ object SnapshotDiff {
     */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "SnapshotDiff.diff: keyCols must be non-empty")
+    require(!keyCols.contains("status"),
+      "SnapshotDiff.diff: a key column named 'status' would collide with the emitted status column")
     require(a.columns.toSeq == b.columns.toSeq,
       s"SnapshotDiff.diff: snapshot schemas differ " +
         s"(${a.columns.mkString(",")} vs ${b.columns.mkString(",")})")

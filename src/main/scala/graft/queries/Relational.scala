@@ -483,12 +483,12 @@ object Relational {
         .orderBy("dow", "event_type")
     },
 
-    // W10: rate-spike detection — per event_type, hourly buckets
-    // whose count is at least 2× the type's mean bucket rate, flagged
-    // in EXACT integer arithmetic (n · n_buckets ≥ 2 · total — no
-    // float rates, no drift). Two keyed aggregates + a broadcast
-    // join of the per-type totals; the anomaly scan shape of an
-    // operational monitor at any scale.
+    // W10: rate-spike detection — per event_type, hourly buckets at
+    // >= 1.5× the type's mean bucket rate, flagged in EXACT integer
+    // cross-multiplication (2 · n · n_buckets ≥ 3 · total — no float
+    // rates, no drift). Two keyed aggregates + a broadcast join of
+    // the per-type totals; the anomaly scan shape of an operational
+    // monitor at any scale.
     "w10_rate_spike" -> { (s, dir) =>
       val hourly = IntervalsQ.events(s, dir)
         .withColumn("h", expr("ts div 1000000000 div 3600"))
@@ -496,10 +496,10 @@ object Relational {
       val totals = hourly.groupBy("event_type")
         .agg(sum("n").as("total"), count(lit(1)).as("n_buckets"))
       hourly.join(broadcast(totals), "event_type")
-        .where(col("n") * col("n_buckets") >= lit(2L) * col("total"))
+        .where(lit(2L) * col("n") * col("n_buckets") >= lit(3L) * col("total"))
         .select(col("event_type"), col("h"), col("n"),
-          (col("n") * col("n_buckets")).as("lhs"),
-          (lit(2L) * col("total")).as("rhs"))
+          (lit(2L) * col("n") * col("n_buckets")).as("lhs"),
+          (lit(3L) * col("total")).as("rhs"))
         .orderBy("event_type", "h")
     },
 
@@ -771,9 +771,9 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_buckets
         |  FROM hourly GROUP BY 1)
         |SELECT h.event_type, h.h, h.n,
-        |  h.n * t.n_buckets AS lhs, 2 * t.total AS rhs
+        |  2 * h.n * t.n_buckets AS lhs, 3 * t.total AS rhs
         |FROM hourly h JOIN tot t ON t.event_type = h.event_type
-        |WHERE h.n * t.n_buckets >= 2 * t.total
+        |WHERE 2 * h.n * t.n_buckets >= 3 * t.total
         |ORDER BY h.event_type, h.h""".stripMargin,
 
     "x12_ab_test" ->
