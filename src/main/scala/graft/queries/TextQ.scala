@@ -265,6 +265,21 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // x14: exact heavy hitters via a Misra-Gries candidate pass —
+    // tokens holding > 1/30 of the corpus token mass. The MG summary
+    // (treeAggregate, <= k counters, NO shuffle) guarantees the
+    // candidate set is a superset of the answer; the exact pass
+    // counts only candidates (broadcast membership filter), so the
+    // full-vocabulary groupBy never happens — the profile pass for
+    // vocabularies too large to aggregate. Result is exact ⇒
+    // oracle-checkable despite the sketch inside.
+    "x14_heavy_hitters" -> { (s, dir) =>
+      graft.operators.FreqItems.heavyHitters(
+          docToks(s, dir).select(explode(col("toks")).as("tok")), "tok", k = 30)
+        .withColumnRenamed("item", "tok")
+        .orderBy("tok")
+    },
+
     // t13: classifier evaluation — per-language precision/recall of
     // t1's language-ID against the documents table's ground-truth
     // lang column (the eval loop every pipeline classifier needs
@@ -1071,6 +1086,15 @@ object TextQ {
         |  array_to_string(list_slice(tk.toks, b.best_pos + 1, b.best_pos + 10), ' ') AS snippet
         |FROM b JOIN tk ON tk.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
     },
+
+    "x14_heavy_hitters" ->
+      s"""WITH tk AS ($toksSql),
+        |t AS (SELECT unnest(toks) AS tok FROM tk),
+        |n AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM t CROSS JOIN n GROUP BY tok, n.n
+        |HAVING COUNT(*) * 30 > n.n
+        |ORDER BY tok""".stripMargin,
 
     "t13_langid_eval" ->
       s"""WITH tk AS ($toksSql),
