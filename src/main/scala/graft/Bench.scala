@@ -76,7 +76,9 @@ object Bench {
       "st1_tumbling_window", "st3_stream_sessionize", "b1_bm25_topk",
       "t8_tfidf", "g5_shortest_paths", "st5_stream_stream_join",
       "g6_kcore", "b2_phrase", "d10_containment", "c10_neardup_removal",
-      "t11_bpe_merges", "w8_retention")
+      "t11_bpe_merges", "w8_retention",
+      "g7_label_propagation", "m4_snapshot_diff", "m5_bucketed_join",
+      "st9_stream_upsert", "b5_snippet")
     val lineQs = results.filter { case (k, _) => headline.contains(k) }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":$sfNum}"""
