@@ -197,6 +197,50 @@ object IntervalsQ {
         .orderBy("user_id", "session")
     },
 
+    // ST10: gap sessionization through Spark's NATIVE session_window
+    // operator (the engine-idiomatic alternative to st3's
+    // flatMapGroupsWithState: state-store-managed merging sessions,
+    // no custom state code). Boundary parity with a2's batch rule is
+    // exact: a2 breaks when p > prev_max + 1800, and session_window's
+    // merge is boundary-INCLUSIVE (events exactly gap apart merge —
+    // measured on the sf0.01 data, user 69's 1801-second delta), so
+    // gap = 1800 s is the identical membership predicate.
+    // Sessions close in append mode once the watermark (advanced by
+    // two far-future sentinels; their own session never closes and is
+    // filtered) passes session end + gap; numbering is assigned
+    // post-hoc per user by session start — identical to the batch
+    // oracle's cumulative-break numbering.
+    "st10_session_window" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = events(s, dir)
+        .select(col("user_id").cast("long"), sec("ts").cast("long"))
+        .as[(Long, Long)].collect()
+      val flushT = rows.map(_._2).max + 100000L
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val src = in.toDF().toDF("user_id", "p")
+        .select(col("user_id"), col("p"), timestamp_seconds(col("p")).as("ts"))
+      val out = src.withWatermark("ts", "1 second")
+        .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+        .agg(min("p").as("session_start"), max("p").as("session_end"),
+          count(lit(1)).as("n_members"))
+        .select("user_id", "session_start", "session_end", "n_members")
+      val name = "st10_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(rows.toSeq); q.processAllAvailable()
+        in.addData(Seq((-1L, flushT))); q.processAllAvailable()
+        in.addData(Seq((-1L, flushT + 100000L))); q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      s.table(name).where(col("user_id") >= 0L)
+        .withColumn("session", (row_number().over(w) - 1).cast("long"))
+        .select("user_id", "session", "session_start", "session_end", "n_members")
+        .orderBy("user_id", "session")
+    },
+
     // A2 complete: full gap-rule merge over the alignment lanes —
     // maxInsert/minInsert on the dest axis split sessions the wide
     // maxGap alone would merge (cnestedlist.pyx:812-845).
@@ -611,6 +655,24 @@ object IntervalsQ {
         |ORDER BY src_id, dest_id, dest_ori, session""".stripMargin,
 
     "a2_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),
+        |m AS (SELECT user_id, p,
+        |  CASE WHEN MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR p > MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1800
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |t AS (SELECT user_id, p,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY p, p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session
+        |  FROM m)
+        |SELECT user_id, session, MIN(p) AS session_start, MAX(p) AS session_end,
+        |  COUNT(*) AS n_members
+        |FROM t GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+    // st10: identical session semantics to a2 (same gap rule, same
+    // numbering), reached through the native streaming operator.
+    "st10_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),
         |m AS (SELECT user_id, p,
         |  CASE WHEN MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
