@@ -169,6 +169,24 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     spark.createDataFrame(sp).toDF("node", "landmark", "dist")
   }
 
+  /** Strongly connected components via GraphX (directed reachability
+    * equivalence — the missing directed twin of connectedComponents):
+    * returns (node, scc) with scc = the smallest vertex id in the
+    * component; acyclic nodes are singletons. `numIter` bounds the
+    * peel/propagate rounds — size it above the graph's SCC diameter
+    * (the oracle gate catches an undersized bound as a wrong result,
+    * not a hang). Checkpointing contract as connectedComponents.
+    */
+  def stronglyConnected(spark: SparkSession, numIter: Int = 20): DataFrame = {
+    EdgeGraph.ensureCheckpointDir(spark, "stronglyConnected")
+    val pairs = edges
+      .select(col(src).cast("long"), col(dst).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val scc = XGraph.fromEdgeTuples(pairs, defaultValue = 1)
+      .stronglyConnectedComponents(numIter).vertices
+    spark.createDataFrame(scc).toDF("node", "scc")
+  }
+
   /** Community detection by label propagation (Raghavan et al. 2007)
     * in its deterministic synchronous form: every node starts with its
     * own id as label; each round, every node simultaneously adopts the

@@ -228,6 +228,22 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // g9: strongly connected components — directed reachability
+    // equivalence (the directed twin of g1; GraphX SCC). The edge
+    // set folds part ids into the supplier id space (mod 50) so
+    // directed CYCLES exist: supplier→part edges whose target is
+    // itself a supplier id close the loop. Oracle = transitive
+    // closure + mutual-reachability min (recursive CTE) — tractable
+    // because only the folded core can cycle.
+    "g9_scc" -> { (s, dir) =>
+      val e = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 50L).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      new EdgeGraph(e).stronglyConnected(s, numIter = 20)
+        .orderBy("node")
+    },
+
     // g8: partition-quality evaluation — modularity of the g7
     // communities in EXACT integers (the graph analog of n4's ANN
     // recall query): per community, q_contrib_u = 4·m·e_in − d_c²
@@ -558,6 +574,24 @@ object GraphQ {
     "g7_label_propagation" ->
       s"""WITH $lpaSql
         |SELECT node, label FROM r4 ORDER BY node""".stripMargin,
+
+    // g9: transitive closure, then scc(u) = min over mutually
+    // reachable v (plus u itself for singletons).
+    "g9_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS a, l_partkey % 50 AS b
+        |  FROM lineitem WHERE l_suppkey <> l_partkey % 50),
+        |nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN e ON e.a = w.b),
+        |mutual AS (SELECT r1.a AS u, r1.b AS v
+        |  FROM walk r1 JOIN walk r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT n.n AS node,
+        |  LEAST(n.n, COALESCE(MIN(m.v), n.n)) AS scc
+        |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
+        |GROUP BY n.n ORDER BY node""".stripMargin,
 
     // g8: modularity of the g7 partition in exact integers —
     // q_contrib_u = 4·m·e_in − d_c², i.e. 4m² × the standard

@@ -50,4 +50,12 @@ class LabelPropagationSpec extends SparkSuite {
       new EdgeGraph(edgesDF((1L, 2L))).labelPropagation(spark, 0)
     }
   }
+
+  test("stronglyConnected: cycle collapses, DAG stays singletons") {
+    // directed cycle 1→2→3→1 plus a DAG tail 3→4→5
+    val g = edgesDF((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val scc = new EdgeGraph(g).stronglyConnected(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
 }
