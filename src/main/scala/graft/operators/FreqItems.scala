@@ -32,29 +32,33 @@ object FreqItems {
     }
   }
 
-  /** One-pass candidate summary over `column`: classic k-counter
-    * Misra-Gries per partition (mutable map, O(1) amortized per
-    * element), partition summaries tree-merged.
+  /** Classic k-counter Misra-Gries over one element stream (mutable
+    * map, O(1) amortized per element) — the per-partition kernel.
+    */
+  private[operators] def mgLocal(k: Int, it: Iterator[String]): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m(t) = c + 1L
+        case None if m.size < k => m(t) = 1L
+        case None =>
+          m.keysIterator.toArray.foreach { key =>
+            val c = m(key) - 1L
+            if (c == 0L) m.remove(key) else m(key) = c
+          }
+      }
+    }
+    m.toMap
+  }
+
+  /** One-pass candidate summary over `column`: Misra-Gries per
+    * partition, partition summaries tree-merged.
     */
   def summary(df: DataFrame, column: String, k: Int): Map[String, Long] = {
     require(k >= 1, s"FreqItems.summary: k >= 1, got $k")
     df.select(col(column).cast("string")).rdd
       .map(_.getString(0))
-      .mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { t =>
-          m.get(t) match {
-            case Some(c) => m(t) = c + 1L
-            case None if m.size < k => m(t) = 1L
-            case None =>
-              m.keysIterator.toArray.foreach { key =>
-                val c = m(key) - 1L
-                if (c == 0L) m.remove(key) else m(key) = c
-              }
-          }
-        }
-        Iterator(m.toMap)
-      }
+      .mapPartitions(it => Iterator(mgLocal(k, it)))
       .treeAggregate(Map.empty[String, Long])(mgMerge(k, _, _), mgMerge(k, _, _))
   }
 
