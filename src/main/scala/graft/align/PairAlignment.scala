@@ -93,20 +93,28 @@ object PairAlignment {
     val base = cols.select((laneCols ++ Seq("block_id", "src_pos", "dest_pos",
       "src_letter", "dest_letter")).map(col): _*)
     val wB = Window.partitionBy(byBlock.map(col): _*).orderBy("src_pos")
-    val intra = base
+    val wAll = Window.partitionBy(byBlock.map(col): _*)
+    // ONE window stage over the block partitioning carries everything the
+    // three edge kinds need: the within-block successor (a single
+    // struct-valued lead — one generated window function, not four) and
+    // the block's first/last src_pos (whole-partition min/max — same
+    // partitioning, so no extra shuffle and no groupBy+join re-scan of
+    // base, which an earlier version paid three exchanges for).
+    val ann = base
+      .withColumn("__nxt", lead(struct(col("src_pos"), col("dest_pos"),
+        col("src_letter"), col("dest_letter")), 1).over(wB))
+      .withColumn("__lo", min("src_pos").over(wAll))
+      .withColumn("__hi", max("src_pos").over(wAll))
+    val intra = ann
+      .where(col("__nxt").isNotNull)
       .withColumn("next_block_id", col("block_id"))
-      .withColumn("next_src_pos", lead("src_pos", 1).over(wB))
-      .withColumn("next_dest_pos", lead("dest_pos", 1).over(wB))
-      .withColumn("next_src_letter", lead("src_letter", 1).over(wB))
-      .withColumn("next_dest_letter", lead("dest_letter", 1).over(wB))
-      .where(col("next_src_pos").isNotNull)
+      .withColumn("next_src_pos", col("__nxt.src_pos"))
+      .withColumn("next_dest_pos", col("__nxt.dest_pos"))
+      .withColumn("next_src_letter", col("__nxt.src_letter"))
+      .withColumn("next_dest_letter", col("__nxt.dest_letter"))
       .withColumn("edge_kind", lit("within"))
-    val bounds = base.groupBy(byBlock.map(col): _*)
-      .agg(min("src_pos").as("__first"), max("src_pos").as("__last"))
-    val lastRows = base.join(bounds, byBlock)
-      .where(col("src_pos") === col("__last")).drop("__first", "__last")
-    val firstRows = base.join(bounds, byBlock)
-      .where(col("src_pos") === col("__first")).drop("__first", "__last")
+    val lastRows = ann.where(col("src_pos") === col("__hi"))
+    val firstRows = ann.where(col("src_pos") === col("__lo"))
       .select(lane ++ Seq(col("block_id").as("next_block_id"),
         col("src_pos").as("next_src_pos"), col("dest_pos").as("next_dest_pos"),
         col("src_letter").as("next_src_letter"),

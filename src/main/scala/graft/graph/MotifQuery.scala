@@ -119,17 +119,28 @@ object MotifQuery {
     *
     * Output: (s1, s2, est_jac_bp, n_shared_est) for candidate pairs
     * (recall bounded by the banding, like any LSH).
+    *
+    * `hasher` picks the minhash family: `"xx"` (default — xxhash64,
+    * codegen'd longs end to end, the production path) or `"md5"`
+    * (hex strings, engine-portable — what the DuckDB-gated j5b query
+    * pins; same LSH s-curve, different buckets). The estimate formula
+    * is hash-agnostic; SketchHashParitySpec bounds the xx estimates
+    * against exact Jaccard on a fixture.
     */
   def sharedNeighborsSketch(edges: DataFrame, k: Int = 16,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4, hasher: String = "xx"): DataFrame = {
     import graft.dedup.MinHashLSH
+    require(hasher == "xx" || hasher == "md5", s"unknown hasher: $hasher")
     val Array(s, d) = edges.columns.take(2)
     val nbrs = edges
       .select(col(s).as("__src"), col(d).cast("string").as("__dst"))
       .groupBy("__src").agg(collect_set("__dst").as("__toks"))
-    val sigs = MinHashLSH.signatures(nbrs, "__src", "__toks", k, shingleN = 1)
+    val sigs =
+      if (hasher == "xx") MinHashLSH.signaturesXx(nbrs, "__src", "__toks", k, shingleN = 1)
+      else MinHashLSH.signatures(nbrs, "__src", "__toks", k, shingleN = 1)
     val cand = MinHashLSH.candidatePairs(
-      MinHashLSH.bandBuckets(sigs, "__src", k, bands), "__src")
+      if (hasher == "xx") MinHashLSH.bandBucketsXx(sigs, "__src", k, bands)
+      else MinHashLSH.bandBuckets(sigs, "__src", k, bands), "__src")
     val sz = nbrs.select(col("__src"), size(col("__toks")).cast("long").as("__sz"))
     val sigA = sigs.select(col("__src").as("i") +:
       (0 until k).map(x => col(s"sig$x").as(s"__a$x")): _*)

@@ -22,7 +22,10 @@ object SnapshotDiff {
   /** Returns one row per key whose presence or payload differs:
     * (keyCols..., status, old_<v>..., new_<v>...) with status in
     * {added, removed, changed}. Payload comparison is null-safe
-    * (`<=>`). Both inputs must share the same schema.
+    * (`<=>`). Both inputs must share the same schema, and `keyCols`
+    * must be UNIQUE per snapshot — duplicate rows per key fan out
+    * through the full-outer join (k_a × k_b rows per key), which is
+    * never the intended diff of a keyed snapshot.
     */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "SnapshotDiff.diff: keyCols must be non-empty")
@@ -32,6 +35,14 @@ object SnapshotDiff {
       s"SnapshotDiff.diff: snapshot schemas differ " +
         s"(${a.columns.mkString(",")} vs ${b.columns.mkString(",")})")
     val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    // a value column already named old_<c>/new_<c> would duplicate a
+    // generated name: the diff output would carry ambiguous columns
+    // that only fail downstream — reject up front
+    val prefixed = valCols.flatMap(c => Seq(s"old_$c", s"new_$c")).toSet
+    val collisions = a.columns.filter(prefixed.contains)
+    require(collisions.isEmpty,
+      s"SnapshotDiff.diff: column(s) ${collisions.mkString(", ")} collide " +
+        "with the generated old_/new_ prefixed names — rename them first")
     val aa = a.select(keyCols.map(col) ++
       valCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_a"): _*)
     val bb = b.select(keyCols.map(col) ++

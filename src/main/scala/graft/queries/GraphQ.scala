@@ -64,10 +64,14 @@ object GraphQ {
 
     // J5 sketch: APPROXIMATE shared-neighbor counts in O(E) — minhash
     // neighbor sets, band-bucket candidates, estimate the
-    // intersection from matching signature components. Deterministic
-    // md5 seeds make even the approximation oracle-checkable.
+    // intersection from matching signature components. The gate pins
+    // hasher = "md5" (deterministic hex the DuckDB oracle reproduces);
+    // the LIBRARY default is the xxhash64 production path — same
+    // estimate formula, codegen'd longs end to end
+    // (SketchHashParitySpec bounds it against exact Jaccard).
     "j5b_motif_sketch" -> { (s, dir) =>
-      MotifQuery.sharedNeighborsSketch(suppPartEdgesRaw(s, dir), k = 16, bands = 4)
+      MotifQuery.sharedNeighborsSketch(suppPartEdgesRaw(s, dir), k = 16,
+          bands = 4, hasher = "md5")
         .where(col("n_shared_est") >= 5)
         .orderBy("s1", "s2")
     },

@@ -233,7 +233,7 @@ object IntervalsQ {
         in.addData(rows.toSeq); q.processAllAvailable()
         in.addData(Seq((-1L, flushT))); q.processAllAvailable()
         in.addData(Seq((-1L, flushT + 100000L))); q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       val w = Window.partitionBy("user_id").orderBy("session_start")
       s.table(name).where(col("user_id") >= 0L)
         .withColumn("session", (row_number().over(w) - 1).cast("long"))
@@ -327,7 +327,7 @@ object IntervalsQ {
         q.processAllAvailable()
         in.addData(evs.map(_._1).distinct.toSeq.map(u => StreamOps.Ev(u, StreamOps.FlushAt)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).orderBy("user_id", "session_start")
     },
 
@@ -353,7 +353,7 @@ object IntervalsQ {
         .select("event_id", "user_id", "t", "wnd_id", "ws", "we")
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
-      try { in.addData(clicks.toSeq); q.processAllAvailable() } finally q.stop()
+      try { in.addData(clicks.toSeq); q.processAllAvailable() } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).orderBy("event_id", "wnd_id")
     },
 
@@ -391,7 +391,7 @@ object IntervalsQ {
         cin.addData(side("click").toSeq)
         pin.addData(side("purchase").toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).orderBy("click_id", "purchase_id")
     },
 
@@ -431,7 +431,7 @@ object IntervalsQ {
         q.processAllAvailable()
         in.addData(Seq((-1L, flushT, "zz_flush", 0.0)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).where(col("event_type") =!= "zz_flush")
         .orderBy("wstart", "event_type")
     },

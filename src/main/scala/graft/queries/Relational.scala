@@ -368,8 +368,13 @@ object Relational {
     // scratch, so a hash-match PROVES the merge algebra. Merge stays
     // in DECIMAL until the final cast — merging doubles would break
     // exactness. Plan: two filtered partial aggregates + one union +
-    // one re-aggregate, all keyed on custkey (the re-aggregate
-    // reuses the same hash partitioning — no extra shuffle).
+    // one re-aggregate, all keyed on custkey. Verified on the r7
+    // executedPlan (both initial and AQE-final): exactly THREE
+    // exchanges — the two child hash shuffles and the final orderBy
+    // range exchange; Spark 4.1 propagates the co-partitioned
+    // children's hashpartitioning(custkey) through the Union, so the
+    // re-aggregate inserts none (UnionReaggSpec pins this against
+    // planner changes).
     "m7_incremental_agg" -> { (s, dir) =>
       val cut = to_timestamp(lit("1999-01-01"))
       val o = table(s, dir, "orders")
@@ -417,7 +422,7 @@ object Relational {
       try {
         in.addData(w1.toSeq); q.processAllAvailable()
         in.addData(w2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       val latest = graft.streaming.StreamOps
         .latestStateVersion(s, statePath, Long.MaxValue)
         .getOrElse(sys.error("st9: no state version written"))

@@ -348,16 +348,19 @@ object TextQ {
     // training pipeline: documents sequenced high-quality-first
     // (qual_bp desc, deterministic md5 tie-break), then dealt
     // round-robin to 8 shards so every shard sees the same curriculum
-    // profile. The global row_number here is the sf-scale form; the
-    // 100 TB rewrite is repartitionByRange on the sort key + per-
-    // partition offsets (zipWithIndex shape) — same assignment, no
-    // single-partition window.
+    // profile. Global position via ZipIndex.withPosition (range-
+    // shuffle + per-partition offsets, zipWithIndex shape) — never a
+    // single-partition window; spec-gated by CurriculumScaleSpec. The
+    // unique doc_id in the sort key makes the position total-order
+    // deterministic.
     "c13_curriculum" -> { (s, dir) =>
-      val w = Window.orderBy(col("qual_bp").desc,
-        md5(col("doc_id").cast("string")), col("doc_id"))
-      defs("t2_quality")(s, dir).select(col("doc_id"), col("qual_bp"))
-        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      graft.operators.ZipIndex.withPosition(
+          defs("t2_quality")(s, dir).select(col("doc_id"), col("qual_bp")),
+          Seq(col("qual_bp").desc,
+            md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
+          "pos")
         .withColumn("shard", col("pos") % 8L)
+        .select("doc_id", "qual_bp", "pos", "shard")
         .orderBy("pos")
     },
 
@@ -730,11 +733,16 @@ object TextQ {
     // appears only in the term-count aggregate — map-side combinable
     // into vocab-sized keys.
     "t12_zipf" -> { (s, dir) =>
-      val ranked = docToks(s, dir)
-        .select(explode(col("toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("freq"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+      // global rank without a single-partition window: a 10⁸-term web
+      // vocabulary must not funnel through one task — ZipIndex's
+      // range-shuffled zipWithIndex shape ranks it distributed
+      // (term is the groupBy key, so the sort is a total order)
+      val ranked = graft.operators.ZipIndex.withPosition(
+          docToks(s, dir)
+            .select(explode(col("toks")).as("term"))
+            .groupBy("term").agg(count(lit(1)).as("freq")),
+          Seq(col("freq").desc, col("term").asc), "rank0")
+        .withColumn("rank", col("rank0") + 1L)
         .select(floor(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("lr"),
           floor(log(col("freq").cast("double")) * lit(1e6)).cast("long").as("lf"))
       val n = col("n").cast("double")
@@ -782,11 +790,20 @@ object TextQ {
         .where(!col("pm"))
         .select(col("word"), col("freq"), col("pos"),
           when(col("m"), concat(col("ma"), col("mb"))).otherwise(col("s")).as("s"))
-      def top5(p: org.apache.spark.sql.DataFrame, round: Int) =
-        p.withColumn("rank",
-            row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
-          .where(col("rank") <= 5)
+      // top-5 via TakeOrdered (limit AFTER orderBy runs distributed —
+      // no full-vocab window), then rank the 5 survivors by a
+      // triangular self-join: rank = 1 + #rows strictly ahead. Zero
+      // windows, so a 10⁸-pair vocabulary never serializes.
+      def top5(p: org.apache.spark.sql.DataFrame, round: Int) = {
+        val t = p.orderBy(col("cnt").desc, col("pair")).limit(5)
+        t.as("a").join(broadcast(t.as("b")),
+            col("b.cnt") > col("a.cnt") ||
+              (col("b.cnt") === col("a.cnt") && col("b.pair") < col("a.pair")),
+            "left")
+          .groupBy(col("a.pair").as("pair"), col("a.cnt").as("cnt"))
+          .agg((count(col("b.pair")) + 1).cast("int").as("rank"))
           .select(lit(round).as("round"), col("rank"), col("pair"), col("cnt"))
+      }
       top5(p1, 1).unionByName(top5(pairCounts(merged), 2))
         .orderBy("round", "rank")
     },
@@ -843,7 +860,7 @@ object TextQ {
           in.addData(rows.map { case (_, id, k) => (id, k) })
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).select(col("doc_id"), col("key5")).orderBy("doc_id")
     },
 
@@ -875,7 +892,7 @@ object TextQ {
       try {
         in.addData(docs.toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).orderBy("band", "bucket", "dup_doc")
     },
 

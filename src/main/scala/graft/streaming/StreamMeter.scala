@@ -1,0 +1,39 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Separates ENGINE time from HARNESS time in the streaming gate
+  * queries. The st-family replays parquet fixtures through
+  * MemoryStream (driver-side collect + wave construction + memory
+  * sink) — that replay is test scaffolding, not engine work, and at
+  * sf0.1 it is ~19% of the whole bench. Each replay site calls
+  * `record(q)` before stopping its query; the micro-batch execution
+  * time (`triggerExecution` from the query's progress events) is what
+  * the ENGINE spent, and wall − engine = harness. Bench reads and
+  * resets the accumulator around each query so the published numbers
+  * carry a clean perf signal.
+  */
+object StreamMeter {
+  private val engineNs = new AtomicLong(0L)
+
+  def reset(): Unit = engineNs.set(0L)
+
+  /** Engine seconds accumulated since the last reset. */
+  def engineSeconds: Double = engineNs.get() / 1e9
+
+  /** Sum this query's micro-batch `triggerExecution` durations into the
+    * accumulator. Call after the last `processAllAvailable()` (progress
+    * events survive `stop()`, but recording before keeps the contract
+    * obvious at the call site). `recentProgress` holds the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * batches — every replay here feeds far fewer waves than that.
+    */
+  def record(q: StreamingQuery): Unit = {
+    val ms = q.recentProgress.iterator.map { p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    }.sum
+    engineNs.addAndGet(ms * 1000000L)
+  }
+}

@@ -198,16 +198,22 @@ object StreamOps {
   def upsertAggregate(batch: DataFrame, batchId: Long, keyCol: String,
                       amountCol: String, statePath: String): String = {
     val spark = batch.sparkSession
+    // the running total lives in decimal(38,2) in EVERY state version:
+    // amounts quantize to (18,2) on entry, but totals must not narrow
+    // back — under ANSI mode an overflowing (18,2) cast would throw
+    // mid-stream, and a (28,2) v0 next to (18,2) v1+ would make the
+    // state schema version-dependent
     val agg = batch.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(amountCol).cast("decimal(18,2)")).as("total_d"))
+        sum(col(amountCol).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("total_d"))
     val prev = latestStateVersion(spark, statePath, batchId)
     val merged = prev match {
       case Some(p) =>
         spark.read.parquet(p).unionByName(agg)
           .groupBy(col(keyCol))
           .agg(sum("n").as("n"),
-            sum("total_d").cast("decimal(18,2)").as("total_d"))
+            sum("total_d").cast("decimal(38,2)").as("total_d"))
       case None => agg
     }
     val out = s"$statePath/v$batchId"

@@ -109,4 +109,34 @@ class IntegrationSpec extends SparkSuite {
       assert(math.abs(ap - ex) / ex < 0.05, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  // The two rows-only sketch queries are deterministic for fixed data
+  // on a fixed engine version (HLL++ register merges are max-
+  // commutative; GK summaries merge deterministically under Bench's
+  // fixed partitioning) — so pin the EXACT estimates at sf0.01. A
+  // failure here means the sketch path changed silently (Spark
+  // upgrade, rsd/accuracy drift, plan change altering merge order) —
+  // re-derive the constants only after explaining the change.
+  test("x2 HLL estimates are pinned (engine-deterministic)") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("x2_approx_distinct")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val pinned = Map(
+      "click" -> 150L, "error" -> 150L, "purchase" -> 150L,
+      "signup" -> 150L, "view" -> 150L)
+    assert(got === pinned, s"HLL estimates moved: $got")
+  }
+
+  test("x6 GK quantile estimates are pinned (engine-deterministic)") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("x6_approx_quantiles")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    val pinned = Map(
+      "1-URGENT" -> (256388.54, 452453.7),
+      "2-HIGH" -> (252150.18, 454612.93),
+      "3-MEDIUM" -> (249321.51, 445816.06),
+      "4-NOT SPECIFIED" -> (251361.09, 448979.21),
+      "5-LOW" -> (247608.99, 443656.0))
+    assert(got === pinned, s"GK estimates moved: $got")
+  }
 }

@@ -51,4 +51,14 @@ class SnapshotDiffSpec extends SparkSuite {
     val b = Seq((1L, "x")).toDF("k", "v")
     intercept[IllegalArgumentException] { SnapshotDiff.diff(a, b, Seq("k")) }
   }
+
+  test("a value column colliding with a generated old_/new_ name fails loudly") {
+    import spark.implicits._
+    // old_v collides with the prefixed name generated for value col v
+    val a = Seq((1L, "x", "y")).toDF("k", "v", "old_v")
+    val err = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(a, a, Seq("k"))
+    }
+    assert(err.getMessage.contains("old_v"))
+  }
 }
