@@ -265,11 +265,22 @@ object AlignmentStore {
     * made unique across partitions by the task's partition id.
     *
     * `seqs` must have columns (`seq_id`, `seq`).
+    *
+    * `maskCmd`, when set, runs the megablast repeat-mask PRE-stage
+    * (pygr `repeat_mask`, `blast.py:120-143`, composed by
+    * `MegablastMapping.__call__`, `blast.py:392-411`): sequences pass
+    * through `repeatMask(seqs, maskCmd)` first, so the aligner sees
+    * repeats soft-masked to lowercase (the reference runs megablast
+    * with `-U T` — lowercase-aware seeding — on RepeatMasker -xsmall
+    * output). Parsing is mask-agnostic: HSP coordinates reference the
+    * same positions whether the letters are upper or lower case.
     */
   def fromBlast(spark: SparkSession, seqs: DataFrame,
-                cmd: Seq[String]): AlignmentStore = {
+                cmd: Seq[String],
+                maskCmd: Option[Seq[String]] = None): AlignmentStore = {
     import spark.implicits._
-    val blocks = seqs.select("seq_id", "seq").rdd
+    val fed = maskCmd.map(mc => repeatMask(seqs, mc)).getOrElse(seqs)
+    val blocks = fed.select("seq_id", "seq").rdd
       .flatMap(r => Iterator(">" + r.getString(0), r.getString(1)))
       .pipe(cmd)
       .mapPartitions { lines =>
@@ -291,5 +302,42 @@ object AlignmentStore {
       }
       .toDF()
     new AlignmentStore(blocks)
+  }
+
+  /** The repeat-mask stage itself (pygr `repeat_mask`,
+    * `blast.py:120-143`): stream sequences UPPERCASED as FASTA through
+    * an external soft-masker (RepeatMasker `-xsmall` in the reference)
+    * and read back the same records with repeats in lowercase. One
+    * masker process per partition, both directions lazy — the same
+    * pipe shape as the aligner stage, so the two compose into a
+    * single pass with no driver round-trip.
+    *
+    * The masker must echo every record (same ids, any line wrapping)
+    * — the read-back folds wrapped sequence lines per record, like
+    * the reference's `read_fasta` of the `.masked` file.
+    */
+  def repeatMask(seqs: DataFrame, maskCmd: Seq[String]): DataFrame = {
+    import seqs.sparkSession.implicits._
+    seqs.select("seq_id", "seq").rdd
+      .flatMap(r => Iterator(
+        ">" + r.getString(0),
+        r.getString(1).toUpperCase(java.util.Locale.ROOT)))
+      .pipe(maskCmd)
+      .mapPartitions { lines =>
+        new Iterator[(String, String)] {
+          private val in = lines.buffered
+          private def skipToHeader(): Unit =
+            while (in.hasNext && !in.head.startsWith(">")) in.next()
+          def hasNext: Boolean = { skipToHeader(); in.hasNext }
+          def next(): (String, String) = {
+            skipToHeader()
+            val id = in.next().drop(1).takeWhile(!_.isWhitespace)
+            val sb = new StringBuilder
+            while (in.hasNext && !in.head.startsWith(">")) sb ++= in.next().trim
+            (id, sb.toString)
+          }
+        }
+      }
+      .toDF("seq_id", "seq")
   }
 }

@@ -83,4 +83,65 @@ class BlastPipelineSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(sliced === Set((2L, 4L, 12L, 14L), (4L, 6L, 15L, 17L)))
   }
+
+  /** Stand-in RepeatMasker (`repeat_mask`, blast.py:120-143): lowercases
+    * tandem ACAC+ runs (the "repeats") and WRAPS output sequence lines at
+    * 6 columns, exercising the multi-line FASTA fold on read-back.
+    */
+  private lazy val maskerScript: String = {
+    val dir = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_blast_" + spark.sparkContext.applicationId))
+    val script = dir.resolve("fake_masker.sh")
+    Files.write(script,
+      ("#!/bin/sh\n" +
+        "awk '\n" +
+        "/^>/ { print; next }\n" +
+        "{\n" +
+        "  s = $0\n" +
+        "  out = \"\"\n" +
+        "  while (match(s, /(ACAC)+/)) {\n" +
+        "    out = out substr(s, 1, RSTART - 1) tolower(substr(s, RSTART, RLENGTH))\n" +
+        "    s = substr(s, RSTART + RLENGTH)\n" +
+        "  }\n" +
+        "  out = out s\n" +
+        "  for (i = 1; i <= length(out); i += 6) print substr(out, i, 6)\n" +
+        "}'\n").getBytes)
+    script.toFile.setExecutable(true)
+    script.toString
+  }
+
+  test("repeatMask: repeats lowercased, wrapped FASTA folded, order-free ids") {
+    import spark.implicits._
+    val seqs = Seq(
+      ("r1", "ttACACACgg"),  // lowercase input is uppercased before masking
+      ("r2", "GGGGGGGGGG"),  // no repeat — comes back untouched
+      ("r3", "ACACACACACAC")) // all repeat
+      .toDF("seq_id", "seq").repartition(2)
+    val masked = AlignmentStore.repeatMask(seqs, Seq(maskerScript))
+      .as[(String, String)].collect().toMap
+    // (ACAC)+ matches whole 4-mers: TTACACACGG masks its first ACAC,
+    // the trailing AC stays upper
+    assert(masked === Map(
+      "r1" -> "TTacacACGG",
+      "r2" -> "GGGGGGGGGG",
+      "r3" -> "acacacacacac"))
+  }
+
+  test("fromBlast with maskCmd composes mask -> align; coordinates unaffected") {
+    import spark.implicits._
+    val seqs = Seq(("q1", "ACACACGT")).toDF("seq_id", "seq")
+    val got = AlignmentStore
+      .fromBlast(spark, seqs, Seq(alignerScript), maskCmd = Some(Seq(maskerScript)))
+      .blocks
+      .select("src_id", "src_start", "src_end", "dest_id", "dest_start", "dest_end", "dest_ori")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSet
+    // same HSP geometry as the unmasked path: masking changes letter
+    // CASE (seeding behavior in a real aligner), never coordinates
+    assert(got === Set(
+      ("q1", 0L, 4L, "hit_q1", 10L, 14L, 1),
+      ("q1", 4L, 8L, "hit_q1", 15L, 19L, 1)))
+  }
 }
