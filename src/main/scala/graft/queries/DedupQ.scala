@@ -22,22 +22,28 @@ object DedupQ {
     table(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
-  /** Embedding near-dup pairs blocked by label × IVF cell — the
-    * bounded-block shape (SemDeDup-style cluster-then-dedup): blocking
-    * on the fixed-cardinality label alone makes block size grow
-    * linearly with the corpus and the pair join quadratic (measured
-    * 84x at the 10x sf1 audit); the √n-cell quantizer keeps blocks at
-    * ~√n vectors, so pair work scales ~n^1.5. Same-label pairs in
-    * different cells are out of scope BY DEFINITION of the operator.
+  /** Embedding near-dup pairs blocked by label × sign-LSH bucket —
+    * the bounded-block shape (SemDeDup-style cluster-then-dedup):
+    * blocking on the fixed-cardinality label alone makes block size
+    * grow linearly with the corpus and the pair join quadratic
+    * (measured 84x at the 10x sf1 audit). Through round 6 the block
+    * key was the √n-stride IVF cell, but its nearest-centroid
+    * assignment is an n×√n broadcast join — n^1.5, and the sf1 full
+    * audit measured d4/d6 at 16x for 10x data. Hyperplane sign
+    * buckets assign in ONE corpus pass (n · nPlanes dot products, no
+    * join), and `autoPlanes` grows the plane count with the corpus so
+    * occupancy stays ≈64 — candidate generation AND within-bucket
+    * verification both linear. Same-label pairs in different buckets
+    * are out of scope BY DEFINITION of the operator (blocked near-dup,
+    * not exact all-pairs).
     */
   private def embNeardupPairs(s: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfFlat
+    import graft.similarity.CosineLsh
     val emb = table(s, dir, "embeddings")
-    val stride = IvfFlat.autoStride(emb.count())
-    val bucketed = IvfFlat.assign(emb, "vec_id", "embedding", stride)
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val np = CosineLsh.autoPlanes(emb.count(), targetBucketSize = 64)
+    val bucketed = CosineLsh.signBuckets(emb, "embedding", dims = 64, nPlanes = np)
       .select(concat(col("label").cast("string"), lit("_"),
-        col("cell").cast("string")).as("bk"),
+        col("bucket").cast("string")).as("bk"),
         col("vec_id"), col("embedding"))
     CosineSim.neardupPairs(bucketed, "vec_id", "embedding", "bk", 0.3)
   }
@@ -139,7 +145,7 @@ object DedupQ {
         .orderBy("node")
     },
 
-    // d4: embedding near-dup pairs, blocked by label × IVF cell.
+    // d4: embedding near-dup pairs, blocked by label × LSH bucket.
     "d4_embed_neardup" -> { (s, dir) =>
       embNeardupPairs(s, dir).orderBy("i", "j")
     },
@@ -491,18 +497,13 @@ object DedupQ {
         |SELECT i, j, CAST(ham AS BIGINT) AS hamming FROM p WHERE ham <= 6
         |ORDER BY i, j""".stripMargin,
 
-    "d6_embed_clusters" ->
-      """WITH RECURSIVE e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n
-        |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
-        |asg AS (SELECT n.vec_id, cid,
-        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
-        |cell AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-        |  FROM asg) WHERE rk = 1),
-        |bkt AS (SELECT n.label || '_' || cell.cell AS bk, n.vec_id, n.v, n.nm
-        |  FROM n JOIN cell ON n.vec_id = cell.vec_id),
+    "d6_embed_clusters" -> {
+      val np = graft.similarity.CosineLsh
+        .autoPlanesSql("SELECT COUNT(*) FROM embeddings", 64L)
+      val bucket = graft.similarity.CosineLsh.bucketSqlDyn("v", 64, s"($np)")
+      s"""WITH RECURSIVE e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bkt AS (SELECT label || '_' || CAST($bucket AS VARCHAR) AS bk,
+        |  vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
         |p AS (SELECT a.vec_id AS i, b.vec_id AS j
         |  FROM bkt a JOIN bkt b ON a.bk = b.bk AND a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.3),
@@ -513,24 +514,21 @@ object DedupQ {
         |  UNION
         |  SELECT ud.b, walk.lbl FROM walk JOIN ud ON ud.a = walk.n)
         |SELECT n AS node, MIN(lbl) AS comp FROM walk
-        |GROUP BY n ORDER BY node""".stripMargin,
+        |GROUP BY n ORDER BY node""".stripMargin
+    },
 
-    "d4_embed_neardup" ->
-      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n
-        |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
-        |asg AS (SELECT n.vec_id, cid,
-        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
-        |cell AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-        |  FROM asg) WHERE rk = 1),
-        |b AS (SELECT n.label || '_' || cell.cell AS bk, n.vec_id, n.v, n.nm
-        |  FROM n JOIN cell ON n.vec_id = cell.vec_id),
+    "d4_embed_neardup" -> {
+      val np = graft.similarity.CosineLsh
+        .autoPlanesSql("SELECT COUNT(*) FROM embeddings", 64L)
+      val bucket = graft.similarity.CosineLsh.bucketSqlDyn("v", 64, s"($np)")
+      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT label || '_' || CAST($bucket AS VARCHAR) AS bk,
+        |  vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
         |p AS (SELECT a.bk, a.vec_id AS i, b2.vec_id AS j,
         |  list_dot_product(a.v, b2.v) / (a.nm * b2.nm) AS cos
         |  FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id)
-        |SELECT bk, i, j, cos FROM p WHERE cos >= 0.3 ORDER BY i, j""".stripMargin,
+        |SELECT bk, i, j, cos FROM p WHERE cos >= 0.3 ORDER BY i, j""".stripMargin
+    },
 
     "n2_ann_lsh" -> {
       val bucket = graft.similarity.CosineLsh.bucketSql("v", 64, 4)

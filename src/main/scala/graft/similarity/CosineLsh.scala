@@ -8,7 +8,16 @@ import org.apache.spark.sql.functions._
   * sign bits form a bucket id; search is then brute force only within
   * a bucket (the IVF-cell/LSH analog of SURVEY §7.7). Planes are
   * derived from pure integer arithmetic so any engine reproduces
-  * them: plane p component i is +1 iff (i*31 + p*17) mod 7 < 3.
+  * them: plane p component i is +1 iff (i*31 + p*17 + i*p*13)
+  * mod 101 < 50. The i*p cross term is load-bearing: a separable
+  * formula (an earlier mod-7 variant) depends on p only through
+  * p mod 7, giving just 7 DISTINCT planes — bucket bits beyond the
+  * 7th repeat earlier ones, so bucket count saturates at 2^7 and
+  * occupancy (hence within-bucket pair work) silently goes linear
+  * again no matter what `autoPlanes` asks for. With the cross term
+  * each dimension sees coefficient (17 + 13*i) mod 101 on p, so
+  * plane patterns stay distinct for p up to 101 (2^101 buckets —
+  * beyond any corpus).
   *
   * Sizing at scale: bucket count is 2^nPlanes and the within-bucket
   * search is quadratic in bucket population, so nPlanes must grow
@@ -41,7 +50,8 @@ object CosineLsh {
 
   def planeExpr(p: Int, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
-      i => when(((i * 31 + lit(p) * 17) % 7) < 3, lit(1.0d)).otherwise(lit(-1.0d)))
+      i => when(((i * 31 + lit(p) * 17 + i * lit(p) * 13) % 101) < 50,
+        lit(1.0d)).otherwise(lit(-1.0d)))
 
   /** Add a `bucket` column (LONG in [0, 2^nPlanes)). */
   def signBuckets(df: DataFrame, vecCol: String, dims: Int,
@@ -58,7 +68,7 @@ object CosineLsh {
   def bucketSql(vExpr: String, dims: Int, nPlanes: Int = 4): String =
     (0 until nPlanes).map { p =>
       s"(CASE WHEN list_dot_product($vExpr, list_transform(range(0, $dims), " +
-        s"i -> CASE WHEN (i*31 + $p*17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 " +
+        s"i -> CASE WHEN (i*31 + $p*17 + i*$p*13) % 101 < 50 THEN 1.0 ELSE -1.0 END)) > 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -70,6 +80,6 @@ object CosineLsh {
   def bucketSqlDyn(vExpr: String, dims: Int, npExpr: String): String =
     s"CAST(list_sum(list_transform(range(0, CAST($npExpr AS BIGINT)), p -> " +
       s"CASE WHEN list_dot_product($vExpr, list_transform(range(0, $dims), " +
-      s"i -> CASE WHEN (i*31 + p*17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 " +
+      s"i -> CASE WHEN (i*31 + p*17 + i*p*13) % 101 < 50 THEN 1.0 ELSE -1.0 END)) > 0 " +
       s"THEN 1 << p ELSE 0 END)) AS BIGINT)"
 }

@@ -170,6 +170,40 @@ class DedupSpec extends SparkSuite {
     assert(ivf === exact)
   }
 
+  test("cosine LSH planes are pairwise distinct and balanced through p=32") {
+    // Regression pin for the round-7 plane-family fix: the original
+    // (i*31 + p*17) mod 7 formula depended on p only through p mod 7,
+    // so planes 7.. repeated planes 0..6 — bucket cardinality
+    // saturated at 2^7 and occupancy went linear in n no matter what
+    // autoPlanes requested. The i*p cross term keeps patterns
+    // distinct; assert that, plus rough ±1 balance, for every plane
+    // count autoPlanes could realistically emit (2^32 buckets covers
+    // any corpus at targetBucketSize 64).
+    val dims = 64
+    def signs(p: Int): Seq[Boolean] =
+      (0 until dims).map(i => (i * 31 + p * 17 + i * p * 13) % 101 < 50)
+    val planes = (0 until 32).map(signs)
+    for (a <- 0 until 32; b <- (a + 1) until 32)
+      assert(planes(a) !== planes(b), s"planes $a and $b identical")
+    // balance: most planes sit near 32/64 positive (p=21 is the worst
+    // at 17/64 — a skewed split, not a degenerate one); guard against
+    // constant/near-constant planes only
+    planes.zipWithIndex.foreach { case (pl, p) =>
+      val pos = pl.count(identity)
+      assert(pos >= 10 && pos <= 54, s"plane $p degenerate: $pos/64 positive")
+    }
+    // and the Column expression agrees with the arithmetic above
+    import spark.implicits._
+    val one = Seq(Tuple1(Array.fill(dims)(1.0f))).toDF("embedding")
+    val got = CosineLsh.signBuckets(one, "embedding", dims, nPlanes = 8)
+      .select("bucket").as[Long].head()
+    val want = (0 until 8).map { p =>
+      val d = signs(p).map(if (_) 1.0 else -1.0).sum
+      if (d > 0) 1L << p else 0L
+    }.sum
+    assert(got === want)
+  }
+
   test("cosine LSH: identical vectors share a bucket, top-k finds the clone") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
