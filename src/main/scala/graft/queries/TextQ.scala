@@ -711,9 +711,13 @@ object TextQ {
     // floor in both engines).
     "t10_unigram_logprob" -> { (s, dir) =>
       val d = docToks(s, dir)
-      val tc = d.select(explode(col("toks")).as("term"))
+      // corpus total via 1-row aggregate + broadcast, NOT
+      // sum().over(Window.partitionBy()): the empty-partition window
+      // moves the whole vocabulary (10⁸ terms on a web corpus) into
+      // one task — the t2/b1 stats-crossJoin shape instead
+      val counts = d.select(explode(col("toks")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("ct"))
-        .withColumn("tot", sum("ct").over(Window.partitionBy()))
+      val tc = counts.crossJoin(broadcast(counts.agg(sum("ct").as("tot"))))
       d.select(col("doc_id"), explode(col("toks")).as("term"))
         .join(broadcast(tc), "term")
         .withColumn("nll_u",
