@@ -9,10 +9,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata. The Spark side — schema, partitioned
   * batch decode via mapPartitions, feature/frame row shapes — is real
-  * and tested; the DECODE step is a clearly-marked deterministic STUB
-  * (`stubDecode`), because no codec libraries exist in this
-  * environment. Swap `decode` for a real codec (JNI/FFI) without
-  * touching the distributed plumbing.
+  * and tested. Decode comes in two tiers:
+  *
+  *  - REAL decoders for formats the JVM covers without external
+  *    libraries: `ImageCodec` (PNG/BMP/GIF/JPEG via the JDK's
+  *    ImageIO) feeding `imageMeta`/`imageNearDup` (perceptual-hash
+  *    image dedup), and `WavCodec` (RIFF PCM16 byte parse) feeding
+  *    `audioMeta`.
+  *  - `stubDecode`, a clearly-marked deterministic md5-seeded STUB,
+  *    kept for the oracle-gated m1/m2 queries whose fixture bytes are
+  *    arbitrary (not valid media) — DuckDB can replay md5, not a
+  *    pixel decode. Compressed-video codecs stay out of scope (no
+  *    libs in this environment); `sampleFrames` is the plumbing a
+  *    real one would slot into.
   */
 object Multimodal {
 
@@ -49,6 +58,86 @@ object Multimodal {
     df.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.map { r => Row(r.getLong(0), dec(r.getAs[Array[Byte]](1))) }
+      }(enc)
+  }
+
+  private val imgMetaSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** REAL image decode: (media_id, width, height, dhash) via
+    * ImageIO inside mapPartitions — one decoder per task, no per-row
+    * UDF serialization, input partitioning preserved. Undecodable
+    * bytes yield null dims/dhash (a bad object must cost one null
+    * row, never a task retry storm). df: (media_id LONG, content
+    * BINARY). */
+  def imageMeta(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imgMetaSchema)
+    df.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          ImageCodec.decode(r.getAs[Array[Byte]](1)) match {
+            case Some(img) =>
+              Row(r.getLong(0), img.getWidth, img.getHeight, ImageCodec.dHash(img))
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` bits of dHash —
+    * the d5 pigeonhole guarantee on the 64-bit perceptual hash:
+    * r+1 blocks mean any pair ≤ r bits apart shares at least one
+    * block untouched by the differing bits, so the banded equi-join
+    * on (block_no, block_value) has GUARANTEED recall; per-block
+    * work is bounded by bucket population, never all-pairs. Emits
+    * (media_a < media_b, hamming). */
+  def imageNearDup(meta: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val nBlocks = maxHamming + 1
+    val blockBits = (64 + nBlocks - 1) / nBlocks
+    val keyed = meta.where(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("block_no"))
+      .withColumn("block_val",
+        expr(s"shiftrightunsigned(dhash, block_no * $blockBits)")
+          .bitwiseAND(lit((1L << blockBits) - 1)))
+    val a = keyed.select(col("block_no"), col("block_val"),
+      col("media_id").as("media_a"), col("dhash").as("ha"))
+    val b = keyed.select(col("block_no"), col("block_val"),
+      col("media_id").as("media_b"), col("dhash").as("hb"))
+    a.join(b, Seq("block_no", "block_val"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private val audioMetaSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", LongType)))
+
+  /** REAL audio decode: (media_id, sample_rate, n_channels,
+    * n_samples, rms) from RIFF PCM16 bytes — the silence/clipping
+    * quality gate for audio corpora. Non-WAV bytes → null fields. */
+  def audioMeta(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioMetaSchema)
+    df.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          WavCodec.decodePcm16(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, ch, samples)) =>
+              Row(r.getLong(0), rate, ch, samples.length.toLong,
+                WavCodec.rms(samples))
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
       }(enc)
   }
 

@@ -429,6 +429,78 @@ object TextQ {
         .orderBy("media_id", "frame_no")
     },
 
+    // m8: REAL audio decode, oracle-gated. Each user's events become
+    // deterministic PCM16 samples; Spark ENCODES them into genuine
+    // RIFF/WAVE bytes and recovers rate/count/RMS through WavCodec's
+    // byte-format parse (graft.multimodal). The oracle computes the
+    // same count/RMS arithmetically — the codec roundtrip is identity
+    // on samples, so any parse defect (header offset, byte order,
+    // channel stride) breaks the hash match. RMS floors an IEEE
+    // sqrt/div on identical integers: exact cross-engine. The
+    // samples-per-media collect is fixture synthesis — a production
+    // corpus stores real blobs, bounded by media duration.
+    "m8_audio_rms" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val sm = IntervalsQ.events(s, dir)
+        .select(col("user_id").as("media_id"),
+          (((col("event_id") * 7919L) % 2003L - 1001L) * 16L)
+            .cast("int").as("samp"))
+        .groupBy("media_id").agg(collect_list("samp").as("ss"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("rms", LongType))))
+      sm.mapPartitions { rows =>
+        rows.map { r =>
+          val shorts = r.getSeq[Int](1).map(_.toShort).toArray
+          val bytes = graft.multimodal.WavCodec.encodePcm16(16000, shorts)
+          val Some((rate, _, got)) = graft.multimodal.WavCodec.decodePcm16(bytes)
+          Row(r.getLong(0), rate, got.length.toLong,
+            graft.multimodal.WavCodec.rms(got))
+        }
+      }(enc).orderBy("media_id")
+    },
+
+    // m9: REAL image decode, oracle-gated. Per document a 9×8
+    // grayscale image with md5-derived pixels is PNG-encoded and
+    // decoded back through the JDK's ImageIO (graft.multimodal
+    // .ImageCodec), then perceptually hashed (dHash). On a 9×8 image
+    // the pooling grid is the pixel grid, so the oracle reproduces
+    // the hash with pure integer SQL over the same md5 bytes — a
+    // pixel-exactness gate on the real codec path (PNG is lossless;
+    // one wrong pixel flips gradient-sign bits). Bit 63 is masked on
+    // both sides to stay in non-negative BIGINT territory.
+    "m9_image_dhash" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("dhash63", LongType))))
+      media.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pix(id: Long, x: Int, y: Int): Int = {
+          md.reset()
+          (md.digest(s"$id:$x:$y".getBytes("UTF-8"))(0)) & 0xff
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 9) {
+            val v = pix(id, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val decoded = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          Row(id, graft.multimodal.ImageCodec.dHash(decoded) & Long.MaxValue)
+        }
+      }(enc).orderBy("media_id")
+    },
+
     // m1: multimodal/binary column plumbing — opaque bytes + typed
     // metadata (length, content hash).
     "m1_binary_meta" -> { (s, dir) =>
@@ -1324,6 +1396,36 @@ object TextQ {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m8_audio_rms" ->
+      // the WAV encode→parse roundtrip is identity on samples, so the
+      // oracle skips the codec and computes count/RMS arithmetically;
+      // FLOOR(SQRT(x)/n) on identical integers is IEEE-exact
+      """WITH s AS (SELECT user_id AS media_id,
+        |  ((event_id * 7919) % 2003 - 1001) * 16 AS samp FROM events)
+        |SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(FLOOR(SQRT(CAST(SUM(samp * samp) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "m9_image_dhash" ->
+      // PNG is lossless and the 9×8 pooling grid is the pixel grid,
+      // so the perceptual hash of the DECODED image equals this pure
+      // integer arithmetic over the same md5-derived pixels; bit 63
+      // masked on both sides (sign bit of BIGINT)
+      """WITH m AS (SELECT doc_id AS media_id FROM documents),
+        |g AS (SELECT media_id, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        |  ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+        |     CAST(c AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 2))::BIGINT AS v0,
+        |  ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+        |     CAST(c + 1 AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 2))::BIGINT AS v1
+        |  FROM m, UNNEST(range(0, 8)) AS tr(r), UNNEST(range(0, 8)) AS tc(c)),
+        |b AS (SELECT media_id,
+        |  CASE WHEN NOT (r = 7 AND c = 7) AND v1 > v0
+        |       THEN (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INT)) ELSE 0 END AS bit
+        |  FROM g)
+        |SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash63
+        |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "c11_span_corruption" ->
       s"""WITH tk AS ($toksSql),
