@@ -884,6 +884,35 @@ object TextQ {
         .orderBy("round", "rank")
     },
 
+    // t14: BPE tokenizer APPLY — the encode half of the tokenizer
+    // story (t11 trains; this tokenizes). A fixed rank-ordered merge
+    // list (an input, like b1's query terms) is applied by
+    // graft.text.Bpe over the DISTINCT-WORD table — vocabulary-sized
+    // work, orders of magnitude below corpus size — and the corpus
+    // pays ONE keyed join from word to its encoded form: the
+    // per-word-cache shape every production tokenizer uses, which is
+    // the only shape that tokenizes 100 TB. Output per doc: word and
+    // subword counts plus an order-sensitive hash of the full
+    // encoded stream (so the gate pins every subword boundary).
+    "t14_bpe_encode" -> { (s, dir) =>
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+      val d = docToks(s, dir)
+      val enc = graft.text.Bpe.encodeWords(
+        d.select(explode(col("toks")).as("word")).distinct(), merges)
+      // enc is vocab-sized: small enough to broadcast at any SF that
+      // fits one executor's memory; plain keyed join otherwise (AQE
+      // picks broadcast here on its own at these sizes)
+      d.select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_subwords").as("n_subwords"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(wpos, encoded))), x -> x.encoded)")))
+            .as("encoded_hash"))
+        .orderBy("doc_id")
+    },
+
     // c8: hashed-feature linear classifier (the fastText-style
     // quality-model scoring pass of a training pipeline): each token
     // hashes to a deterministic weight in [-500, 500] (md5 draw — no
@@ -1632,6 +1661,42 @@ object TextQ {
         |  SELECT 2, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT), pair, cnt FROM pc2)
         |SELECT round, rank, pair, cnt FROM r WHERE rank <= 5
         |ORDER BY round, rank""".stripMargin,
+
+    "t14_bpe_encode" ->
+      // four unrolled merge applications (t11's window shape: mark the
+      // pair, drop the absorbed successor; ma ≠ mb so matches never
+      // overlap), then the word→encoded join and per-doc ordered hash
+      s"""WITH tk AS ($toksSql),
+        |dw AS (SELECT DISTINCT unnest(toks) AS word FROM tk),
+        |sy AS (SELECT word, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS s
+        |  FROM (SELECT word, list_filter(regexp_split_to_array(
+        |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' '), x -> x <> '') AS sl
+        |    FROM dw)),
+        |a1 AS (SELECT word, pos, s, COALESCE(s = 't' AND
+        |  lead(s) OVER (PARTITION BY word ORDER BY pos) = 'h', FALSE) AS m FROM sy),
+        |b1 AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pm FROM a1),
+        |s1 AS (SELECT word, pos, CASE WHEN m THEN 'th' ELSE s END AS s FROM b1 WHERE NOT pm),
+        |a2 AS (SELECT word, pos, s, COALESCE(s = 'th' AND
+        |  lead(s) OVER (PARTITION BY word ORDER BY pos) = 'e', FALSE) AS m FROM s1),
+        |b2 AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pm FROM a2),
+        |s2 AS (SELECT word, pos, CASE WHEN m THEN 'the' ELSE s END AS s FROM b2 WHERE NOT pm),
+        |a3 AS (SELECT word, pos, s, COALESCE(s = 'i' AND
+        |  lead(s) OVER (PARTITION BY word ORDER BY pos) = 'n', FALSE) AS m FROM s2),
+        |b3 AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pm FROM a3),
+        |s3 AS (SELECT word, pos, CASE WHEN m THEN 'in' ELSE s END AS s FROM b3 WHERE NOT pm),
+        |a4 AS (SELECT word, pos, s, COALESCE(s = 'a' AND
+        |  lead(s) OVER (PARTITION BY word ORDER BY pos) = 'n', FALSE) AS m FROM s3),
+        |b4 AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pm FROM a4),
+        |s4 AS (SELECT word, pos, CASE WHEN m THEN 'an' ELSE s END AS s FROM b4 WHERE NOT pm),
+        |enc AS (SELECT word, string_agg(s, ' ' ORDER BY pos) AS encoded,
+        |  CAST(COUNT(*) AS BIGINT) AS n_subwords FROM s4 GROUP BY word),
+        |dp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS wpos,
+        |  unnest(toks) AS word FROM tk),
+        |j AS (SELECT doc_id, wpos, encoded, n_subwords FROM dp JOIN enc USING (word))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+        |  md5(string_agg(encoded, ' ' ORDER BY wpos)) AS encoded_hash
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c8_hash_classifier" ->
       s"""WITH tk AS ($toksSql),
