@@ -501,6 +501,49 @@ object TextQ {
       }(enc).orderBy("media_id")
     },
 
+    // m10: perceptual image DEDUP end-to-end, oracle-gated — the
+    // whole real pipeline m9 gates only the front of: decode (PNG →
+    // ImageIO pixels) → dHash → pigeonhole blocks → banded Hamming
+    // self-join (Multimodal.imageNearDup). Fixtures plant near-dup
+    // GROUPS: every 5 docs share one md5-derived 9×8 base grid, each
+    // doc perturbing one pixel ((r,r) ← 255, r = doc_id mod 5) — a
+    // ≤2-bit perceptual shift, so within-group pairs sit inside the
+    // Hamming-4 radius while distinct groups sit ~31 bits apart. The
+    // oracle recomputes every hash AND the block join in pure
+    // integer SQL, so recall (the r+1 pigeonhole guarantee) and
+    // precision (the bit_count filter) are both hash-pinned.
+    "m10_image_neardup" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("dhash", LongType))))
+      val meta = media.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def basePix(g: Long, x: Int, y: Int): Int = {
+          md.reset()
+          (md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0)) & 0xff
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id / 5; val rr = (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 9) {
+            val v = if (x == rr && y == rr) 255 else basePix(g, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val dec = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          Row(id, graft.multimodal.ImageCodec.dHash(dec) & Long.MaxValue)
+        }
+      }(enc)
+      graft.multimodal.Multimodal.imageNearDup(meta, maxHamming = 4)
+        .orderBy("media_a", "media_b")
+    },
+
     // m1: multimodal/binary column plumbing — opaque bytes + typed
     // metadata (length, content hash).
     "m1_binary_meta" -> { (s, dir) =>
@@ -1436,6 +1479,36 @@ object TextQ {
         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
         |  CAST(FLOOR(SQRT(CAST(SUM(samp * samp) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "m10_image_neardup" ->
+      // hashes as in m9 (base grid keyed by media_id//5, the (r,r)
+      // pixel planted to 255), then the 5-block pigeonhole join and
+      // Hamming filter in integer SQL — blockBits = ceil(64/5) = 13
+      """WITH m AS (SELECT doc_id AS media_id, doc_id // 5 AS g,
+        |  doc_id % 5 AS r FROM documents),
+        |px AS (SELECT media_id, y, x,
+        |  CASE WHEN x = r AND y = r THEN 255
+        |       ELSE ('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+        |         CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        |  FROM m, UNNEST(range(0, 8)) ty(y), UNNEST(range(0, 9)) tx(x)),
+        |h AS (SELECT media_id,
+        |  SUM(CASE WHEN b < 63 AND v1 > v0
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS dh
+        |  FROM (SELECT p0.media_id, p0.y * 8 + p0.x AS b, p0.v AS v0, p1.v AS v1
+        |        FROM px p0 JOIN px p1 ON p0.media_id = p1.media_id
+        |          AND p1.y = p0.y AND p1.x = p0.x + 1
+        |        WHERE p0.x < 8) GROUP BY media_id),
+        |bl AS (SELECT media_id, dh, b AS block_no,
+        |  (dh >> CAST(b * 13 AS INT)) & 8191 AS bv
+        |  FROM h, UNNEST(range(0, 5)) tb(b)),
+        |p AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |  bit_count(xor(a.dh, b.dh)) AS ham
+        |  FROM bl a JOIN bl b ON a.block_no = b.block_no AND a.bv = b.bv
+        |    AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 4)
+        |SELECT media_a, media_b, CAST(ham AS INT) AS hamming
+        |FROM p ORDER BY media_a, media_b""".stripMargin,
 
     "m9_image_dhash" ->
       // PNG is lossless and the 9×8 pooling grid is the pixel grid,
