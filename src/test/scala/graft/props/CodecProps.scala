@@ -1,0 +1,85 @@
+package graft.props
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.multimodal.{ImageCodec, WavCodec}
+
+/** Property tests for the real-decode kernels: arbitrary media in,
+  * exact invariants out — no fixed fixtures, so the codecs hold on
+  * inputs nobody thought to write down.
+  */
+object CodecProps extends Properties("graft.codec") {
+
+  // --- WAV ---
+
+  private val wavGen: Gen[(Int, Array[Short])] = for {
+    rate <- Gen.choose(8000, 96000)
+    n <- Gen.choose(0, 2000)
+    samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+  } yield (rate, samples.map(_.toShort).toArray)
+
+  property("WAV encode→decode is identity on rate and samples") =
+    forAll(wavGen) { case (rate, samples) =>
+      WavCodec.decodePcm16(WavCodec.encodePcm16(rate, samples)) match {
+        case Some((r, ch, got)) =>
+          r == rate && ch == 1 && got.toSeq == samples.toSeq
+        case None => false
+      }
+    }
+
+  property("WAV RMS is amplitude-monotone under doubling (no clip)") =
+    forAll(Gen.listOf(Gen.choose(-8000, 8000))) { xs =>
+      val s = xs.map(_.toShort).toArray
+      val d = xs.map(x => (x * 2).toShort).toArray
+      WavCodec.rms(d) >= WavCodec.rms(s)
+    }
+
+  // --- image ---
+
+  private def img(w: Int, h: Int, px: Array[Int]): BufferedImage = {
+    val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val v = px(i)
+      b.setRGB(i % w, i / w, (v << 16) | (v << 8) | v); i += 1
+    }
+    b
+  }
+
+  private val imgGen: Gen[(Int, Int, Array[Int])] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 200))
+  } yield (w, h, px.toArray)
+
+  property("PNG encode→ImageIO decode→dHash equals the in-memory hash") =
+    forAll(imgGen) { case (w, h, px) =>
+      val b = img(w, h, px)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(b, "png", out)
+      ImageCodec.decode(out.toByteArray) match {
+        case Some(d) => ImageCodec.dHash(d) == ImageCodec.dHash(b)
+        case None => false
+      }
+    }
+
+  property("dHash is invariant under uniform brightness shift (no clip)") =
+    forAll(imgGen, Gen.choose(1, 55)) { case ((w, h, px), d) =>
+      // px capped at 200, shift ≤ 55 → never clips; strict > compares
+      // of equal-shifted sums are unchanged
+      ImageCodec.dHash(img(w, h, px.map(_ + d))) == ImageCodec.dHash(img(w, h, px))
+    }
+
+  property("constant image pools to identical cells and all-zero dHash") =
+    forAll(Gen.choose(0, 255), Gen.choose(1, 30), Gen.choose(1, 30)) { (v, w, h) =>
+      val b = img(w, h, Array.fill(w * h)(v))
+      val g = ImageCodec.grayGrid(b, 9, 8)
+      g.forall(_ == 1000L * v) && ImageCodec.dHash(b) == 0L
+    }
+}
