@@ -463,6 +463,47 @@ object TextQ {
       }(enc).orderBy("media_id")
     },
 
+    // m11: audio FINGERPRINT through the real parse — windowed RMS
+    // per 100-sample window. m8's whole-stream RMS is order-
+    // INVARIANT, so it can't catch a parser that returns samples
+    // out of sequence; the windowed form pins byte order, sample
+    // sequencing, and window boundaries (an off-by-one-byte read or
+    // a reversed array reshuffles window membership and breaks the
+    // hash). Samples are a pure integer formula of (media_id, i), so
+    // the oracle regenerates them positionally without the codec;
+    // the Spark path round-trips them through genuine WAV bytes and
+    // recovers position from the parse alone. Windowing runs as a
+    // keyed DataFrame aggregate AFTER decode — the distributed shape
+    // of a feature-extraction pass over decoded media.
+    "m11_audio_fingerprint" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("pos", LongType),
+        StructField("samp", IntegerType))))
+      val samples = media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val n = (400 + (id % 7) * 50).toInt
+          val shorts = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 7919) % 2003 - 1001) * 16).toShort)
+          val bytes = graft.multimodal.WavCodec.encodePcm16(16000, shorts)
+          val Some((_, _, got)) = graft.multimodal.WavCodec.decodePcm16(bytes)
+          got.iterator.zipWithIndex.map { case (sm, i) =>
+            Row(id, i.toLong, sm.toInt)
+          }
+        }
+      }(enc)
+      samples
+        .groupBy(col("media_id"), expr("pos div 100").as("window_no"))
+        .agg(count(lit(1)).as("n_samples"),
+          floor(sqrt(sum(col("samp").cast("long") * col("samp"))
+            .cast("double") / count(lit(1)))).cast("long").as("rms"))
+        .orderBy("media_id", "window_no")
+    },
+
     // m9: REAL image decode, oracle-gated. Per document a 9×8
     // grayscale image with md5-derived pixels is PNG-encoded and
     // decoded back through the JDK's ImageIO (graft.multimodal
@@ -1509,6 +1550,21 @@ object TextQ {
         |  WHERE bit_count(xor(a.dh, b.dh)) <= 4)
         |SELECT media_a, media_b, CAST(ham AS INT) AS hamming
         |FROM p ORDER BY media_a, media_b""".stripMargin,
+
+    "m11_audio_fingerprint" ->
+      // samples regenerated positionally from the same integer
+      // formula — the codec roundtrip must preserve exact order for
+      // window membership (and therefore every window RMS) to match
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  400 + (doc_id % 7) * 50 AS n FROM documents),
+        |s AS (SELECT media_id, CAST(i AS BIGINT) AS pos,
+        |  ((media_id * 31 + i * 7919) % 2003 - 1001) * 16 AS samp
+        |  FROM m, LATERAL UNNEST(range(0, n)) t(i))
+        |SELECT media_id, pos // 100 AS window_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(FLOOR(SQRT(CAST(SUM(samp * samp) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms
+        |FROM s GROUP BY media_id, pos // 100
+        |ORDER BY media_id, window_no""".stripMargin,
 
     "m9_image_dhash" ->
       // PNG is lossless and the 9×8 pooling grid is the pixel grid,
