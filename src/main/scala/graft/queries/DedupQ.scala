@@ -82,6 +82,43 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d11: SemDeDup-shape cluster-blocked semantic dedup (Abbas et
+    // al. 2023, arXiv:2303.09540): assign every embedding to its
+    // nearest centroid from n5's deterministic md5-sampled codebook
+    // (k fixed → assignment is n·k with the codebook broadcast —
+    // linear in the corpus), then compare pairs ONLY within a cell
+    // and drop each vector that has a smaller-id cell-mate with
+    // cosine ≥ τ (keeper = the smallest such id). Cluster blocking is
+    // the 100 TB point: candidate work is Σ cell², bounded by cell
+    // population with k sized ∝ n/cell_target — never all-pairs (the
+    // sign-LSH blocking of d4 is the recall-oriented sibling; this is
+    // the throughput-oriented one the paper runs at web scale). The
+    // paper's keep-policy (lowest centroid similarity) is swappable;
+    // min-id is used here because the PRUNING SET is the operator and
+    // min-id makes it oracle-exact.
+    "d11_semdedup" -> { (s, dir) =>
+      import graft.similarity.IvfFlat
+      val emb = table(s, dir, "embeddings")
+      val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
+      val cells = IvfFlat.assignTo(emb, "vec_id", "embedding", cb)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          sqrt(CosineSim.dot(col("embedding"), col("embedding"))).as("nm"))
+      val a = cells.select(col("cell"), col("vec_id").as("i"),
+        col("embedding").as("vi"), col("nm").as("ni"))
+      val b = cells.select(col("cell"), col("vec_id").as("j"),
+        col("embedding").as("vj"), col("nm").as("nj"))
+      a.join(b, Seq("cell"))
+        .where(col("j") < col("i"))
+        .select(col("cell"), col("i"), col("j"),
+          (CosineSim.dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+            .as("cos"))
+        .where(col("cos") >= 0.3)
+        .groupBy(col("i").as("vec_id"))
+        .agg(max("cell").as("cell"), min("j").as("keeper"),
+          count(lit(1)).as("n_near"))
+        .orderBy("vec_id")
+    },
+
     // c10: near-dup REMOVAL end-to-end — the action the detection
     // queries feed (the C4/CCNet step): capped-LSH candidates →
     // exact-Jaccard verify ≥ 0.8 → connected components over the
@@ -468,6 +505,27 @@ object DedupQ {
         |SELECT i, j, cont_i_bp, cont_j_bp FROM sc
         |WHERE GREATEST(cont_i_bp, cont_j_bp) >= 6000
         |ORDER BY i, j""".stripMargin,
+
+    "d11_semdedup" ->
+      // n5's codebook + assignment CTEs, then within-cell pairwise
+      // cosine and the min-id keep rule
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM (
+        |  SELECT vec_id, v, nm,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM n) WHERE rk <= 16),
+        |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+        |  list_dot_product(a.v, b.v)/(a.nm*b.nm) AS cos
+        |  FROM cell a JOIN cell b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+        |SELECT i AS vec_id, MAX(cell) AS cell, MIN(j) AS keeper,
+        |  CAST(COUNT(*) AS BIGINT) AS n_near
+        |FROM p WHERE cos >= 0.3 GROUP BY i ORDER BY vec_id""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH tk AS ($tkSql),

@@ -997,6 +997,58 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // t15: interpolated Kneser-Ney bigram LM perplexity proxy — the
+    // CCNet-shape quality filter: score every doc by the mean
+    // negative log-likelihood of its bigrams under the corpus's own
+    // KN-smoothed bigram model (t10's unigram sibling, one order
+    // higher and properly smoothed). With discount D = 3/4,
+    //   P(w2|w1) = (max(c12-D,0) + D·N1+(w1,·)·N1+(·,w2)/NB) / c(w1)
+    // multiplies through by 4·NB into a ratio of two EXACT integers,
+    // so the only float op is one ln() per bigram TYPE — floored to
+    // micro-nats before the per-doc mean, the t10/t12 determinism
+    // pattern. (All observed-bigram terms of the KN sum are
+    // nonnegative and total 1 per context, so P ≤ 1 and nll ≥ 0 —
+    // floor = trunc in both engines.)
+    // Plan shape: bigrams form by zipping each token array with its
+    // own tail — zero shuffle, no posexplode self-join; all model
+    // tables (bigram counts, left/right continuation counts) are
+    // vocabulary-sized aggregates that combine map-side; the corpus
+    // postings shuffle once for the final doc-keyed mean. The stat
+    // joins are keyed on w1/w2 — broadcastable at this SF (AQE
+    // decides), plain shuffle joins on a 10⁸-term web vocabulary.
+    // 100 TB note: the integer products stay under 2⁶³ while
+    // c12·NB < 2⁶¹; past that, compute the ratio in double — the ln
+    // argument is insensitive to the last bits at web scale.
+    "t15_kn_bigram" -> { (s, dir) =>
+      val d = docToks(s, dir)
+      val nToks = size(col("toks"))
+      val pairs = d.where(nToks >= 2).select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), nToks - 1),
+          slice(col("toks"), lit(2), nToks - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val left = bc.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+      val right = bc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val nb = bc.agg(count(lit(1)).as("nb"))
+      pairs
+        .join(bc, Seq("w1", "w2"))
+        .join(left, Seq("w1"))
+        .join(right, Seq("w2"))
+        .crossJoin(broadcast(nb))
+        .withColumn("nll_u",
+          floor(log((lit(4L) * col("c1") * col("nb")).cast("double") /
+              ((lit(4L) * col("c12") - 3L) * col("nb") +
+                lit(3L) * col("n1f") * col("n1b"))) * lit(1e6))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(nll_u) div count(1)").as("mean_nll_u"))
+        .orderBy("doc_id")
+    },
+
     // c8: hashed-feature linear classifier (the fastText-style
     // quality-model scoring pass of a training pipeline): each token
     // hashes to a deterministic weight in [-500, 500] (md5 draw — no
@@ -1825,6 +1877,28 @@ object TextQ {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
         |  md5(string_agg(encoded, ' ' ORDER BY wpos)) AS encoded_hash
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t15_kn_bigram" ->
+      // same 4·NB-integer KN rewrite: one ln() of an exact integer
+      // ratio per bigram type, floored to micro-nats before the mean
+      s"""WITH tk AS ($toksSql),
+        |bgp AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+        |    toks[CAST(i + 1 AS INT)] AS w2
+        |  FROM tk, UNNEST(range(1, len(toks))) AS t(i)),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bgp GROUP BY w1, w2),
+        |lf AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+        |rt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc GROUP BY w2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bc),
+        |j AS (SELECT doc_id,
+        |  CAST(floor(ln(CAST(4 * c1 * nb AS DOUBLE) /
+        |    ((4 * c12 - 3) * nb + 3 * n1f * n1b)) * 1e6) AS BIGINT) AS nll_u
+        |  FROM bgp JOIN bc USING (w1, w2) JOIN lf USING (w1)
+        |    JOIN rt USING (w2), tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS mean_nll_u
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c8_hash_classifier" ->
