@@ -508,6 +508,63 @@ object Relational {
         .orderBy("event_type", "h")
     },
 
+    // X16: Bloom-filter semi-join audit — the shuffle-elimination
+    // pattern for "filter a 100 TB fact table by a dim key-set": the
+    // dim side's keys (parts with p_size = 1) build an m-bit k-hash
+    // Bloom filter (k=3, md5 bit draws — deterministic, so the
+    // filter AND its false positives are oracle-exact); a fact key
+    // passes iff all k bits are set. m is SIZED TO THE KEY SET
+    // (m = 10·|keys|, the bits-per-key production rule) so the FP
+    // rate is scale-invariant ≈ (1-e^(-3/10))³ ≈ 1.7% — a fixed m
+    // saturates as the dim grows (measured: m=512 hit 97% FP at
+    // sf0.1). At cluster scale the bitmask broadcasts and the probe
+    // is scan-local — the fact table never shuffles (vs a shuffle
+    // semi-join); here the set-bit table (≤ m rows) broadcasts
+    // through the hash join, the same dataflow. Probing runs over
+    // DISTINCT fact keys (vocabulary-sized) with per-key row counts
+    // folded back in — the fact table itself pays one
+    // map-side-combinable aggregate, nothing more. Output: the
+    // one-row audit a production rollout needs — flagged mass split
+    // into true matches and false positives, plus the structural
+    // zero-false-negative guarantee as a checked column.
+    "x16_bloom_semijoin" -> { (s, dir) =>
+      val k = 3
+      def bit(i: Int, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(i + ":"), key.cast("string"))), 1, 8), 16, 10)
+          .cast("long") % col("m")
+      val keys = table(s, dir, "part").where(col("p_size") === 1)
+        .select(col("p_partkey")).distinct()
+      val mRow = broadcast(keys.agg((count(lit(1)) * 10L).as("m")))
+      val bits = keys.crossJoin(mRow)
+        .select(explode(array((0 until k).map(i => bit(i, col("p_partkey"))): _*))
+          .as("bit"))
+        .distinct().withColumn("hit", lit(1L))
+      val pk = table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
+      val probed = pk.crossJoin(mRow)
+        .select(col("l_partkey"), col("n_rows"),
+          explode(array((0 until k).map(i => bit(i, col("l_partkey"))): _*)).as("bit"))
+        .join(broadcast(bits), Seq("bit"), "left")
+        .groupBy("l_partkey", "n_rows")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_set"))
+        .withColumn("flagged", (col("n_set") === k).cast("long"))
+      probed
+        .join(broadcast(keys.withColumn("member", lit(1L))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .na.fill(0L, Seq("member"))
+        .agg(
+          count(lit(1)).as("n_probe_keys"),
+          sum("n_rows").as("n_probe_rows"),
+          sum(when(col("flagged") === 1L, col("n_rows")).otherwise(0L))
+            .as("n_flagged_rows"),
+          sum(when(col("flagged") === 1L && col("member") === 1L, col("n_rows"))
+            .otherwise(0L)).as("n_true_rows"),
+          sum(when(col("flagged") === 1L && col("member") === 0L, col("n_rows"))
+            .otherwise(0L)).as("n_false_pos_rows"),
+          sum(when(col("flagged") === 0L && col("member") === 1L, 1L)
+            .otherwise(0L)).as("n_false_neg_keys"))
+    },
+
     // X12: A/B experiment readout — the two-proportion z-test over a
     // deterministic arm split (user_id parity): among users with at
     // least one click, does conversion (any purchase) differ by arm?
@@ -780,6 +837,38 @@ object Relational {
         |FROM hourly h JOIN tot t ON t.event_type = h.event_type
         |WHERE 2 * h.n * t.n_buckets >= 3 * t.total
         |ORDER BY h.event_type, h.h""".stripMargin,
+
+    "x16_bloom_semijoin" ->
+      """WITH keys AS (SELECT DISTINCT p_partkey FROM part WHERE p_size = 1),
+        |mm AS (SELECT 10 * CAST(COUNT(*) AS BIGINT) AS m FROM keys),
+        |kb AS (SELECT DISTINCT bit FROM keys, mm, UNNEST(range(0, 3)) AS t(i),
+        |  LATERAL (SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |    CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % m AS bit) b),
+        |pk AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_partkey),
+        |pr AS (SELECT l_partkey, n_rows,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |      CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % m AS bit
+        |  FROM pk, mm, UNNEST(range(0, 3)) AS t(i)),
+        |fl AS (SELECT l_partkey, n_rows,
+        |    CASE WHEN SUM(CASE WHEN kb.bit IS NULL THEN 0 ELSE 1 END) = 3
+        |      THEN 1 ELSE 0 END AS flagged
+        |  FROM pr LEFT JOIN kb ON pr.bit = kb.bit
+        |  GROUP BY l_partkey, n_rows),
+        |au AS (SELECT fl.*, CASE WHEN keys.p_partkey IS NULL THEN 0 ELSE 1 END
+        |    AS member
+        |  FROM fl LEFT JOIN keys ON fl.l_partkey = keys.p_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_probe_rows,
+        |  CAST(SUM(CASE WHEN flagged = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS n_flagged_rows,
+        |  CAST(SUM(CASE WHEN flagged = 1 AND member = 1 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_true_rows,
+        |  CAST(SUM(CASE WHEN flagged = 1 AND member = 0 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos_rows,
+        |  CAST(SUM(CASE WHEN flagged = 0 AND member = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_neg_keys
+        |FROM au""".stripMargin,
 
     "x12_ab_test" ->
       """WITH pu AS (SELECT user_id,

@@ -280,6 +280,42 @@ object TextQ {
         .orderBy("tok")
     },
 
+    // x15: count-min sketch — the OTHER bounded-memory frequency
+    // profile next to x14's Misra-Gries: depth=4 md5 hash rows ×
+    // width=256 counters of exact integer sums. Because the hashes
+    // are md5 draws, the sketch AND its estimates are plain
+    // arithmetic — the whole operator is oracle-exact, where HLL/GK
+    // (x2/x6) stay rows-gated on engine-private sketch internals.
+    // Build shape: the vocabulary-sized count table folds into
+    // ≤ d·w cells — map-side combinable, which IS the fixed-size-
+    // state property that makes CM the profile structure for streams
+    // and for vocabularies too big to aggregate (at 100 TB you'd
+    // treeAggregate occurrences straight into the d×w array; sum
+    // associativity makes the two builds identical). Probe: min over
+    // rows of the probed cell for the exact top-10 terms; CM
+    // guarantees est ≥ exact (the spec also pins the εN bound).
+    "x15_countmin" -> { (s, dir) =>
+      val depth = 4
+      val width = 256
+      def cellOf(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 8), 16, 10)
+          .cast("long") % width
+      val tc = docToks(s, dir).select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
+      val cm = tc.select(col("tok"), col("ct"), rows)
+        .select(col("r"), cellOf(col("r"), col("tok")).as("c"), col("ct"))
+        .groupBy("r", "c").agg(sum("ct").as("cell_ct"))
+      tc.orderBy(col("ct").desc, col("tok")).limit(10)
+        .select(col("tok"), col("ct"), rows)
+        .select(col("tok"), col("ct"), col("r"),
+          cellOf(col("r"), col("tok")).as("c"))
+        .join(broadcast(cm), Seq("r", "c"))
+        .groupBy("tok")
+        .agg(max("ct").as("exact_ct"), min("cell_ct").as("cm_est"))
+        .orderBy(col("exact_ct").desc, col("tok"))
+    },
+
     // t13: classifier evaluation — per-language precision/recall of
     // t1's language-ID against the documents table's ground-truth
     // lang column (the eval loop every pipeline classifier needs
@@ -1353,6 +1389,26 @@ object TextQ {
         |FROM t CROSS JOIN n GROUP BY tok, n.n
         |HAVING COUNT(*) * 30 > n.n
         |ORDER BY tok""".stripMargin,
+
+    "x15_countmin" ->
+      s"""WITH tk AS ($toksSql),
+        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+        |rw AS (SELECT unnest(range(0, 4)) AS r),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+        |      % 256 AS c, ct
+        |  FROM tc CROSS JOIN rw),
+        |cm AS (SELECT r, c, CAST(SUM(ct) AS BIGINT) AS cell_ct
+        |  FROM cells GROUP BY r, c),
+        |top AS (SELECT tok, ct FROM tc ORDER BY ct DESC, tok LIMIT 10),
+        |pr AS (SELECT tok, ct, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+        |      % 256 AS c
+        |  FROM top CROSS JOIN rw)
+        |SELECT tok, MAX(ct) AS exact_ct, MIN(cell_ct) AS cm_est
+        |FROM pr JOIN cm USING (r, c)
+        |GROUP BY tok ORDER BY exact_ct DESC, tok""".stripMargin,
 
     "t13_langid_eval" ->
       s"""WITH tk AS ($toksSql),
