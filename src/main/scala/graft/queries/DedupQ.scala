@@ -89,18 +89,26 @@ object DedupQ {
     // linear in the corpus), then compare pairs ONLY within a cell
     // and drop each vector that has a smaller-id cell-mate with
     // cosine ≥ τ (keeper = the smallest such id). Cluster blocking is
-    // the 100 TB point: candidate work is Σ cell², bounded by cell
-    // population with k sized ∝ n/cell_target — never all-pairs (the
-    // sign-LSH blocking of d4 is the recall-oriented sibling; this is
-    // the throughput-oriented one the paper runs at web scale). The
+    // the 100 TB point: candidate work is Σ cell², never all-pairs —
+    // and k GROWS with the corpus, k = max(16, ⌈√n⌉), the IVF
+    // balance: ~√n cells of ~√n vectors keeps assignment AND
+    // within-cell comparison at n^1.5 (a fixed k measured 6.3× for
+    // 10× data — cell populations grow linearly and pair work
+    // quadratically; √n re-measured at 3.4×). The sign-LSH blocking
+    // of d4 is the recall-oriented sibling; this is the
+    // throughput-oriented one the paper runs at web scale. The
     // paper's keep-policy (lowest centroid similarity) is swappable;
     // min-id is used here because the PRUNING SET is the operator and
     // min-id makes it oracle-exact.
     "d11_semdedup" -> { (s, dir) =>
       import graft.similarity.IvfFlat
       val emb = table(s, dir, "embeddings")
-      val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
-      val cells = IvfFlat.assignTo(emb, "vec_id", "embedding", cb)
+      val k = math.max(16L, IvfFlat.autoStride(emb.count())).toInt
+      val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k)
+      // scan-local assignment (NearestCentroid expression): the
+      // a/b self-join below re-executes its input subtree, so the
+      // assignment must be a cheap map, not an n·k join
+      val cells = IvfFlat.assignWith(emb, "vec_id", "embedding", cb)
         .select(col("cell"), col("vec_id"), col("embedding"),
           sqrt(CosineSim.dot(col("embedding"), col("embedding"))).as("nm"))
       val a = cells.select(col("cell"), col("vec_id").as("i"),
@@ -507,14 +515,16 @@ object DedupQ {
         |ORDER BY i, j""".stripMargin,
 
     "d11_semdedup" ->
-      // n5's codebook + assignment CTEs, then within-cell pairwise
-      // cosine and the min-id keep rule
+      // n5's codebook + assignment CTEs with the √n codebook size,
+      // then within-cell pairwise cosine and the min-id keep rule
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kk AS (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+        |  FROM e),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
         |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM (
         |  SELECT vec_id, v, nm,
         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-        |  FROM n) WHERE rk <= 16),
+        |  FROM n), kk WHERE rk <= k),
         |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
         |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
         |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object CosineSim {
 
-  /** Left-to-right dot product fold on double-cast arrays. */
+  /** Left-to-right dot product on double-cast arrays — the native
+    * codegen expression (one fused loop, zero per-pair allocation),
+    * bit-identical to the `aggregate(zip_with(…))` fold it replaced
+    * (same IEEE accumulation order; DotProductSpec pins parity).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -66,6 +66,29 @@ object IvfFlat {
       .groupBy(col(idCol), col(vecCol))
       .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid"))).as("cell"))
 
+  /** Same assignment as `assignTo`, as a SCAN-LOCAL projection: the
+    * codebook collects to the driver (the identical ≤ k·dim doubles a
+    * broadcast join would ship) and rides into the
+    * [[graft.functions.NearestCentroid]] codegen expression. The join
+    * form materializes n·k rows through an argmax aggregate — at a √n
+    * codebook that is n^1.5 rows of join machinery, re-executed by
+    * every downstream self-join branch; this form is n·k flops in a
+    * map, recompute-cheap. Tie-breaks and cosine arithmetic are
+    * pinned to `assignTo` (SemDedupSpec cross-checks the two).
+    */
+  def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
+                 cb: DataFrame): DataFrame = {
+    val triples = cb
+      .select(col("__cid").cast("long"), col("__cv").cast("array<double>"),
+        col("__cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toSeq
+    corpus.select(col(idCol), col(vecCol),
+      graft.functions.NearestCentroid.nearest_centroid(col(vecCol), triples)
+        .as("cell"))
+  }
+
   /** Lloyd refinement: `iters` rounds of assign → per-cell mean.
     * Improves cell balance and recall over the raw hash sample;
     * float means are summation-order-sensitive, so refined codebooks

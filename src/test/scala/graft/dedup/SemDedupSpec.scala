@@ -18,10 +18,11 @@ class SemDedupSpec extends SparkSuite {
 
   test("blocked drop set equals the brute-force within-cell drop set") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // independent assignment: argmax over all 16 codebook centroids,
-    // computed with a collect + scala loop rather than the operator's
-    // broadcast-join/max_by plan
-    val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
+    // independent assignment: argmax over the query's √n-sized
+    // codebook, computed with a collect + scala loop rather than the
+    // operator's broadcast-join/max_by plan
+    val k = math.max(16L, IvfFlat.autoStride(emb.count())).toInt
+    val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k)
       .collect().map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
     val vecs = emb.select(col("vec_id"), col("embedding"))
@@ -56,7 +57,8 @@ class SemDedupSpec extends SparkSuite {
 
   test("emitted cell matches the assignment of the dropped vector") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
+    val k = math.max(16L, IvfFlat.autoStride(emb.count())).toInt
+    val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k)
     val assigned = IvfFlat.assignTo(emb, "vec_id", "embedding", cb)
       .select(col("vec_id"), col("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
