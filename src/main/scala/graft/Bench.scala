@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.tools.{HostStats, TaskMetricsListener}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,10 +25,37 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query engine metrics (GC/spill/shuffle) — the r7 round proved
+    // a bare wall-clock number cannot be adjudicated when two runs of
+    // identical code disagree 2.7×; these counters plus the host
+    // samples below make every number carry its own evidence.
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def drain(): Unit =
+      try org.apache.spark.graft.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
     // warm up the JVM/codegen/file-index paths so the first timed query
     // isn't charged for session start
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    // explicit Locale.ROOT: the default-locale formatter would emit
+    // comma decimals (1,234) on e.g. de_DE hosts — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Environment snapshot BEFORE any timed query: host load, free
+    // memory, and measured sequential-write throughput of the two
+    // disks this process depends on (cwd = bench output, tmpdir =
+    // shuffle/spill/stream-state). Recorded INSIDE the artifact so a
+    // slow run names its own conditions.
+    val tmpDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val envBlock: Seq[(String, String)] = Seq(
+      "load1" -> fmt(HostStats.load1()),
+      "mem_avail_mb" -> HostStats.memAvailMb().toString,
+      "cwd_write_mbs" -> fmt(HostStats.writeMbs(".")),
+      "tmp_write_mbs" -> fmt(HostStats.writeMbs(tmpDir)))
+    def objJson(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val envJson = objJson(envBlock)
     // fixed (sorted) query order and millisecond precision keep the
     // one-line JSON short and its layout stable — the r2 driver capture
     // truncated a long tail mid-map
@@ -50,25 +79,39 @@ object Bench {
     // pass — steady-state cost without first-use codegen/footer reads.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     // (wall seconds, streaming-engine seconds if the query ran a
-    // streaming replay — wall − engine is MemoryStream harness time)
-    val results: Seq[(String, (Double, Option[Double]))] = selected.map { case (name, fn) =>
-      var last = 0.0
-      var engine = Option.empty[Double]
-      for (_ <- 1 to repeat) {
-        graft.streaming.StreamMeter.reset()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        last = (System.nanoTime() - t0) / 1e9
-        val e = graft.streaming.StreamMeter.engineSeconds
-        engine = if (e > 0.0) Some(e) else None
-        scrub()
+    // streaming replay — wall − engine is MemoryStream harness time,
+    // and the per-query metrics block)
+    val results: Seq[(String, (Double, Option[Double], Seq[(String, String)]))] =
+      selected.map { case (name, fn) =>
+        var last = 0.0
+        var engine = Option.empty[Double]
+        var metr: Seq[(String, String)] = Nil
+        for (_ <- 1 to repeat) {
+          graft.streaming.StreamMeter.reset()
+          drain(); listener.snapshotAndReset() // zero the counters
+          val j0 = HostStats.cpuJiffies()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          last = (System.nanoTime() - t0) / 1e9
+          drain()
+          val snap = listener.snapshotAndReset()
+          val j1 = HostStats.cpuJiffies()
+          val iow = if (j1._2 > j0._2)
+            100.0 * (j1._1 - j0._1) / (j1._2 - j0._2) else -1.0
+          val e = graft.streaming.StreamMeter.engineSeconds
+          engine = if (e > 0.0) Some(e) else None
+          metr = snap.map { case (k, v) => k -> v.toString } ++ Seq(
+            "iowait_pct" -> fmt(iow),
+            "load1" -> fmt(HostStats.load1()),
+            "mem_avail_mb" -> HostStats.memAvailMb().toString) ++
+            (if (engine.isDefined) Seq(
+              "state_rows" -> graft.streaming.StreamMeter.stateRowsTotal.toString,
+              "state_bytes" -> graft.streaming.StreamMeter.stateBytesTotal.toString)
+             else Nil)
+          scrub()
+        }
+        name -> ((last, engine, metr))
       }
-      name -> (last, engine)
-    }
-    // explicit Locale.ROOT: the default-locale formatter would emit
-    // comma decimals (1,234) on e.g. de_DE hosts — invalid JSON
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // streaming queries carry the split alongside the wall time:
@@ -76,11 +119,14 @@ object Bench {
     // (MemoryStream replay scaffolding) — the engine number is the
     // perf signal, the wall number stays comparable with history
     val flat: Seq[(String, Double)] = results.flatMap {
-      case (k, (wall, Some(e))) =>
+      case (k, (wall, Some(e), _)) =>
         Seq(k -> wall, s"${k}__engine_s" -> e,
           s"${k}__harness_s" -> math.max(0.0, wall - e))
-      case (k, (wall, None)) => Seq(k -> wall)
+      case (k, (wall, None, _)) => Seq(k -> wall)
     }
+    val metricsJson = results
+      .map { case (k, (_, _, m)) => "\"" + k + "\":" + objJson(m) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
@@ -104,7 +150,7 @@ object Bench {
       "st9_stream_upsert", "b5_snippet")
     val lineQs = flat.filter { case (k, _) => headline.contains(k) }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(flat)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_full.json")
     // the stdout line is the contract: a failed write must NOT leave a
     // stale file from an earlier run advertised as this run's output —
@@ -119,7 +165,7 @@ object Bench {
       } catch { case _: Throwable => false }
     val fullField = if (wrote) "\"" + outPath + "\"" else "null"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"sf":$sfNum,"full":$fullField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"env":$envJson,"sf":$sfNum,"full":$fullField}"""
     println(line)
     spark.stop()
   }

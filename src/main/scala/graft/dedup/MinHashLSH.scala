@@ -55,6 +55,70 @@ object MinHashLSH {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Modulus of the universal-hash minhash family (`signaturesU`):
+    * a ~2^30 prime, so every affine product a·h (a, h < P) stays
+    * under 2^60 — no 64-bit overflow in EITHER engine (Spark wraps
+    * silently, DuckDB raises; staying exact in both is what keeps the
+    * oracle gate on this path).
+    */
+  val P: Long = 1000000007L
+
+  /** Deterministic affine seeds (a_i, b_i) for `signaturesU` — fixed
+    * public mixing constants (Knuth's 2654435761, xxhash's
+    * 2246822519), reduced mod P. Exposed so the DuckDB oracle SQL can
+    * inline the IDENTICAL constants.
+    */
+  def seedsU(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val a = ((i + 1) * 2654435761L) % P
+    val b = ((i + 1) * 2246822519L) % P
+    (if (a == 0L) 1L else a, b)
+  }
+
+  /** PRODUCTION-path minhash signatures, fully oracle-portable: ONE
+    * md5 per shingle (the only deterministic hash both Spark and
+    * DuckDB expose) reduced to a 60-bit integer, then k affine
+    * transforms (a_i·h + b_i) mod P — Broder's universal-hash minhash.
+    * vs `signatures`: 1 hash instead of k per shingle (the md5 path
+    * pays 8 full digests per shingle) and LONG signatures instead of
+    * 32-char hex strings (8× smaller payload into the doc-keyed
+    * shuffle and the band join), with the same LSH s-curve. vs
+    * `signaturesXx`: comparable cost profile, but every value is
+    * reproducible in DuckDB SQL — so the d2/d10/c10 prod queries keep
+    * the full rows+schema+hash oracle gate that a non-portable hash
+    * family would forfeit.
+    */
+  def signaturesU(docs: DataFrame, idCol: String, toksCol: String,
+                  k: Int = 8, shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
+    val hm = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % P
+    val aggs = seedsU(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * hm + lit(b)) % P).as(s"sig$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band buckets over `signaturesU` output. With r = k/bands = 2 the
+    * bucket is the INJECTIVE pairing sig_a · P + sig_b (both < P, so
+    * the product stays under 2^60): bucket equality is exactly band-
+    * signature equality — zero bucket collisions, which even the
+    * md5-concat form cannot claim past truncation. Larger r would
+    * need modular folding (collision-bounded, not injective), so it is
+    * rejected rather than silently weakened.
+    */
+  def bandBucketsU(sigs: DataFrame, idCol: String, k: Int,
+                   bands: Int): DataFrame = {
+    require(k % bands == 0 && k / bands == 2,
+      s"bandBucketsU: injective pairing needs r = 2 (got k=$k bands=$bands); " +
+        "use bandBuckets/bandBucketsXx for other shapes")
+    val rows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(rows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** Band buckets over `signaturesXx` output: bucket = xxhash64 of
     * the band's signature columns (stays a long end to end).
     */

@@ -96,8 +96,24 @@ object DotProduct {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  /** Register `dot_product` for SQL use on a session. */
+  /** Register `dot_product` for SQL use on a session. Arity is
+    * validated in the builder: without the check a 0/1/3-arg call
+    * would throw IndexOutOfBoundsException (or silently drop extras)
+    * instead of a clean analysis error.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "dot_product",
+      exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`dot_product`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        DotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
 }

@@ -21,14 +21,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Semantics pinned to the join+max_by form (and the DuckDB oracle's
   * ROW_NUMBER OVER (ORDER BY cos DESC, cid)): cosine in the same
   * left-to-right double chain as [[DotProduct]], highest cos wins,
-  * ties to the smallest centroid id (ascending-cid scan with a
-  * strictly-greater keep). Null/empty vector, zero norm, or a
-  * dimension mismatch with the codebook → NULL.
+  * ties to the smallest centroid id (ascending-cid scan keeping only
+  * on a strictly-greater comparison). ZERO NORMS ARE EXCLUDED, not
+  * ranked: under ANSI mode (Spark 4's default) the join form THROWS
+  * DIVIDE_BY_ZERO on a zero denominator, so "NaN sorts greatest"
+  * semantics are unreachable there — the pinned contract is instead
+  * that a zero-norm input vector yields NULL and zero-norm centroids
+  * are skipped, mirroring `IvfFlat.assignTo`'s norm filters
+  * (SemDedupSpec pins the parity). For NaN/±Inf cosines that survive
+  * (overflowed dots), the comparison is `java.lang.Double.compare`,
+  * not the primitive `>`: both Spark's struct ordering and DuckDB's
+  * ORDER BY rank NaN above every other double, and a primitive `>`
+  * would silently skip them. Null/empty vector or a dimension
+  * mismatch with the codebook → NULL.
+  *
+  * Codebook fields are `IndexedSeq`s (structural equals/hashCode), so
+  * two expressions built from the same collected codebook are
+  * `semanticEquals` — keeping subexpression elimination and
+  * exchange reuse alive; they are converted to primitive arrays once
+  * per expression instance for the eval/codegen hot loop.
   */
 case class NearestCentroid(child: Expression,
-                           cids: Array[Long],
-                           cvs: Array[Array[Double]],
-                           cns: Array[Double]) extends UnaryExpression {
+                           cidsSeq: IndexedSeq[Long],
+                           cvsSeq: IndexedSeq[IndexedSeq[Double]],
+                           cnsSeq: IndexedSeq[Double]) extends UnaryExpression {
+
+  @transient private lazy val cids: Array[Long] = cidsSeq.toArray
+  @transient private lazy val cvs: Array[Array[Double]] = cvsSeq.map(_.toArray).toArray
+  @transient private lazy val cns: Array[Double] = cnsSeq.toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
@@ -67,8 +87,13 @@ case class NearestCentroid(child: Expression,
 object NearestCentroid {
 
   /** Shared eval/codegen kernel: one tight pass over the codebook.
-    * Returns null (boxed) on empty vector, zero norm, NaN cosines
-    * throughout, or dimension mismatch.
+    * Returns null (boxed) on empty vector, empty codebook, null
+    * element, dimension mismatch, or a ZERO-NORM vector; zero-norm
+    * centroids are skipped (both exclusions mirror assignTo's norm
+    * filters — ANSI mode would throw on their divisions). Surviving
+    * NaN/±Inf cosines participate in the argmax under
+    * `Double.compare` total order (NaN greatest) — matching Spark
+    * struct ordering and DuckDB ORDER BY.
     */
   def assignBoxed(v: ArrayData, cids: Array[Long],
                   cvs: Array[Array[Double]], cns: Array[Double]): java.lang.Long = {
@@ -90,24 +115,30 @@ object NearestCentroid {
       i += 1
     }
     val nm = math.sqrt(sq)
-    var best = Double.NegativeInfinity
+    if (nm == 0.0d) return null
+    var best = 0.0d
     var bestId = -1L
     var found = false
     var j = 0
     while (j < cids.length) {
       val cv = cvs(j)
       if (cv.length != n) return null
-      var dot = 0.0d
-      var p = 0
-      while (p < n) {
-        dot = dot + v.getDouble(p) * cv(p)
-        p += 1
+      if (cns(j) != 0.0d) { // zero-norm centroid: skipped, like assignTo's filter
+        var dot = 0.0d
+        var p = 0
+        while (p < n) {
+          dot = dot + v.getDouble(p) * cv(p)
+          p += 1
+        }
+        val cos = dot / (nm * cns(j))
+        // Double.compare strictly-greater on an ascending-cid scan =
+        // smallest cid on ties (including all-NaN ties), NaN above every
+        // finite/infinite value — matching max_by(struct(cos, -cid)) and
+        // the oracle's ORDER BY cos DESC, cid in BOTH engines' NaN order
+        if (!found || java.lang.Double.compare(cos, best) > 0) {
+          best = cos; bestId = cids(j); found = true
+        }
       }
-      val cos = dot / (nm * cns(j))
-      // strictly-greater on an ascending-cid scan = smallest cid on
-      // ties, matching max_by(struct(cos, -cid)) and the oracle's
-      // ORDER BY cos DESC, cid
-      if (cos > best) { best = cos; bestId = cids(j); found = true }
       j += 1
     }
     if (!found) null else bestId
@@ -123,6 +154,8 @@ object NearestCentroid {
     val sorted = codebook.sortBy(_._1)
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(vec.cast("array<double>")),
-      sorted.map(_._1).toArray, sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      sorted.map(_._1).toIndexedSeq,
+      sorted.map(_._2.toIndexedSeq).toIndexedSeq,
+      sorted.map(_._3).toIndexedSeq))
   }
 }

@@ -247,12 +247,18 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     * working edge set only shrinks — there is no per-node sequential
     * peel (the classic O(E) heap algorithm is inherently serial; the
     * synchronous-round form is the distributed equivalent and needs
-    * O(peel depth) rounds, tens on real graphs). Each round's edge
-    * set is persisted and the previous one unpersisted, so a round
-    * costs one pass over current edges, not its lineage; every 5th
-    * round is a reliable checkpoint (same `spark.graft.checkpointDir`
-    * contract as connectedComponents) so neither the logical plan nor
-    * the recovery lineage grows with round count.
+    * O(peel depth) rounds, tens on real graphs). TWO peel rounds are
+    * fused into each materialized action (the edge set shrinks
+    * monotonically, so "count unchanged across the fused pair" still
+    * proves BOTH rounds were no-ops — convergence detection is exact,
+    * at half the actions and half the cache/checkpoint
+    * materializations; a converged set peels to itself, so the
+    * possible extra round is the identity). Each pair's edge set is
+    * persisted and the previous one unpersisted, so an action costs
+    * one pass over current edges, not its lineage; every 3rd pair is
+    * a reliable checkpoint (same `spark.graft.checkpointDir` contract
+    * as connectedComponents) so neither the logical plan nor the
+    * recovery lineage grows with round count.
     *
     * Throws if `maxRounds` is hit before the peel reaches its
     * fixpoint — a truncated peel is NOT a k-core, so fail loudly
@@ -261,18 +267,21 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
   def kCore(spark: SparkSession, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     EdgeGraph.ensureCheckpointDir(spark, "kCore")
+    def peel(e: DataFrame): DataFrame = {
+      val alive = e.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("a")
+      e.join(alive, Seq("a"), "left_semi")
+        .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+    }
     var ue = undirected.select(col(src).as("a"), col(dst).as("b")).persist()
     var nEdges = ue.count()
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
-      val alive = ue.groupBy("a").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select("a")
-      val next0 = ue.join(alive, Seq("a"), "left_semi")
-        .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-      round += 1
-      val next = if (round % 5 == 0) next0.checkpoint() else next0.persist()
+      val next0 = peel(peel(ue))
+      round += 2
+      val next = if (round % 6 == 0) next0.checkpoint() else next0.persist()
       val m = next.count()
       ue.unpersist()
       converged = m == nEdges || m == 0L

@@ -49,16 +49,36 @@ object DedupQ {
   }
 
   val defs: Map[String, Q] = Map(
-    // d2: shingle → minhash (k=8) → 4 bands → bucket join → verify.
+    // d2: shingle → minhash (k=8) → 4 bands → bucket join → verify —
+    // on the PRODUCTION hash path (signaturesU: one md5 per shingle +
+    // k affine transforms, long signatures end to end, injective band
+    // buckets) per the r7 verdict's "stop paying 8 md5s/doc in the
+    // benched path". Still fully oracle-gated: the affine family is
+    // reproduced constant-for-constant in DuckDB. The original
+    // 8-md5 hex path stays registered (and oracle-gated) as
+    // d2b_minhash_md5.
     "d2_minhash_lsh" -> { (s, dir) =>
       val docs = docToks(s, dir)
-      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
       // maxBucket = 16: this corpus's tiny vocabulary (~40 words ⇒
       // ~1600 possible 2-shingles) degenerates LSH buckets as the
       // corpus grows — the sf1 audit measured candidate pairs growing
       // 100x for 10x docs uncapped. The cap is the standard fix (an
       // oversized bucket is a non-discriminative hash, not a dup
       // cluster); audit drops with MinHashLSH.oversizedBuckets.
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        maxBucket = 16)
+      MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        .orderBy("i", "j")
+    },
+
+    // d2b: the original md5-hex minhash family, kept registered and
+    // oracle-gated (its hashes are the r1-r7 baseline; d2/d10/c10 now
+    // run the cheaper universal-hash family as their prod default).
+    "d2b_minhash_md5" -> { (s, dir) =>
+      val docs = docToks(s, dir)
+      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
       val cand = MinHashLSH.candidatePairs(
         MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
         maxBucket = 16)
@@ -73,9 +93,9 @@ object DedupQ {
     // candidate-restricted verify join as d2 (never all-pairs).
     "d10_containment" -> { (s, dir) =>
       val docs = docToks(s, dir)
-      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
         maxBucket = 16)
       MinHashLSH.containmentBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .where(greatest(col("cont_i_bp"), col("cont_j_bp")) >= 6000)
@@ -137,9 +157,9 @@ object DedupQ {
     // to the corpus), not the corpus.
     "c10_neardup_removal" -> { (s, dir) =>
       val docs = docToks(s, dir)
-      val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
         maxBucket = 16)
       val dup = MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .where(col("jac_bp") >= 8000)
@@ -450,6 +470,41 @@ object DedupQ {
       |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
+  /** The U-family (universal-hash) twin of `lshCandSql` — mirrors
+    * `MinHashLSH.signaturesU`/`bandBucketsU` constant-for-constant:
+    * one md5 per shingle → 60-bit int mod P → the SAME (a_i, b_i)
+    * affine seeds (interpolated from `MinHashLSH.seedsU`, so the two
+    * engines can never drift) → injective pair buckets sig·P + sig.
+    * Same cap/cand/sz/inter tail as the md5 family.
+    */
+  private val lshCandUSql: String = {
+    val P = MinHashLSH.P
+    val seeds = MinHashLSH.seedsU(8)
+    val sigCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * hm + $b) % $P) s$i"
+    }.mkString(",\n      |  ")
+    s"""hs AS (SELECT doc_id,
+      |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS hm FROM sh),
+      |sig AS (SELECT doc_id,
+      |  $sigCols
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, s0 * $P + s1 AS bucket FROM sig UNION ALL
+      |  SELECT doc_id, 1, s2 * $P + s3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, s4 * $P + s5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, s6 * $P + s7 FROM sig),
+      |bsz AS (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+      |kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, bucket) WHERE bn <= 16),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d7_decontam" ->
       s"""WITH tk AS ($tkSql),
@@ -466,7 +521,7 @@ object DedupQ {
     "d2_minhash_lsh" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
-        |$lshCandSql
+        |$lshCandUSql
         |SELECT c.i, c.j,
         |  CASE WHEN (za.sz + zb.sz - COALESCE(ic, 0)) = 0 THEN 0
         |    ELSE (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) END AS jac_bp
@@ -479,7 +534,7 @@ object DedupQ {
     "c10_neardup_removal" ->
       s"""WITH RECURSIVE tk AS ($tkSql),
         |sh AS ($shSql),
-        |$lshCandSql,
+        |$lshCandUSql,
         |dup AS (SELECT c.i AS a, c.j AS b
         |  FROM cand c
         |  LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
@@ -497,10 +552,23 @@ object DedupQ {
         |GROUP BY n HAVING MIN(lbl) <> n
         |ORDER BY removed_doc""".stripMargin,
 
+    "d2b_minhash_md5" ->
+      s"""WITH tk AS ($tkSql),
+        |sh AS ($shSql),
+        |$lshCandSql
+        |SELECT c.i, c.j,
+        |  CASE WHEN (za.sz + zb.sz - COALESCE(ic, 0)) = 0 THEN 0
+        |    ELSE (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) END AS jac_bp
+        |FROM cand c
+        |LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+        |JOIN sz za ON za.doc_id = c.i
+        |JOIN sz zb ON zb.doc_id = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
+
     "d10_containment" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
-        |$lshCandSql,
+        |$lshCandUSql,
         |sc AS (SELECT c.i, c.j,
         |  CASE WHEN za.sz = 0 THEN 0
         |    ELSE (10000 * COALESCE(ic, 0)) // za.sz END AS cont_i_bp,

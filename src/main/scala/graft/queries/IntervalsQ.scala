@@ -23,17 +23,28 @@ import graft.operators.{Coverage, IntervalJoin, Sessionize}
   */
 object IntervalsQ {
 
-  /** events with `ts` as epoch seconds. The driver data stores ts as
-    * parquet TIMESTAMP(NANOS) which Spark 4 only reads via the
-    * nanosAsLong legacy conf (runtime-settable), giving a Long we
-    * integer-divide — double division would lose precision at 1e18.
+  /** events with `ts` normalized to epoch NANOS as a Long, whatever
+    * session reads it. The driver data stores ts as parquet
+    * TIMESTAMP(NANOS); under `spark.sql.legacy.parquet.nanosAsLong`
+    * (which `Graft.session`/Bench set AT BUILD TIME — measured on
+    * 4.1.2: setting it at runtime does NOT change schema inference,
+    * the old runtime guard here was a silent no-op) it arrives as the
+    * Long we want. A foreign session without the builder conf reads
+    * TIMESTAMP_NTZ instead; that branch renormalizes via
+    * `unix_micros` ×1000 — exact integer math (the reader already
+    * truncated nanos→micros, and floor(floor(n/1e3)·1e3/1e9) =
+    * floor(n/1e9), so every downstream `div 1000000000` agrees
+    * between the two branches). Double arithmetic would lose
+    * precision at 1e18; none is used.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    // Graft.session sets this at build; guard for foreign sessions
-    // (tests) without re-mutating the conf on every call
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
-    table(s, dir, "events")
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * 1000L).cast("long"))
+    }
   }
 
   private def sec(c: String) = expr(s"$c div 1000000000")
@@ -228,7 +239,10 @@ object IntervalsQ {
         .select("user_id", "session_start", "session_end", "n_members")
       val name = "st10_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         in.addData(rows.toSeq); q.processAllAvailable()
         in.addData(Seq((-1L, flushT))); q.processAllAvailable()
@@ -321,7 +335,10 @@ object IntervalsQ {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev]
       val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         in.addData(evs.toSeq.map { case (u, t) => StreamOps.Ev(u, t) })
         q.processAllAvailable()
@@ -352,7 +369,10 @@ object IntervalsQ {
           errorWindows(s, dir), "user_id", "t", "ws", "we")
         .select("event_id", "user_id", "t", "wnd_id", "ws", "we")
       val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try { in.addData(clicks.toSeq); q.processAllAvailable() } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       s.table(name).orderBy("event_id", "wnd_id")
     },
@@ -386,7 +406,10 @@ object IntervalsQ {
           horizon = "30 minutes", windowSec = 600L)
         .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
       val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         cin.addData(side("click").toSeq)
         pin.addData(side("purchase").toSeq)
@@ -423,7 +446,10 @@ object IntervalsQ {
         src, "ts", "event_type", 3600L, watermark = Some("7201 seconds"))
       val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         in.addData(ontime.toSeq)
         q.processAllAvailable()

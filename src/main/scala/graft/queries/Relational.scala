@@ -413,6 +413,8 @@ object Relational {
         .MemoryStream[(Long, Double)]
       val src = in.toDF().toDF("custkey", "price")
       val q = src.writeStream.outputMode("append")
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint("st9"))
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           graft.streaming.StreamOps.upsertAggregate(
             batch, id, "custkey", "price", statePath)
@@ -534,7 +536,12 @@ object Relational {
           .cast("long") % col("m")
       val keys = table(s, dir, "part").where(col("p_size") === 1)
         .select(col("p_partkey")).distinct()
-      val mRow = broadcast(keys.agg((count(lit(1)) * 10L).as("m")))
+      // GREATEST(m, 1): an empty dim would size m = 0 and every bit
+      // expression becomes `% 0` — Spark yields NULL bits while DuckDB
+      // errors, so the degenerate edge is pinned to m = 1 (one bucket,
+      // zero members, nothing flagged) in BOTH engines instead of
+      // diverging silently
+      val mRow = broadcast(keys.agg(greatest(count(lit(1)) * 10L, lit(1L)).as("m")))
       val bits = keys.crossJoin(mRow)
         .select(explode(array((0 until k).map(i => bit(i, col("p_partkey"))): _*))
           .as("bit"))
@@ -840,7 +847,7 @@ object Relational {
 
     "x16_bloom_semijoin" ->
       """WITH keys AS (SELECT DISTINCT p_partkey FROM part WHERE p_size = 1),
-        |mm AS (SELECT 10 * CAST(COUNT(*) AS BIGINT) AS m FROM keys),
+        |mm AS (SELECT GREATEST(10 * CAST(COUNT(*) AS BIGINT), 1) AS m FROM keys),
         |kb AS (SELECT DISTINCT bit FROM keys, mm, UNNEST(range(0, 3)) AS t(i),
         |  LATERAL (SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
         |    CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % m AS bit) b),

@@ -1131,7 +1131,10 @@ object TextQ {
       val out = graft.streaming.StreamOps.dedupeByContent(src, "ts", "key5")
       val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         waves.foreach { case (_, rows) =>
           in.addData(rows.map { case (_, id, k) => (id, k) })
@@ -1165,7 +1168,10 @@ object TextQ {
         src, "ts", "doc_id", "text")
       val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+        .start()
       try {
         in.addData(docs.toSeq)
         q.processAllAvailable()

@@ -54,12 +54,20 @@ object IvfFlat {
     * Output: (idCol, vecCol, cell) — cell is the centroid's id; ties
     * break to the lowest centroid id. The codebook is broadcast, so
     * the corpus shuffles only for the per-id argmax aggregate.
+    *
+    * Zero norms are EXCLUDED (zero-norm vectors dropped, zero-norm
+    * centroids ignored): under ANSI mode their cosine division would
+    * throw DIVIDE_BY_ZERO mid-job, and DuckDB's 0/0 is NULL — neither
+    * engine can rank them consistently, so the pinned contract is
+    * exclusion, identical in `assignWith`'s scan-local expression
+    * (SemDedupSpec holds the two to parity on exactly this edge).
     */
   def assignTo(corpus: DataFrame, idCol: String, vecCol: String,
                cb: DataFrame): DataFrame =
     corpus
       .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .join(broadcast(cb))
+      .where(col("__n") > 0.0d)
+      .join(broadcast(cb.where(col("__cn") > 0.0d)))
       .select(col(idCol), col(vecCol),
         col("__cid"),
         (dot(col(vecCol), col("__cv")) / (col("__n") * col("__cn"))).as("__cos"))
@@ -87,6 +95,9 @@ object IvfFlat {
     corpus.select(col(idCol), col(vecCol),
       graft.functions.NearestCentroid.nearest_centroid(col(vecCol), triples)
         .as("cell"))
+      // NULL cell = zero-norm vector (or all-zero codebook): dropped,
+      // matching assignTo's `__n > 0` filter row-for-row
+      .where(col("cell").isNotNull)
   }
 
   /** Lloyd refinement: `iters` rounds of assign → per-cell mean.

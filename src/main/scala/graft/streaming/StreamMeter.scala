@@ -17,11 +17,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamMeter {
   private val engineNs = new AtomicLong(0L)
+  private val stateRows = new AtomicLong(0L)
+  private val stateBytes = new AtomicLong(0L)
 
-  def reset(): Unit = engineNs.set(0L)
+  def reset(): Unit = { engineNs.set(0L); stateRows.set(0L); stateBytes.set(0L) }
 
   /** Engine seconds accumulated since the last reset. */
   def engineSeconds: Double = engineNs.get() / 1e9
+
+  /** Total state rows across the recorded queries' stateful operators,
+    * read from each query's LAST progress event (the end-of-replay
+    * state population). This is the 100 TB state-growth evidence: a
+    * watermarked operator's figure is bounded by the horizon, an
+    * unwatermarked one grows with the stream — the number shows which.
+    */
+  def stateRowsTotal: Long = stateRows.get()
+
+  /** Total state-store memory bytes across recorded queries (same
+    * last-progress convention as `stateRowsTotal`).
+    */
+  def stateBytesTotal: Long = stateBytes.get()
 
   /** Sum this query's micro-batch `triggerExecution` durations into the
     * accumulator. Call after the last `processAllAvailable()` (progress
@@ -35,5 +50,13 @@ object StreamMeter {
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     }.sum
     engineNs.addAndGet(ms * 1000000L)
+    // state sizes from the last progress that carries stateOperators —
+    // the final batch's snapshot, i.e. end-of-replay state population
+    q.recentProgress.reverseIterator
+      .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+      .foreach { p =>
+        stateRows.addAndGet(p.stateOperators.iterator.map(_.numRowsTotal).sum)
+        stateBytes.addAndGet(p.stateOperators.iterator.map(_.memoryUsedBytes).sum)
+      }
   }
 }

@@ -64,6 +64,44 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("universal-hash production path finds the planted near-dups, in-range, injective buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def randDoc() = (1 to 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, randDoc()))
+    val exact = (0 until 3).map(i => (200L + i, base(i)._2))
+    val near = (0 until 3).map { i =>
+      val words = base(i)._2.split(" "); words(20) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val docs = (base ++ exact ++ near).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", 8, 2)
+    // every signature lies in [0, P): the range the affine family and
+    // the injective pairing both depend on
+    sigs.collect().foreach { r =>
+      (1 to 8).foreach { c =>
+        val v = r.getLong(c)
+        assert(v >= 0L && v < MinHashLSH.P, s"sig out of range: $v")
+      }
+    }
+    val buckets = MinHashLSH.bandBucketsU(sigs, "doc_id", 8, 4)
+    // injective pairing: bucket equality within a band ⇔ equality of
+    // BOTH band signatures (decode back and compare)
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    buckets.collect().foreach { r =>
+      val (id, band, bk) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val s = sigMap(id)
+      assert(bk === s(2 * band) * MinHashLSH.P + s(2 * band + 1))
+    }
+    val candU = MinHashLSH.candidatePairs(buckets, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { i =>
+      assert(candU.contains((i.toLong, 200L + i)), s"exact dup $i missed by U path")
+      assert(candU.contains((i.toLong, 100L + i)), s"near dup $i missed by U path")
+    }
+  }
+
   test("simhash of a near-duplicate is within small hamming distance") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -55,6 +55,45 @@ class SemDedupSpec extends SparkSuite {
         s"only-brute=${expected.keySet -- got.keySet}")
   }
 
+  test("zero-norm vectors and zero-norm centroids: assignWith == assignTo, exclusion parity") {
+    // ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on the join
+    // path's cosine for a zero denominator, so zero norms cannot be
+    // "ranked" — the pinned contract is EXCLUSION: a zero-norm vector
+    // is dropped by BOTH paths, a zero-norm centroid is ignored by
+    // BOTH paths, and the surviving assignments agree row-for-row
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0d, 0.0d, 0.0d)), // zero vector
+      (1L, Array(1.0d, 0.0d, 0.0d)),
+      (2L, Array(0.0d, 1.0d, 0.0d)),
+      (3L, Array(0.5d, 0.5d, 0.0d))).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (10L, Array(1.0d, 0.0d, 0.0d)),
+      (20L, Array(0.0d, 0.0d, 0.0d)), // zero-norm centroid
+      (30L, Array(0.0d, 0.0d, 1.0d)))
+      .toDF("__cid", "__cv")
+      .withColumn("__cn",
+        sqrt(CosineSim.dot(col("__cv").cast("array<double>"),
+          col("__cv").cast("array<double>"))))
+    def collectCells(df: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val withExpr = collectCells(
+      IvfFlat.assignWith(vecs, "vec_id", "embedding", cb))
+    val withJoin = collectCells(
+      IvfFlat.assignTo(vecs, "vec_id", "embedding", cb))
+    assert(withExpr === withJoin,
+      s"assignWith/assignTo parity broken on zero-norm input: " +
+        s"expr=$withExpr join=$withJoin")
+    assert(!withExpr.values.exists(_ == null),
+      "surviving rows must carry a real cell, never NULL")
+    // zero vector 0 excluded; the zero-norm centroid 20 never wins;
+    // vec 1 → 10 (cos 1), vecs 2 and 3 → ties/argmax per real cosine
+    assert(!withExpr.contains(0L), s"zero-norm vector must be dropped: $withExpr")
+    assert(withExpr === Map(1L -> 10L, 2L -> 10L, 3L -> 10L),
+      s"zero-norm-exclusion assignment broken: $withExpr")
+  }
+
   test("emitted cell matches the assignment of the dropped vector") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val k = math.max(16L, IvfFlat.autoStride(emb.count())).toInt

@@ -57,20 +57,51 @@ class DotProductSpec extends SparkSuite {
 
   test("interpreted eval matches codegen") {
     // the expression must behave identically when codegen is off
-    // (Spark falls back to eval on codegen failure)
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // (Spark falls back to eval on codegen failure). Toggling only
+    // wholeStage is NOT enough — Spark still runs generated (non-
+    // whole-stage) projections via doGenCode; factoryMode=NO_CODEGEN
+    // forces InterpretedUnsafeProjection, which actually calls
+    // nullSafeEval.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
     try {
       import spark.implicits._
       val rows = Seq((Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.0f)))
       def run(): Double = rows.toDF("a", "b")
         .select(DotProduct.dot_product(col("a").cast("array<double>"),
           col("b").cast("array<double>"))).head().getDouble(0)
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set(key, "CODEGEN_ONLY")
       val withCodegen = run()
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set(key, "NO_CODEGEN")
       val interpreted = run()
       assert(java.lang.Double.doubleToLongBits(withCodegen) ===
         java.lang.Double.doubleToLongBits(interpreted))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally spark.conf.set(key, prev)
+    // belt-and-braces: nullSafeEval directly, outside any projection
+    // machinery, against the plain scalar expectation
+    val direct = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.5d, -2.25d, 3.125d),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.5d, 4.0d, -1.0d),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null)
+    val want = ((0.0 + 1.5 * 0.5) + -2.25 * 4.0) + 3.125 * -1.0
+    assert(java.lang.Double.doubleToLongBits(direct.asInstanceOf[Double]) ===
+      java.lang.Double.doubleToLongBits(want))
+  }
+
+  test("SQL registration rejects wrong arity with an analysis error") {
+    DotProduct.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot_product"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT dot_product(array(1.0d), array(2.0d), array(3.0d))").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("dot_product"))
   }
 }
