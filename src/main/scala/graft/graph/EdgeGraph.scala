@@ -247,18 +247,21 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     * working edge set only shrinks — there is no per-node sequential
     * peel (the classic O(E) heap algorithm is inherently serial; the
     * synchronous-round form is the distributed equivalent and needs
-    * O(peel depth) rounds, tens on real graphs). TWO peel rounds are
-    * fused into each materialized action (the edge set shrinks
-    * monotonically, so "count unchanged across the fused pair" still
-    * proves BOTH rounds were no-ops — convergence detection is exact,
-    * at half the actions and half the cache/checkpoint
-    * materializations; a converged set peels to itself, so the
-    * possible extra round is the identity). Each pair's edge set is
-    * persisted and the previous one unpersisted, so an action costs
-    * one pass over current edges, not its lineage; every 3rd pair is
-    * a reliable checkpoint (same `spark.graft.checkpointDir` contract
-    * as connectedComponents) so neither the logical plan nor the
-    * recovery lineage grows with round count.
+    * O(peel depth) rounds, tens on real graphs). ONE peel round per
+    * materialized action — already the minimum: the count that
+    * materializes the persisted round IS the convergence check, so
+    * there is no separate detection action to fold away. Fusing two
+    * peel rounds per action was tried (r8) and MEASURED 4× SLOWER
+    * (7.8 s vs 2.0 s at sf0.1, 49 s task-CPU vs ~12 s): the fused
+    * job's intermediate edge set is not materialized, so its degree
+    * aggregate and both semi-join branches recompute it inside the
+    * same job — halving driver actions at the price of ~3× executor
+    * work. Each round's edge set is persisted and the previous one
+    * unpersisted, so a round costs one pass over current edges, not
+    * its lineage; every 5th round is a reliable checkpoint (same
+    * `spark.graft.checkpointDir` contract as connectedComponents) so
+    * neither the logical plan nor the recovery lineage grows with
+    * round count.
     *
     * Throws if `maxRounds` is hit before the peel reaches its
     * fixpoint — a truncated peel is NOT a k-core, so fail loudly
@@ -279,9 +282,9 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
-      val next0 = peel(peel(ue))
-      round += 2
-      val next = if (round % 6 == 0) next0.checkpoint() else next0.persist()
+      val next0 = peel(ue)
+      round += 1
+      val next = if (round % 5 == 0) next0.checkpoint() else next0.persist()
       val m = next.count()
       ue.unpersist()
       converged = m == nEdges || m == 0L

@@ -238,16 +238,18 @@ object IntervalsQ {
           count(lit(1)).as("n_members"))
         .select("user_id", "session_start", "session_end", "n_members")
       val name = "st10_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        in.addData(rows.toSeq); q.processAllAvailable()
-        in.addData(Seq((-1L, flushT))); q.processAllAvailable()
-        in.addData(Seq((-1L, flushT + 100000L))); q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          in.addData(rows.toSeq); q.processAllAvailable()
+          in.addData(Seq((-1L, flushT))); q.processAllAvailable()
+          in.addData(Seq((-1L, flushT + 100000L))); q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       val w = Window.partitionBy("user_id").orderBy("session_start")
       s.table(name).where(col("user_id") >= 0L)
         .withColumn("session", (row_number().over(w) - 1).cast("long"))
@@ -334,17 +336,19 @@ object IntervalsQ {
         .as[(Long, Long)].collect()
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev]
       val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        in.addData(evs.toSeq.map { case (u, t) => StreamOps.Ev(u, t) })
-        q.processAllAvailable()
-        in.addData(evs.map(_._1).distinct.toSeq.map(u => StreamOps.Ev(u, StreamOps.FlushAt)))
-        q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      StreamOps.replaySized(s, 8) {
+        val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          in.addData(evs.toSeq.map { case (u, t) => StreamOps.Ev(u, t) })
+          q.processAllAvailable()
+          in.addData(evs.map(_._1).distinct.toSeq.map(u => StreamOps.Ev(u, StreamOps.FlushAt)))
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       s.table(name).orderBy("user_id", "session_start")
     },
 
@@ -405,16 +409,18 @@ object IntervalsQ {
           clicks, purchases, "user_id", "c_ts", "p_ts",
           horizon = "30 minutes", windowSec = 600L)
         .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        cin.addData(side("click").toSeq)
-        pin.addData(side("purchase").toSeq)
-        q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          cin.addData(side("click").toSeq)
+          pin.addData(side("purchase").toSeq)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       s.table(name).orderBy("click_id", "purchase_id")
     },
 
@@ -445,19 +451,21 @@ object IntervalsQ {
       val out = graft.streaming.StreamOps.tumblingCounts(
         src, "ts", "event_type", 3600L, watermark = Some("7201 seconds"))
       val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        in.addData(ontime.toSeq)
-        q.processAllAvailable()
-        in.addData(late.toSeq)
-        q.processAllAvailable()
-        in.addData(Seq((-1L, flushT, "zz_flush", 0.0)))
-        q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          in.addData(ontime.toSeq)
+          q.processAllAvailable()
+          in.addData(late.toSeq)
+          q.processAllAvailable()
+          in.addData(Seq((-1L, flushT, "zz_flush", 0.0)))
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       s.table(name).where(col("event_type") =!= "zz_flush")
         .orderBy("wstart", "event_type")
     },

@@ -412,19 +412,21 @@ object Relational {
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Double)]
       val src = in.toDF().toDF("custkey", "price")
-      val q = src.writeStream.outputMode("append")
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint("st9"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.streaming.StreamOps.upsertAggregate(
-            batch, id, "custkey", "price", statePath)
-          ()
-        }
-        .start()
-      try {
-        in.addData(w1.toSeq); q.processAllAvailable()
-        in.addData(w2.toSeq); q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint("st9"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.StreamOps.upsertAggregate(
+              batch, id, "custkey", "price", statePath)
+            ()
+          }
+          .start()
+        try {
+          in.addData(w1.toSeq); q.processAllAvailable()
+          in.addData(w2.toSeq); q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       val latest = graft.streaming.StreamOps
         .latestStateVersion(s, statePath, Long.MaxValue)
         .getOrElse(sys.error("st9: no state version written"))

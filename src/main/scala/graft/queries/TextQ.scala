@@ -1130,17 +1130,19 @@ object TextQ {
           timestamp_seconds(lit(1000000L)).as("ts"))
       val out = graft.streaming.StreamOps.dedupeByContent(src, "ts", "key5")
       val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        waves.foreach { case (_, rows) =>
-          in.addData(rows.map { case (_, id, k) => (id, k) })
-          q.processAllAvailable()
-        }
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          waves.foreach { case (_, rows) =>
+            in.addData(rows.map { case (_, id, k) => (id, k) })
+            q.processAllAvailable()
+          }
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       s.table(name).select(col("doc_id"), col("key5")).orderBy("doc_id")
     },
 
@@ -1167,15 +1169,17 @@ object TextQ {
       val out = graft.streaming.StreamOps.neardupCandidatesStream(
         src, "ts", "doc_id", "text")
       val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
-        .start()
-      try {
-        in.addData(docs.toSeq)
-        q.processAllAvailable()
-      } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
+          .start()
+        try {
+          in.addData(docs.toSeq)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
       s.table(name).orderBy("band", "bucket", "dup_doc")
     },
 
