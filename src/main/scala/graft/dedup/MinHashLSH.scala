@@ -98,16 +98,37 @@ object MinHashLSH {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band buckets over `signaturesU` output. With r = k/bands = 2 the
-    * bucket is the INJECTIVE pairing sig_a · P + sig_b (both < P, so
-    * the product stays under 2^60): bucket equality is exactly band-
-    * signature equality — zero bucket collisions, which even the
-    * md5-concat form cannot claim past truncation. Larger r would
-    * need modular folding (collision-bounded, not injective), so it is
-    * rejected rather than silently weakened.
+  /** Per-row (STREAMING-safe) twin of `signaturesU`: the same one-md5
+    * + k-affine-transforms family as pure array expressions, no
+    * aggregation — value-identical to `signaturesU` (array_min over
+    * the per-shingle transforms = the min-aggregate). Docs with no
+    * shingles get null signatures; filter `sig0 IS NOT NULL` before
+    * bucketing, exactly like `signatureExprs`.
+    */
+  def signatureExprsU(docs: DataFrame, toksCol: String,
+                      k: Int = 8, shingleN: Int = 2): DataFrame = {
+    val sh = TextFunctions.shingles(col(toksCol), shingleN)
+    val hm = transform(sh,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P)
+    val withH = docs.withColumn("__hm", hm)
+    seedsU(k).zipWithIndex.foldLeft(withH) { case (d, ((a, b), i)) =>
+      d.withColumn(s"sig$i",
+        array_min(transform(col("__hm"), h => (lit(a) * h + lit(b)) % P)))
+    }.drop("__hm")
+  }
+
+  /** Band buckets over `signaturesU`/`signatureExprsU` output. With
+    * r = k/bands = 2 the bucket is the INJECTIVE pairing
+    * sig_a · P + sig_b (both < P, so the product stays under 2^60):
+    * bucket equality is exactly band-signature equality — zero bucket
+    * collisions, which even the md5-concat form cannot claim past
+    * truncation. Larger r would need modular folding
+    * (collision-bounded, not injective), so it is rejected rather
+    * than silently weakened. `carry` columns (e.g. an event-time
+    * timestamp for streaming state eviction) pass through untouched.
     */
   def bandBucketsU(sigs: DataFrame, idCol: String, k: Int,
-                   bands: Int): DataFrame = {
+                   bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0 && k / bands == 2,
       s"bandBucketsU: injective pairing needs r = 2 (got k=$k bands=$bands); " +
         "use bandBuckets/bandBucketsXx for other shapes")
@@ -115,8 +136,9 @@ object MinHashLSH {
       struct(lit(b).as("band"),
         (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bucket"))
     }
-    sigs.select(col(idCol), explode(array(rows: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val keep = col(idCol) +: carry.map(col)
+    sigs.select(keep :+ explode(array(rows: _*)).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
   }
 
   /** Band buckets over `signaturesXx` output: bucket = xxhash64 of

@@ -1978,23 +1978,25 @@ object TextQ {
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "st8_stream_neardup" ->
+      // the U-family CTEs mirror MinHashLSH.signatureExprsU /
+      // bandBucketsU constant-for-constant (seeds interpolated from
+      // MinHashLSH.seedsU, same P, same injective pair bucket)
       s"""WITH tk AS ($toksSql),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
         |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh FROM tk),
-        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-        |  FROM sh CROSS JOIN range(8) r(seed)),
-        |mh AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |hs AS (SELECT doc_id,
+        |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${graft.dedup.MinHashLSH.P} AS hm
+        |  FROM sh),
         |sig AS (SELECT doc_id,
-        |  MIN(CASE WHEN seed=0 THEN m END) s0, MIN(CASE WHEN seed=1 THEN m END) s1,
-        |  MIN(CASE WHEN seed=2 THEN m END) s2, MIN(CASE WHEN seed=3 THEN m END) s3,
-        |  MIN(CASE WHEN seed=4 THEN m END) s4, MIN(CASE WHEN seed=5 THEN m END) s5,
-        |  MIN(CASE WHEN seed=6 THEN m END) s6, MIN(CASE WHEN seed=7 THEN m END) s7
-        |  FROM mh GROUP BY doc_id),
+        |  ${graft.dedup.MinHashLSH.seedsU(8).zipWithIndex.map { case ((a, b), i) =>
+             s"MIN(($a * hm + $b) % ${graft.dedup.MinHashLSH.P}) s$i"
+           }.mkString(",\n        |  ")}
+        |  FROM hs GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0||s1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(s2||s3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(s4||s5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(s6||s7) FROM sig),
+        |  SELECT doc_id, 0 AS band, s0 * ${graft.dedup.MinHashLSH.P} + s1 AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2 * ${graft.dedup.MinHashLSH.P} + s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4 * ${graft.dedup.MinHashLSH.P} + s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6 * ${graft.dedup.MinHashLSH.P} + s7 FROM sig),
         |w AS (SELECT band, bucket, doc_id AS dup_doc,
         |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc FROM bands)
         |SELECT band, bucket, first_doc, dup_doc FROM w

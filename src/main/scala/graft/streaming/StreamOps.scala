@@ -166,16 +166,18 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  case class BandRow(band: Int, bucket: String, doc_id: Long, ts: java.sql.Timestamp)
-  case class NearDupHit(band: Int, bucket: String, first_doc: Long, dup_doc: Long)
+  case class BandRow(band: Int, bucket: Long, doc_id: Long, ts: java.sql.Timestamp)
+  case class NearDupHit(band: Int, bucket: Long, first_doc: Long, dup_doc: Long)
   case class RepState(rep: Long, lastMs: Long)
 
   /** Streaming near-dup CANDIDATE detection — the streaming form of
     * `d2_minhash_lsh`'s banded MinHash: each arriving doc is
-    * min-hashed per row (`MinHashLSH.signatureExprs`, pure array
-    * expressions — a groupBy signature would be a second stateful op),
-    * exploded into band buckets, and matched against the bucket's
-    * retained representative (first arrival within the horizon).
+    * min-hashed per row (`MinHashLSH.signatureExprsU`, pure array
+    * expressions in the same universal-hash family as the batch prod
+    * path — one md5 per shingle + k affine transforms, NOT 8 md5s; a
+    * groupBy signature would be a second stateful op), exploded into
+    * band buckets, and matched against the bucket's retained
+    * representative (first arrival within the horizon).
     *
     * Output: one hit per (band, bucket) collision — a doc colliding
     * with the representative in several bands yields several hits;
@@ -198,16 +200,16 @@ object StreamOps {
     val toked = docs.select(col(idCol).cast("long").as("doc_id"),
       col(tsCol).as("__ts"),
       graft.text.TextFunctions.tokens(col(textCol)).as("__toks"))
-    val sigs = MinHashLSH.signatureExprs(toked, "__toks", k, shingleN)
+    val sigs = MinHashLSH.signatureExprsU(toked, "__toks", k, shingleN)
       .where(col("sig0").isNotNull)
-    val bb = MinHashLSH.bandBuckets(sigs, "doc_id", k, bands, carry = Seq("__ts"))
+    val bb = MinHashLSH.bandBucketsU(sigs, "doc_id", k, bands, carry = Seq("__ts"))
       .withWatermark("__ts", watermark)
       .select(col("band"), col("bucket"), col("doc_id"), col("__ts").as("ts"))
       .as[BandRow]
     bb.groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[RepState, NearDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[RepState]) =>
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[RepState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty

@@ -157,9 +157,11 @@ class StreamSpec extends SparkSuite {
     import graft.text.TextFunctions
     val docs = docsSeq.toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    // U family: the same hash family the stream path runs
+    // (signatureExprsU ≡ signaturesU value-for-value)
     val batchPairs = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(
-          MinHashLSH.signatures(docs, "doc_id", "toks", 8, 2), "doc_id", 8, 4),
+        MinHashLSH.bandBucketsU(
+          MinHashLSH.signaturesU(docs, "doc_id", "toks", 8, 2), "doc_id", 8, 4),
         "doc_id")
       .as[(Long, Long)].collect().toSet
     assert(batchPairs === Set((1L, 2L)), s"batch found $batchPairs")
