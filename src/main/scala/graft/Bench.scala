@@ -8,7 +8,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shuffle/spill on tmpfs when available (static conf — builder
+    // only): the whole suite writes ~180 MB of shuffle at sf0.1, and
+    // disk-contended shuffle-file fsyncs were a prime suspect in the
+    // r7 driver-run regressions. Scratch guards free space and cleans
+    // up at exit; SPARK_GRAFT_LOCAL_DIR overrides, "disk" disables.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some("disk") => None
+      case Some(d)      => Some(d)
+      case None         => graft.tools.Scratch.tmpfsDir("graft_local_")
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -23,6 +33,7 @@ object Bench {
       // exactly this (w2c: 2.5 s → 9.0 s with unchanged code). Size
       // the cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per-query engine metrics (GC/spill/shuffle) — the r7 round proved

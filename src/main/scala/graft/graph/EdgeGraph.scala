@@ -34,7 +34,11 @@ object EdgeGraph {
           s"$who needs a cluster-visible checkpoint dir: " +
             "set spark.graft.checkpointDir (or SparkContext.setCheckpointDir) " +
             "to a shared filesystem path")
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${sc.applicationId}"
+        // local mode: prefer tmpfs — iterative-algorithm checkpoints
+        // are small (peel/CC edge sets) but fsync per round, so on a
+        // contended disk they dominate round latency (r7 driver run:
+        // g6 10.9 s vs 2 s clean)
+        s"${graft.tools.Scratch.fastLocalBase}/graft_ckpt_${sc.applicationId}"
       }
       sc.setCheckpointDir(dir)
     }

@@ -35,7 +35,13 @@ object ChainBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same tmpfs local-dir policy as Bench (shared measurement rails)
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some("disk") => None
+      case Some(d)      => Some(d)
+      case None         => Scratch.tmpfsDir("graft_local_")
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -44,6 +50,7 @@ object ChainBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graphx.pregel.checkpointInterval", "10")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
