@@ -33,6 +33,13 @@ object Bench {
       // exactly this (w2c: 2.5 s → 9.0 s with unchanged code). Size
       // the cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // (measured non-lever: lowering spark.sql.files.maxPartitionBytes
+    // to 8 MB left task counts unchanged — the driver-written sf
+    // tables are single-row-group files and parquet splits cannot
+    // cross row groups, so scan parallelism here is bounded by the
+    // fixture layout, not a conf. A real corpus has many files/row
+    // groups; forcing a repartition before the per-row hash stages
+    // would add a full-corpus shuffle that is wrong at scale.)
     val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
