@@ -540,6 +540,51 @@ object TextQ {
         .orderBy("media_id", "window_no")
     },
 
+    // m12: VIDEO CONTAINER metadata, oracle-gated — the last
+    // multimodal tier (image: m9/m10, audio: m8/m11, video: here).
+    // Per document a spec-normal minimal MP4 (ftyp + free + moov with
+    // mvhd and 1–2 trak(tkhd, mdia(mdhd, minf/stbl/stts))) trees) is
+    // byte-encoded and re-parsed through Mp4Codec's box walker; the
+    // emitted duration/frame-count/fps come FROM THE PARSE, while the
+    // oracle recomputes them arithmetically from doc_id — so any
+    // defect in box sizing, big-endian reads, container recursion, or
+    // stts summation breaks the hash. This is the moov-only scan a
+    // 100 TB video ingest runs: metadata without touching sample
+    // data, a few KB per multi-GB file. All derived values are
+    // positive integer divisions (floor in both engines).
+    "m12_video_meta" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tracks", LongType),
+        StructField("duration_ms", LongType),
+        StructField("n_frames", LongType),
+        StructField("fps_milli", LongType))))
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val d1 = 100L + (id % 5) * 25; val c1 = 24L + id % 100
+          val c2 = 1L + id % 50; val mts = 600L + (id % 7) * 100
+          val entries = Seq((c1, d1), (c2, 2 * d1))
+          val mdur = c1 * d1 + c2 * 2 * d1
+          val mvDur = mdur * 600L / mts
+          val tracks =
+            if (id % 2 == 0) Seq((mts, entries))
+            else Seq((mts, entries), (8000L, Seq((c1, 10L))))
+          val bytes = graft.multimodal.Mp4Codec.encode(600L, mvDur, tracks)
+          val meta = graft.multimodal.Mp4Codec.parse(bytes)
+            .getOrElse(sys.error(s"m12: unparseable container for doc $id"))
+          val t0 = meta.tracks.head
+          Row(id, meta.tracks.length.toLong,
+            meta.duration * 1000L / meta.timescale,
+            t0.nSamples,
+            t0.nSamples * t0.timescale * 1000L / t0.duration)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
     // m9: REAL image decode, oracle-gated. Per document a 9×8
     // grayscale image with md5-derived pixels is PNG-encoded and
     // decoded back through the JDK's ImageIO (graft.multimodal
@@ -1683,6 +1728,27 @@ object TextQ {
         |  CAST(FLOOR(SQRT(CAST(SUM(samp * samp) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms
         |FROM s GROUP BY media_id, pos // 100
         |ORDER BY media_id, window_no""".stripMargin,
+
+    "m12_video_meta" ->
+      // the container metadata recomputed arithmetically from doc_id;
+      // the Spark side must recover the identical values THROUGH the
+      // encode→box-walk roundtrip (all divisions floor on positives)
+      """WITH p AS (SELECT doc_id,
+        |  100 + (doc_id % 5) * 25 AS d1,
+        |  24 + doc_id % 100 AS c1,
+        |  1 + doc_id % 50 AS c2,
+        |  600 + (doc_id % 7) * 100 AS mts
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+        |  c1 + c2 AS n_frames,
+        |  c1 * d1 + c2 * 2 * d1 AS mdur, mts
+        |  FROM p)
+        |SELECT doc_id, n_tracks,
+        |  CAST(((mdur * 600) // mts) * 1000 // 600 AS BIGINT) AS duration_ms,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * mts * 1000 // mdur AS BIGINT) AS fps_milli
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "m9_image_dhash" ->
       // PNG is lossless and the 9×8 pooling grid is the pixel grid,

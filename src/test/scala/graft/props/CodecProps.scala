@@ -82,4 +82,54 @@ object CodecProps extends Properties("graft.codec") {
       val g = ImageCodec.grayGrid(b, 9, 8)
       g.forall(_ == 1000L * v) && ImageCodec.dHash(b) == 0L
     }
+
+  // --- MP4 / ISO-BMFF ---
+
+  private val mp4Gen: Gen[(Long, Long, List[(Long, List[(Long, Long)])])] = for {
+    mvTs <- Gen.choose(1L, 1000000L)
+    mvDur <- Gen.choose(0L, 1000000L)
+    nTracks <- Gen.choose(0, 4)
+    tracks <- Gen.listOfN(nTracks, for {
+      ts <- Gen.choose(1L, 1000000L)
+      nEntries <- Gen.choose(1, 5)
+      entries <- Gen.listOfN(nEntries,
+        Gen.zip(Gen.choose(1L, 10000L), Gen.choose(1L, 10000L)))
+    } yield (ts, entries))
+  } yield (mvTs, mvDur, tracks)
+
+  property("MP4 encode→parse is identity on movie/track metadata") =
+    forAll(mp4Gen) { case (mvTs, mvDur, tracks) =>
+      import graft.multimodal.Mp4Codec
+      Mp4Codec.parse(Mp4Codec.encode(mvTs, mvDur, tracks)) match {
+        case Some(meta) =>
+          meta.timescale == mvTs && meta.duration == mvDur &&
+            meta.tracks.length == tracks.length &&
+            meta.tracks.zip(tracks).forall { case (got, (ts, es)) =>
+              got.timescale == ts &&
+                got.duration == es.map { case (c, d) => c * d }.sum &&
+                got.nSamples == es.map(_._1).sum
+            }
+        case None => false
+      }
+    }
+
+  property("MP4 parse rejects truncation at every prefix length") =
+    forAll(mp4Gen) { case (mvTs, mvDur, tracks) =>
+      import graft.multimodal.Mp4Codec
+      val bytes = Mp4Codec.encode(mvTs, mvDur, tracks)
+      // any cut INSIDE the moov box must fail loudly, not return a
+      // silent partial parse (a box then overruns its parent)
+      val cuts = Seq(bytes.length - 1, bytes.length - 5, 40)
+      cuts.filter(c => c > 0 && c < bytes.length).forall { c =>
+        Mp4Codec.parse(bytes.take(c)).isEmpty
+      }
+    }
+
+  property("MP4 parse rejects a non-ftyp head") =
+    forAll(mp4Gen) { case (mvTs, mvDur, tracks) =>
+      import graft.multimodal.Mp4Codec
+      val bytes = Mp4Codec.encode(mvTs, mvDur, tracks)
+      bytes(4) = 'X'.toByte
+      Mp4Codec.parse(bytes).isEmpty
+    }
 }
