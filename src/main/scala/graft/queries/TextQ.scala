@@ -585,6 +585,43 @@ object TextQ {
       }(enc).orderBy("doc_id")
     },
 
+    // m13: COMPRESSED-AUDIO metadata, oracle-gated — the MP3 sibling
+    // of m12's container walk: per document a constant-bitrate
+    // MPEG-1 Layer III stream (alternating padding bits) is
+    // frame-encoded and re-walked through Mp3Codec; frame STEPPING
+    // depends on the bitrate/samplerate tables and the
+    // ⌊144·bitrate/rate⌋+padding size formula, so the emitted frame
+    // count/bitrate/duration gate that arithmetic — a single wrong
+    // table entry desynchronizes the walk and fails the hash. This is
+    // the header-only scan an audio ingest runs to shard and
+    // quality-gate without decoding payloads.
+    "m13_mp3_meta" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_frames", LongType),
+        StructField("bitrate_kbps", LongType),
+        StructField("sample_rate", LongType),
+        StructField("duration_ms", LongType))))
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bi = (1L + id % 14).toInt
+          val si = (id % 3).toInt
+          val nf = (20L + id % 60).toInt
+          val bytes = graft.multimodal.Mp3Codec.encode(
+            bi, si, (0 until nf).map(_ % 2))
+          val meta = graft.multimodal.Mp3Codec.parse(bytes)
+            .getOrElse(sys.error(s"m13: unparseable stream for doc $id"))
+          Row(id, meta.nFrames, meta.bitrateKbps.toLong,
+            meta.sampleRateHz.toLong,
+            meta.nSamples * 1000L / meta.sampleRateHz)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
     // m9: REAL image decode, oracle-gated. Per document a 9×8
     // grayscale image with md5-derived pixels is PNG-encoded and
     // decoded back through the JDK's ImageIO (graft.multimodal
@@ -1748,6 +1785,25 @@ object TextQ {
         |  CAST(((mdur * 600) // mts) * 1000 // 600 AS BIGINT) AS duration_ms,
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_frames * mts * 1000 // mdur AS BIGINT) AS fps_milli
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "m13_mp3_meta" ->
+      // bitrate/samplerate tables inlined as array literals; the
+      // Spark side recovers the same values by WALKING the encoded
+      // frames (table entries + size formula under the hash gate)
+      """WITH p AS (SELECT doc_id,
+        |  CAST(1 + doc_id % 14 AS INT) AS bi,
+        |  CAST(doc_id % 3 AS INT) AS si,
+        |  20 + doc_id % 60 AS nf
+        |  FROM documents),
+        |q AS (SELECT doc_id, nf,
+        |  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi] AS kbps,
+        |  ([44100,48000,32000])[si + 1] AS rate
+        |  FROM p)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "m9_image_dhash" ->

@@ -132,4 +132,41 @@ object CodecProps extends Properties("graft.codec") {
       bytes(4) = 'X'.toByte
       Mp4Codec.parse(bytes).isEmpty
     }
+
+  // --- MP3 (MPEG-1 Layer III headers) ---
+
+  private val mp3Gen: Gen[(Int, Int, List[Int])] = for {
+    bi <- Gen.choose(1, 14)
+    si <- Gen.choose(0, 2)
+    n <- Gen.choose(1, 80)
+    pads <- Gen.listOfN(n, Gen.choose(0, 1))
+  } yield (bi, si, pads)
+
+  property("MP3 encode→parse is identity on frame count / bitrate / rate") =
+    forAll(mp3Gen) { case (bi, si, pads) =>
+      import graft.multimodal.Mp3Codec
+      Mp3Codec.parse(Mp3Codec.encode(bi, si, pads)) match {
+        case Some(m) =>
+          m.nFrames == pads.length &&
+            m.bitrateKbps == Mp3Codec.BitrateKbps(bi) &&
+            m.sampleRateHz == Mp3Codec.SampleRateHz(si) &&
+            m.nSamples == pads.length.toLong * Mp3Codec.SamplesPerFrame
+        case None => false
+      }
+    }
+
+  property("MP3 parse rejects truncation mid-frame") =
+    forAll(mp3Gen) { case (bi, si, pads) =>
+      import graft.multimodal.Mp3Codec
+      val bytes = Mp3Codec.encode(bi, si, pads)
+      Mp3Codec.parse(bytes.take(bytes.length - 1)).isEmpty
+    }
+
+  property("MP3 parse rejects a corrupted sync word") =
+    forAll(mp3Gen) { case (bi, si, pads) =>
+      import graft.multimodal.Mp3Codec
+      val bytes = Mp3Codec.encode(bi, si, pads)
+      bytes(0) = 0x7f.toByte
+      Mp3Codec.parse(bytes).isEmpty
+    }
 }
