@@ -221,6 +221,65 @@ object MinHashLSH {
       .select("i", "j").distinct()
   }
 
+  /** INCREMENTAL LSH probe: candidate pairs touching a DELTA batch,
+    * against a pre-built (typically persisted-parquet) base band-bucket
+    * index — the ingest pattern that makes corpus dedup sustainable at
+    * 100 TB: when a new crawl snapshot arrives, shingling/minhashing
+    * runs over the DELTA ONLY, the base corpus is touched through its
+    * 3-column bucket index (a columnar scan, never a re-shingle), and
+    * base×base pairs — the quadratic bulk of a full recompute — are
+    * never formed. Output work is bounded by the delta's bucket
+    * populations.
+    *
+    * The `maxBucket` cap counts base + delta population together, so
+    * the kept-bucket set — and therefore the candidate set — is
+    * IDENTICAL to what a full `candidatePairs` over base ∪ delta would
+    * produce, restricted to pairs with at least one delta member. That
+    * equivalence (incremental probe ≡ full recompute ∩ delta-touching)
+    * is the operator's correctness contract: IncrementalNeardupSpec
+    * asserts it on fixtures including cap-boundary buckets that the
+    * delta itself pushes over the limit, and the d12 query pins it
+    * against the DuckDB oracle's full-recompute-then-filter form.
+    *
+    * At deployment scale the per-bucket counts live WITH the persisted
+    * index (they are one aggregate of it, maintained additively per
+    * ingested batch), so the cap check reads counters instead of
+    * re-counting rows; here the count is recomputed from the index
+    * scan — same plan shape, one extra aggregate over 3 columns.
+    *
+    * Both inputs need (`idCol`, band, bucket) columns, i.e. the output
+    * shape of any of the `bandBuckets*` builders; ids must be globally
+    * unique across base and delta (re-ingesting an id present in the
+    * base is an upsert, not a probe — drop it from the delta first).
+    */
+  def incrementalCandidatePairs(baseBuckets: DataFrame,
+                                deltaBuckets: DataFrame, idCol: String,
+                                maxBucket: Int = 0): DataFrame = {
+    val cols = Seq(col(idCol), col("band"), col("bucket"))
+    val delta = deltaBuckets.select(cols: _*)
+    val all = baseBuckets.select(cols: _*).unionByName(delta)
+    val (deltaKept, allKept) =
+      if (maxBucket <= 0) (delta, all)
+      else {
+        val ok = all.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket)
+          .select("band", "bucket")
+        (delta.join(ok, Seq("band", "bucket"), "left_semi"),
+         all.join(ok, Seq("band", "bucket"), "left_semi"))
+      }
+    val a = deltaKept.select(col(idCol).as("i"), col("band"), col("bucket"))
+    val b = allKept.select(col(idCol).as("j"), col("band"), col("bucket"))
+    // delta×delta pairs arrive twice (once from each side's probe row);
+    // canonicalizing to (min, max) before the distinct dedupes them and
+    // matches candidatePairs' i < j convention
+    a.join(b, Seq("band", "bucket"))
+      .where(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i"),
+              greatest(col("i"), col("j")).as("j"))
+      .distinct()
+  }
+
   /** The (band, bucket, n) groups a `maxBucket` cap would drop — the
     * audit/log companion of `candidatePairs`. */
   def oversizedBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =

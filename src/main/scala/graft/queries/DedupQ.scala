@@ -102,6 +102,37 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d12: INCREMENTAL near-dup ingest — the delta-batch probe of a
+    // persisted LSH index. Docs with doc_id % 10 = 7 play the "new
+    // crawl snapshot"; the rest are the already-indexed base corpus.
+    // The base's band buckets are persisted to parquet and READ BACK,
+    // so the probe really runs against the on-disk index (the
+    // 3-column columnar scan a 100 TB ingest would read), delta docs
+    // are the only ones shingled/minhashed in the probe path, and
+    // base×base pairs are never formed. Verification stays
+    // candidate-restricted (keyed fetch of both sides' shingle
+    // arrays). The oracle is the FULL recompute over base ∪ delta
+    // filtered to delta-touching pairs — the equivalence that makes
+    // incremental ingest trustworthy (also spec'd independently in
+    // IncrementalNeardupSpec, including cap-boundary buckets).
+    "d12_incremental_neardup" -> { (s, dir) =>
+      val docs = docToks(s, dir)
+      val isDelta = col("doc_id") % 10 === 7
+      val idx = tmpPath(s, "d12_lsh_index")
+      MinHashLSH.bandBucketsU(
+          MinHashLSH.signaturesU(docs.where(!isDelta), "doc_id", "toks",
+            k = 8, shingleN = 2), "doc_id", k = 8, bands = 4)
+        .write.mode("overwrite").parquet(idx)
+      val baseIdx = s.read.parquet(idx)
+      val deltaBuckets = MinHashLSH.bandBucketsU(
+        MinHashLSH.signaturesU(docs.where(isDelta), "doc_id", "toks",
+          k = 8, shingleN = 2), "doc_id", k = 8, bands = 4)
+      val cand = MinHashLSH.incrementalCandidatePairs(
+        baseIdx, deltaBuckets, "doc_id", maxBucket = 16)
+      MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        .orderBy("i", "j")
+    },
+
     // d11: SemDeDup-shape cluster-blocked semantic dedup (Abbas et
     // al. 2023, arXiv:2303.09540): assign every embedding to its
     // nearest centroid from n5's deterministic md5-sampled codebook
@@ -529,6 +560,23 @@ object DedupQ {
         |LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
+
+    // d12 = d2's full U-family recompute over base ∪ delta, filtered
+    // to pairs touching the delta split (doc_id % 10 = 7) — the
+    // incremental-probe equivalence stated as SQL.
+    "d12_incremental_neardup" ->
+      s"""WITH tk AS ($tkSql),
+        |sh AS ($shSql),
+        |$lshCandUSql
+        |SELECT c.i, c.j,
+        |  CASE WHEN (za.sz + zb.sz - COALESCE(ic, 0)) = 0 THEN 0
+        |    ELSE (10000 * COALESCE(ic, 0)) // (za.sz + zb.sz - COALESCE(ic, 0)) END AS jac_bp
+        |FROM cand c
+        |LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+        |JOIN sz za ON za.doc_id = c.i
+        |JOIN sz zb ON zb.doc_id = c.j
+        |WHERE c.i % 10 = 7 OR c.j % 10 = 7
         |ORDER BY c.i, c.j""".stripMargin,
 
     "c10_neardup_removal" ->
