@@ -20,8 +20,13 @@ package graft.multimodal
   */
 object Mp4Codec {
 
-  /** One track's media header + sample-table summary. */
-  case class TrackMeta(timescale: Long, duration: Long, nSamples: Long)
+  /** One track's media header + sample-table summary. `sampleSizes`
+    * and `chunkOffsets` are populated when the track carries stsz/stco
+    * boxes (sample data present), empty for metadata-only tracks.
+    */
+  case class TrackMeta(timescale: Long, duration: Long, nSamples: Long,
+                       sampleSizes: Seq[Long] = Nil,
+                       chunkOffsets: Seq[Long] = Nil)
 
   /** Movie header + per-track metadata, in file order. */
   case class MovieMeta(timescale: Long, duration: Long, tracks: Seq[TrackMeta])
@@ -41,6 +46,7 @@ object Mp4Codec {
     var mvT = -1L; var mvD = -1L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackMeta]
     var curT = -1L; var curD = -1L; var curN = 0L
+    var curSz: Seq[Long] = Nil; var curCo: Seq[Long] = Nil
     def walk(start: Int, end: Int): Boolean = {
       var off = start
       while (off + 8 <= end) {
@@ -50,9 +56,9 @@ object Mp4Codec {
         val body = off + 8
         id match {
           case "trak" =>
-            curT = -1L; curD = -1L; curN = 0L
+            curT = -1L; curD = -1L; curN = 0L; curSz = Nil; curCo = Nil
             if (!walk(body, off + sz.toInt)) return false
-            tracks += TrackMeta(curT, curD, curN)
+            tracks += TrackMeta(curT, curD, curN, curSz, curCo)
           case c if containers(c) =>
             if (!walk(body, off + sz.toInt)) return false
           case "mvhd" if body + 20 <= end =>
@@ -65,6 +71,20 @@ object Mp4Codec {
             var i = 0; var tot = 0L
             while (i < n) { tot += u32(body + 8 + i * 8); i += 1 }
             curN = tot
+          case "stsz" if body + 12 <= end =>
+            // u32 version/flags, u32 uniform sample_size (0 = per-
+            // sample entries follow), u32 sample_count
+            val uniform = u32(body + 4)
+            val n = u32(body + 8).toInt
+            if (uniform != 0L) curSz = Seq.fill(n)(uniform)
+            else {
+              if (body + 12 + 4L * n > end) return false
+              curSz = (0 until n).map(i => u32(body + 12 + i * 4))
+            }
+          case "stco" if body + 8 <= end =>
+            val n = u32(body + 4).toInt
+            if (body + 8 + 4L * n > end) return false
+            curCo = (0 until n).map(i => u32(body + 8 + i * 4))
           case _ => () // unknown/leaf box: skip (free, skip, tkhd, mdat…)
         }
         off += sz.toInt
@@ -157,5 +177,134 @@ object Mp4Codec {
       }
     }
     out.toByteArray
+  }
+
+  /** Per-track sample payloads, extracted through the parsed sample
+    * tables — the FRAME-SAMPLE read a training-data pipeline runs
+    * after the moov-only metadata gate: stsz gives each sample's
+    * size, stco the chunk's absolute file offset, and the samples of
+    * a chunk are laid contiguously. Single-chunk-per-track layouts
+    * only (chunkOffsets.length == 1, the layout `encodeWithSamples`
+    * writes and the common faststart small-file shape); multi-chunk
+    * files would additionally need the stsc run-length map and yield
+    * None here rather than a misaligned slice. Every computed range
+    * is bounds-checked against the file — a corrupt offset/size
+    * yields None, never a truncated or shifted payload.
+    */
+  def samples(bytes: Array[Byte]): Option[Seq[Seq[Array[Byte]]]] =
+    parse(bytes).flatMap { meta =>
+      val out = meta.tracks.map { t =>
+        if (t.sampleSizes.isEmpty && t.chunkOffsets.isEmpty) Some(Nil)
+        else if (t.chunkOffsets.length != 1) None
+        else if (t.sampleSizes.length != t.nSamples) None
+        else {
+          var off = t.chunkOffsets.head
+          val slices = t.sampleSizes.map { sz =>
+            val o = off; off += sz
+            if (o < 0 || sz < 0 || o + sz > bytes.length) null
+            else java.util.Arrays.copyOfRange(bytes, o.toInt, (o + sz).toInt)
+          }
+          if (slices.contains(null)) None else Some(slices)
+        }
+      }
+      if (out.contains(None)) None else Some(out.map(_.get))
+    }
+
+  /** `encode` extended with REAL sample data: each track is
+    * (mediaTimescale, sampleDelta, samplePayloads) — one stts run
+    * (n × delta), per-sample stsz entries, a one-entry stsc
+    * (all samples in one chunk) and a one-entry stco whose absolute
+    * offset is computed from the box layout, then a single mdat
+    * carrying every track's samples contiguously in track order.
+    * `samples(encodeWithSamples(...))` returns the payloads
+    * byte-identically (property-checked in CodecProps); the m14
+    * query's oracle reproduces the stco/stsz arithmetic — offset
+    * 408 + 4n for a one-track file — in pure SQL, so a drift in ANY
+    * box length desynchronizes the gate loudly.
+    */
+  def encodeWithSamples(movieTimescale: Long, movieDuration: Long,
+                        tracks: Seq[(Long, Long, Seq[Array[Byte]])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def p32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def p16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def ptag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def box(id: String)(bodyLen: Int)(body: => Unit): Unit = {
+      p32(8L + bodyLen); ptag(id); body
+    }
+    // per-track box lengths (n = sample count): stts one run
+    def stblBody(n: Int) = 24 + (20 + 4 * n) + 28 + 20 // stts+stsz+stsc+stco boxes
+    def trakBox(n: Int) = 8 + 92 + (8 + 32 + (8 + 8 + stblBody(n))) // tkhd+mdia(mdhd+minf(stbl))
+    val moovBox = 8 + 108 + tracks.map(t => trakBox(t._3.length)).sum
+    val mdatStart = 24 + 12 + moovBox // ftyp + free + moov
+    // absolute chunk offsets: track data laid sequentially in mdat
+    val chunkOffs = tracks.scanLeft(mdatStart + 8L) { case (o, (_, _, ss)) =>
+      o + ss.map(_.length.toLong).sum
+    }
+    box("ftyp")(16) { ptag("isom"); p32(512L); ptag("isom"); ptag("mp42") }
+    box("free")(4) { p32(0L) }
+    box("moov")(moovBox - 8) {
+      box("mvhd")(100) {
+        p32(0L); p32(0L); p32(0L)
+        p32(movieTimescale); p32(movieDuration)
+        p32(0x00010000L); p16(0x0100); p16(0)
+        p32(0L); p32(0L)
+        p32(0x00010000L); p32(0L); p32(0L)
+        p32(0L); p32(0x00010000L); p32(0L)
+        p32(0L); p32(0L); p32(0x40000000L)
+        (1 to 6).foreach(_ => p32(0L))
+        p32(tracks.length + 1L)
+      }
+      tracks.zipWithIndex.foreach { case ((ts, delta, ss), ti) =>
+        val n = ss.length
+        val mediaDur = n.toLong * delta
+        box("trak")(trakBox(n) - 8) {
+          box("tkhd")(84) {
+            p32(7L); p32(0L); p32(0L)
+            p32(ti + 1L); p32(0L)
+            p32(mediaDur)
+            p32(0L); p32(0L)
+            p16(0); p16(0); p16(0); p16(0)
+            p32(0x00010000L); p32(0L); p32(0L)
+            p32(0L); p32(0x00010000L); p32(0L)
+            p32(0L); p32(0L); p32(0x40000000L)
+            p32(640L << 16); p32(480L << 16)
+          }
+          box("mdia")(32 + (8 + 8 + stblBody(n))) {
+            box("mdhd")(24) {
+              p32(0L); p32(0L); p32(0L)
+              p32(ts); p32(mediaDur)
+              p16(0x55c4); p16(0)
+            }
+            box("minf")(8 + stblBody(n)) {
+              box("stbl")(stblBody(n)) {
+                box("stts")(16) {
+                  p32(0L); p32(1L); p32(n.toLong); p32(delta)
+                }
+                box("stsz")(12 + 4 * n) {
+                  p32(0L); p32(0L); p32(n.toLong)
+                  ss.foreach(s => p32(s.length.toLong))
+                }
+                box("stsc")(20) {
+                  p32(0L); p32(1L)
+                  p32(1L); p32(n.toLong); p32(1L) // first_chunk, samples/chunk, desc idx
+                }
+                box("stco")(12) {
+                  p32(0L); p32(1L); p32(chunkOffs(ti))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    box("mdat")(tracks.map(_._3.map(_.length).sum).sum) {
+      tracks.foreach(_._3.foreach(out.write))
+    }
+    val bytes = out.toByteArray
+    assert(bytes.length >= mdatStart + 8, "mdat landed before its computed start")
+    bytes
   }
 }

@@ -622,6 +622,57 @@ object TextQ {
       }(enc).orderBy("doc_id")
     },
 
+    // m14: REAL frame extraction through the container's sample
+    // tables, oracle-gated — the read m12's metadata-only scan
+    // deliberately skips. Per document a one-track MP4 with n ASCII
+    // frame payloads is encoded (stsz per-sample sizes, one-chunk
+    // stsc/stco with an ABSOLUTE file offset) and the frames are
+    // recovered by Mp4Codec.samples — offset arithmetic from the
+    // parsed stco + cumulative stsz, bounds-checked slices out of
+    // mdat. The oracle reproduces the payload strings AND the
+    // absolute offsets in pure SQL (first sample at 408 + 4n for this
+    // layout, then a running size sum): a one-byte drift in ANY box
+    // length, a misread stsz entry, or a shifted slice fails the
+    // hash. This is the distributed frame-sample shape: per-row JVM
+    // parse work in one mapPartitions pass, no shuffle until the
+    // output sort.
+    "m14_video_frames" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_no", LongType),
+        StructField("frame_off", LongType),
+        StructField("frame_sz", LongType),
+        StructField("payload", StringType))))
+      media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val n = (3L + id % 5).toInt
+          val delta = 100L + (id % 4) * 50
+          val payloads = (0 until n).map { i =>
+            val pad = (8L + (id + 3L * i) % 11).toInt
+            (s"fr|$id|$i|" + "x" * pad).getBytes("US-ASCII")
+          }
+          val bytes = graft.multimodal.Mp4Codec.encodeWithSamples(
+            600L, n * delta, Seq((600L, delta, payloads)))
+          val meta = graft.multimodal.Mp4Codec.parse(bytes)
+            .getOrElse(sys.error(s"m14: unparseable container for doc $id"))
+          val t = meta.tracks.head
+          val got = graft.multimodal.Mp4Codec.samples(bytes)
+            .getOrElse(sys.error(s"m14: sample extraction failed for doc $id"))
+            .head
+          var off = t.chunkOffsets.head
+          got.zipWithIndex.map { case (payload, i) =>
+            val o = off; off += t.sampleSizes(i)
+            Row(id, i.toLong, o, t.sampleSizes(i),
+              new String(payload, "US-ASCII"))
+          }
+        }
+      }(enc).orderBy("doc_id", "frame_no")
+    },
+
     // m9: REAL image decode, oracle-gated. Per document a 9×8
     // grayscale image with md5-derived pixels is PNG-encoded and
     // decoded back through the JDK's ImageIO (graft.multimodal
@@ -1805,6 +1856,27 @@ object TextQ {
         |  CAST(rate AS BIGINT) AS sample_rate,
         |  CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "m14_video_frames" ->
+      // the container layout reproduced arithmetically: for the
+      // one-track encodeWithSamples file the first sample sits at
+      // 408 + 4n (ftyp 24 + free 12 + moov 116+248+4n + mdat header
+      // 8), later samples at a running stsz sum — the Spark side must
+      // recover identical offsets AND payload bytes THROUGH the
+      // stsz/stco parse and the mdat slice
+      """WITH f AS (SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS n FROM documents),
+        |s AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+        |  'fr|' || doc_id || '|' || i || '|' ||
+        |    repeat('x', CAST(8 + (doc_id + 3 * i) % 11 AS INT)) AS payload
+        |  FROM f, UNNEST(range(0, n)) AS t(i)),
+        |o AS (SELECT doc_id, i, payload, CAST(length(payload) AS BIGINT) AS sz,
+        |  408 + 4 * n + COALESCE(SUM(CAST(length(payload) AS BIGINT)) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s)
+        |SELECT doc_id, i AS frame_no, CAST(off AS BIGINT) AS frame_off,
+        |  sz AS frame_sz, payload
+        |FROM o ORDER BY doc_id, frame_no""".stripMargin,
 
     "m9_image_dhash" ->
       // PNG is lossless and the 9×8 pooling grid is the pixel grid,

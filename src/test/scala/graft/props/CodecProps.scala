@@ -125,6 +125,46 @@ object CodecProps extends Properties("graft.codec") {
       }
     }
 
+  private val mp4SampleGen: Gen[(Long, Long, List[(Long, Long, List[Array[Byte]])])] =
+    for {
+      mvTs <- Gen.choose(1L, 1000000L)
+      mvDur <- Gen.choose(0L, 1000000L)
+      nTracks <- Gen.choose(1, 3)
+      tracks <- Gen.listOfN(nTracks, for {
+        ts <- Gen.choose(1L, 1000000L)
+        delta <- Gen.choose(1L, 10000L)
+        nSamples <- Gen.choose(0, 6)
+        samples <- Gen.listOfN(nSamples,
+          Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+      } yield (ts, delta, samples))
+    } yield (mvTs, mvDur, tracks)
+
+  property("MP4 samples(encodeWithSamples) is byte-identity per track") =
+    forAll(mp4SampleGen) { case (mvTs, mvDur, tracks) =>
+      import graft.multimodal.Mp4Codec
+      val bytes = Mp4Codec.encodeWithSamples(mvTs, mvDur, tracks)
+      Mp4Codec.samples(bytes) match {
+        case Some(got) =>
+          got.length == tracks.length &&
+            got.zip(tracks).forall { case (g, (_, _, want)) =>
+              g.length == want.length &&
+                g.zip(want).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+            }
+        case None => false
+      }
+    }
+
+  property("MP4 sample extraction rejects an mdat-truncating cut") =
+    forAll(mp4SampleGen) { case (mvTs, mvDur, tracks) =>
+      import graft.multimodal.Mp4Codec
+      val bytes = Mp4Codec.encodeWithSamples(mvTs, mvDur, tracks)
+      val total = tracks.map(_._3.map(_.length).sum).sum
+      // cut into the LAST sample's bytes: the moov tree still parses
+      // (metadata intact) but the computed range overruns the file —
+      // extraction must return None, never a short slice
+      total == 0 || Mp4Codec.samples(bytes.take(bytes.length - 1)).isEmpty
+    }
+
   property("MP4 parse rejects a non-ftyp head") =
     forAll(mp4Gen) { case (mvTs, mvDur, tracks) =>
       import graft.multimodal.Mp4Codec
