@@ -301,12 +301,31 @@ object MinHashLSH {
     * construction, so the in-row intersect wins at any scale.
     */
   private def pairOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
-                          toksCol: String, shingleN: Int): DataFrame = {
+                          toksCol: String, shingleN: Int,
+                          restrict: Boolean): DataFrame = {
+    // `restrict = true`: shingle ONLY docs that appear in a candidate
+    // pair — a semi-join on candidate ids that
+    // `PushDownLeftSemiAntiJoin` pushes below the tokenize/shingle
+    // projection to the scan. The right shape when candidates ≪
+    // corpus AND `pairs` is materialized (parquet/cached, as in
+    // d12's index probe): deriving the id set re-evaluates the pairs
+    // subtree, which is free on storage but re-runs the whole LSH
+    // pipeline when pairs is an in-plan subtree (measured 1.8–2.4×
+    // on d10/c10 — AQE does not reuse the stages across the three
+    // consumers once column pruning diverges their scans). Hence
+    // opt-in, not default. The restriction provably can't change the
+    // (inner-join) output.
+    val base =
+      if (!restrict) docs
+      else docs.join(
+        pairs.select(col("i").as(idCol))
+          .unionByName(pairs.select(col("j").as(idCol))).distinct(),
+        Seq(idCol), "left_semi")
     // shingles() is NULL for docs shorter than shingleN tokens; drop
     // those docs so a pair referencing one is dropped (matching the
     // previous exploded-join implementation and the oracle's inner
     // join against per-doc sizes) instead of emitting NULL metrics
-    val sha = docs.select(col(idCol),
+    val sha = base.select(col(idCol),
       TextFunctions.shingles(col(toksCol), shingleN).as("shs"))
       .where(col("shs").isNotNull)
     pairs
@@ -322,8 +341,9 @@ object MinHashLSH {
     * `pairs` has (i, j); `docs` has (idCol, toksCol).
     */
   def jaccardBp(pairs: DataFrame, docs: DataFrame, idCol: String,
-                toksCol: String, shingleN: Int = 2): DataFrame =
-    pairOverlap(pairs, docs, idCol, toksCol, shingleN)
+                toksCol: String, shingleN: Int = 2,
+                restrict: Boolean = false): DataFrame =
+    pairOverlap(pairs, docs, idCol, toksCol, shingleN, restrict)
       .select(col("i"), col("j"),
         TextFunctions.bp(col("inter"), col("szi") + col("szj") - col("inter"))
           .as("jac_bp"))
@@ -336,8 +356,9 @@ object MinHashLSH {
     * plan as jaccardBp.
     */
   def containmentBp(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    toksCol: String, shingleN: Int = 2): DataFrame =
-    pairOverlap(pairs, docs, idCol, toksCol, shingleN)
+                    toksCol: String, shingleN: Int = 2,
+                    restrict: Boolean = false): DataFrame =
+    pairOverlap(pairs, docs, idCol, toksCol, shingleN, restrict)
       .select(col("i"), col("j"),
         TextFunctions.bp(col("inter"), col("szi")).as("cont_i_bp"),
         TextFunctions.bp(col("inter"), col("szj")).as("cont_j_bp"))

@@ -118,18 +118,34 @@ object DedupQ {
     "d12_incremental_neardup" -> { (s, dir) =>
       val docs = docToks(s, dir)
       val isDelta = col("doc_id") % 10 === 7
+      // the index is WRITTEN for both sides in ONE corpus pass,
+      // partitioned by ingest batch — the realistic on-disk layout (an
+      // ingest appends its batch's buckets as a new partition, so the
+      // NEXT batch probes it), and the single pass matters because the
+      // documents scan+tokenize, not the hashing, dominates signature
+      // cost (measured ~2.5 s fixed per pass at sf0.1 — a 10% delta
+      // pass costs almost as much as a full one). The base partition's
+      // share of the write is the one-time indexing cost a deployment
+      // amortizes across ingests. Probing reads parquet on both sides:
+      // each document is shingled/minhashed exactly once and no
+      // signature subtree re-executes across the cap count, the probe
+      // join, or the delta×delta leg.
       val idx = tmpPath(s, "d12_lsh_index")
       MinHashLSH.bandBucketsU(
-          MinHashLSH.signaturesU(docs.where(!isDelta), "doc_id", "toks",
-            k = 8, shingleN = 2), "doc_id", k = 8, bands = 4)
-        .write.mode("overwrite").parquet(idx)
-      val baseIdx = s.read.parquet(idx)
-      val deltaBuckets = MinHashLSH.bandBucketsU(
-        MinHashLSH.signaturesU(docs.where(isDelta), "doc_id", "toks",
-          k = 8, shingleN = 2), "doc_id", k = 8, bands = 4)
+          MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2),
+          "doc_id", k = 8, bands = 4)
+        .withColumn("batch", when(isDelta, "delta").otherwise("base"))
+        .write.mode("overwrite").partitionBy("batch").parquet(idx)
       val cand = MinHashLSH.incrementalCandidatePairs(
-        baseIdx, deltaBuckets, "doc_id", maxBucket = 16)
-      MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
+        s.read.parquet(idx).where(col("batch") === "base"),
+        s.read.parquet(idx).where(col("batch") === "delta"), "doc_id",
+        maxBucket = 16)
+      // restrict = true: cand is parquet-backed, so deriving the
+      // candidate-id set is a cheap re-read and verify shingles ONLY
+      // pair members — the incremental point (delta-bounded work)
+      // carried through to verification
+      MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2,
+          restrict = true)
         .orderBy("i", "j")
     },
 
