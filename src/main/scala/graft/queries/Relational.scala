@@ -390,6 +390,39 @@ object Relational {
         .orderBy("custkey")
     },
 
+    // m15: small-file COMPACTION PLANNER — the lakehouse maintenance
+    // primitive next to m4 (snapshot diff) and m6 (layout audit): a
+    // table's file manifest (here: one "file" per order, size =
+    // ⌊o_totalprice⌋ bytes, partition = o_orderpriority) is binned
+    // into compaction groups by deterministic next-fit packing — per
+    // partition, files in file-id order fill a group until the
+    // 2 MB target; a file whose cumulative start falls before the
+    // boundary joins the current group. One running-sum window per
+    // partition key (never a global window) + one keyed aggregate:
+    // the plan costs a single manifest pass, which is what lets a
+    // 100 TB table's maintenance loop run it continuously. Emitted
+    // per group: file count, byte total, and the contiguous
+    // [first_file, last_file] id range the compactor rewrites.
+    "m15_compaction_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val target = 2000000L
+      val files = table(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        col("o_orderpriority").as("part"),
+        floor(col("o_totalprice")).cast("long").as("size_b"))
+      val w = Window.partitionBy("part").orderBy("file_id")
+      files
+        .withColumn("cum", sum("size_b").over(w))
+        .withColumn("bin_no",
+          floor((col("cum") - col("size_b")) / lit(target.toDouble)).cast("long"))
+        .groupBy("part", "bin_no")
+        .agg(count(lit(1)).as("n_files"),
+          sum("size_b").as("total_bytes"),
+          min("file_id").as("first_file"),
+          max("file_id").as("last_file"))
+        .orderBy("part", "bin_no")
+    },
+
     // ST9: streaming CDC-apply under the oracle gate — the MERGE SINK
     // the streaming surface was missing: orders replayed in two
     // MemoryStream waves; each micro-batch foreachBatch-merges its
@@ -799,6 +832,21 @@ object Relational {
       """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m15_compaction_plan" ->
+      // next-fit packing as a running-sum window; the double division
+      // under FLOOR is IEEE-identical in both engines (values < 2^53)
+      """WITH f AS (SELECT o_orderkey AS file_id, o_orderpriority AS part,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS size_b FROM orders),
+        |c AS (SELECT file_id, part, size_b,
+        |  SUM(size_b) OVER (PARTITION BY part ORDER BY file_id) AS cum FROM f),
+        |b AS (SELECT part,
+        |  CAST(FLOOR((cum - size_b) / 2000000.0) AS BIGINT) AS bin_no,
+        |  size_b, file_id FROM c)
+        |SELECT part, bin_no, COUNT(*) AS n_files,
+        |  CAST(SUM(size_b) AS BIGINT) AS total_bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        |FROM b GROUP BY part, bin_no ORDER BY part, bin_no""".stripMargin,
 
     "m5_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
