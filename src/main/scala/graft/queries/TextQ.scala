@@ -1363,6 +1363,32 @@ object TextQ {
         .orderBy("source", "rk")
     },
 
+    // c15: systematic PPS (probability-proportional-to-size) sampling
+    // — the mixture-weighting draw that picks documents proportional
+    // to an integer weight (here token count: long docs carry more
+    // training signal) in ONE distributed pass: cumulative weight in
+    // deterministic md5 order via PrefixSum (the ZipIndex-shape
+    // two-phase scan — never a single-partition window), then a
+    // threshold every step = W/n of cumulative mass; a doc spanning k
+    // thresholds is drawn k times (n_picks), the classic systematic
+    // sampler. Everything is integer arithmetic, so the draw — not
+    // just its size — is oracle-exact.
+    "c15_pps_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("wt"),
+          md5(col("doc_id").cast("string")).as("rk"))
+      val cum = graft.operators.PrefixSum.withRunningTotal(
+        docs, Seq(col("rk"), col("doc_id")), "wt", "cum")
+      val stats = broadcast(docs.agg(sum(col("wt")).as("w"))
+        .select(greatest(expr("w div 200"), lit(1L)).as("step")))
+      cum.crossJoin(stats)
+        .withColumn("n_picks", expr("cum div step - (cum - wt) div step"))
+        .where(col("n_picks") > 0)
+        .select(col("doc_id"), col("wt"), col("n_picks"))
+        .orderBy("doc_id")
+    },
+
     // d9: disjoint-CHUNK dedup — the C4/CCNet granularity: cut each
     // doc into fixed 20-token chunks, keep only each chunk's
     // corpus-wide FIRST occurrence, re-emit the doc from its
@@ -2264,6 +2290,20 @@ object TextQ {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM d)
         |SELECT source, rk, doc_id, n_tokens FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    "c15_pps_sample" ->
+      // systematic PPS as pure integer arithmetic: inclusive weight
+      // cumsum in md5 order, threshold every W//200 of mass
+      s"""WITH tk AS ($toksSql),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS wt,
+        |  md5(CAST(doc_id AS VARCHAR)) AS rk FROM tk),
+        |c AS (SELECT doc_id, wt, SUM(wt) OVER (ORDER BY rk, doc_id) AS cum FROM w),
+        |s AS (SELECT GREATEST(SUM(wt) // 200, 1) AS step FROM w)
+        |SELECT doc_id, wt,
+        |  CAST(cum // step - (cum - wt) // step AS BIGINT) AS n_picks
+        |FROM c, s
+        |WHERE cum // step > (cum - wt) // step
+        |ORDER BY doc_id""".stripMargin,
 
     "d9_chunk_dedup" ->
       s"""WITH tk AS ($toksSql),
