@@ -303,6 +303,31 @@ object DedupQ {
         .orderBy("q", "rank")
     },
 
+    // n9: FILTERED vector search — the metadata-predicated ANN every
+    // vector store has to get right. This is the PRE-filter shape:
+    // the predicate (label % 3 = 1, ~30% selective) prunes the
+    // probed cells' inverted lists BEFORE scoring, so top-k is taken
+    // over the filtered candidate set — k survivors guaranteed, and
+    // scoring work shrinks with selectivity. The tempting POST-filter
+    // (search first, filter the top-k) starves k on selective
+    // predicates and is strictly worse here because the filter is a
+    // semi-join the optimizer pushes into the list join anyway. Index
+    // unchanged (built unfiltered, as persisted indexes are); only
+    // the probe narrows.
+    "n9_ann_filtered" -> { (s, dir) =>
+      import graft.similarity.IvfFlat
+      val emb = table(s, dir, "embeddings")
+      val cb = IvfFlat.codebook(emb, "vec_id", "embedding", k = 16)
+      val cells = IvfFlat.assignTo(emb, "vec_id", "embedding", cb)
+      val allowed = cells.join(
+        emb.where(col("label") % 3 === 1).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      IvfFlat.searchTopKWith(emb.filter(col("vec_id") < 20), allowed, cb,
+          "vec_id", "vec_id", "embedding", k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q", "rank")
+    },
+
     // n5: trained-codebook IVF — FIXED k centroids (deterministic
     // md5-smallest hash sample), so assignment is n·k (linear in the
     // corpus) where the √n-stride sampler is n^1.5; the codebook is
@@ -864,6 +889,36 @@ object DedupQ {
         |sc AS (SELECT qp.q, cell.vec_id AS neighbor,
         |  list_dot_product(qp.qv, cell.v)/(qp.qn*cell.nm) AS cos
         |  FROM qp JOIN cell ON qp.cell = cell.cell AND qp.q <> cell.vec_id),
+        |r AS (SELECT q, neighbor, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
+        |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, cos FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n9_ann_filtered" ->
+      // n5's probe with the label predicate applied to the cell
+      // lists (the semi-join placement) before scoring
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM (
+        |  SELECT vec_id, v, nm,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM n) WHERE rk <= 16),
+        |asg AS (SELECT n.vec_id, n.v, n.nm, cid,
+        |  list_dot_product(v, cv)/(nm*cn) AS cos FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, v, nm, cid AS cell FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        |  FROM asg) WHERE rk = 1),
+        |f AS (SELECT vec_id FROM embeddings WHERE label % 3 = 1),
+        |q AS (SELECT vec_id AS q, v AS qv, nm AS qn FROM n WHERE vec_id < 20),
+        |qp AS (SELECT q, qv, qn, cell FROM (
+        |  SELECT q.q, q.qv, q.qn, cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q
+        |      ORDER BY list_dot_product(qv, cv)/(qn*cn) DESC, cid) AS rk
+        |  FROM q CROSS JOIN c) WHERE rk <= 2),
+        |sc AS (SELECT qp.q, cell.vec_id AS neighbor,
+        |  list_dot_product(qp.qv, cell.v)/(qp.qn*cell.nm) AS cos
+        |  FROM qp JOIN cell ON qp.cell = cell.cell AND qp.q <> cell.vec_id
+        |  JOIN f ON f.vec_id = cell.vec_id),
         |r AS (SELECT q, neighbor, cos,
         |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
         |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, cos FROM r WHERE rk <= 3
