@@ -169,7 +169,12 @@ object Bench {
     val lineQs = flat.filter { case (k, _) => headline.contains(k) }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_full.json")
+    // a SPARK_GRAFT_QUERIES subset run must not clobber the committed
+    // full-map artifact (it did once in r8 — a 5-query dedup probe
+    // overwrote the 173-query map): subsets default to their own file
+    val defaultOut =
+      if (subset.isDefined) "BENCH_local_subset.json" else "BENCH_local_full.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     // the stdout line is the contract: a failed write must NOT leave a
     // stale file from an earlier run advertised as this run's output —
     // delete first, and advertise null on failure so the condition is

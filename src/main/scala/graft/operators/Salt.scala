@@ -35,4 +35,44 @@ object Salt {
       .groupBy(keys.map(col): _*)
       .agg(sum("__ps").as(s"sum_$valueCol"))
   }
+
+  /** General two-phase aggregate: `partial` runs per (keys, salt) group,
+    * `final` re-combines per key with the salt dropped. Caller supplies
+    * decomposable pairs (e.g. count → sum, sum → sum, min → min); any
+    * aggregate whose merge is associative works. The hot key's rows land
+    * in `buckets` shuffle partitions instead of one, so the reduce-side
+    * skew ceiling drops by that factor while the result is bit-identical
+    * to the unsalted groupBy (decimal/long partials are
+    * order-independent).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int = 16)
+               (partialAggs: Column*)(finalAggs: Column*): DataFrame = {
+    require(partialAggs.nonEmpty && finalAggs.nonEmpty,
+      "saltedAgg needs at least one partial and one final aggregate")
+    df.withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Skew-safe equi-join: the (large, skewed) `fact` side carries a
+    * deterministic salt derived from `saltExpr` (any data column — NOT a
+    * random, so re-execution under task retry or AQE replans is stable);
+    * the `dim` side replicates each row across all `buckets` salt
+    * values. Joining on keys :+ salt spreads a hot join key's fact rows
+    * over `buckets` reduce tasks instead of one. Row-for-row identical
+    * to `fact.join(dim, keys)`; cost is a `buckets`× blow-up of the dim
+    * side's shuffle, the standard trade for big-big skewed joins where
+    * the dim exceeds broadcast range (when it fits, broadcast instead —
+    * salting a broadcastable dim is pure overhead).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltExpr: Column, buckets: Int = 16): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(saltExpr, lit(buckets)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -607,6 +607,46 @@ object Relational {
             .otherwise(0L)).as("n_false_neg_keys"))
     },
 
+    // X17: skew-salted aggregate — event_type is the canonical hot key
+    // (a handful of values over the whole events table, so an unsalted
+    // groupBy funnels ~n/4 rows into ONE reduce task each, at ANY
+    // scale). `Salt.saltedAgg` splits each key across 16 salt buckets
+    // (partial aggregate) and re-combines without the salt; decimal
+    // and long partials are order-independent, so the result is
+    // bit-identical to the direct groupBy the oracle runs.
+    "x17_salted_agg" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("value").cast(dec).as("v"))
+      graft.operators.Salt.saltedAgg(ev, Seq("event_type"))(
+          count(lit(1)).as("__pn"), sum(col("v")).as("__ps"))(
+          sum(col("__pn")).as("n"),
+          sum(col("__ps")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // X18: skew-salted big-big join — lineitem⋈part forced off the
+    // broadcast path (shuffle_hash hint — the stand-in for a dim too
+    // large to broadcast, where salting is the right tool; a
+    // broadcastable dim should broadcast instead): the fact side salts
+    // on pmod(l_orderkey, 16) (data-derived, deterministic under task
+    // retries and AQE replans — never rand()), the dim replicates ×16,
+    // and the join key becomes (p_partkey, __salt), spreading a hot
+    // partkey's fact rows over 16 reduce tasks. Output — and the
+    // oracle — is the plain unsalted join aggregate.
+    "x18_salted_join" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+          col("l_extendedprice").cast(dec).as("price"))
+      val p = table(s, dir, "part").select("p_partkey", "p_size")
+      graft.operators.Salt
+        .saltedJoin(l, p.hint("shuffle_hash"), Seq("p_partkey"),
+          col("l_orderkey"))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("revenue"))
+        .orderBy("p_size")
+    },
+
     // X12: A/B experiment readout — the two-proportion z-test over a
     // deterministic arm split (user_id parity): among users with at
     // least one click, does conversion (any purchase) differ by arm?
@@ -677,6 +717,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "x17_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x18_salted_join" ->
+      """SELECT p.p_size, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_size ORDER BY p.p_size""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
