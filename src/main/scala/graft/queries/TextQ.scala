@@ -1002,6 +1002,75 @@ object TextQ {
         .orderBy("rank")
     },
 
+    // b4: pseudo-relevance-feedback query expansion (the Rocchio/RM
+    // shape): the b1 BM25 top-10 is the feedback set; candidate
+    // expansion terms are scored df_fb·1e6 div (df_corpus + 1) —
+    // feedback support, discounted by corpus commonness, all integer —
+    // and the top-5 join the original query terms (weight 1 vs the
+    // originals' 2) for a weighted distinct-term-hit re-rank. Scale
+    // shape: the candidate vocabulary comes from 10 docs (bounded);
+    // the corpus-df pass semi-joins down to that broadcast vocabulary
+    // BEFORE aggregating; the re-score explodes corpus tokens against
+    // a ~9-term broadcast set; every rank window sits behind a bounded
+    // TakeOrdered. Nothing is all-pairs, nothing is globally windowed.
+    "b4_prf_expand" -> { (s, dir) =>
+      import s.implicits._
+      val fb = bm25Scores(s, dir)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      val d = docToks(s, dir)
+      val fbTerms = d.join(broadcast(fb), "doc_id")
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .where(not(col("term").isin(bm25Terms: _*)) && length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("df_fb"))
+        .where(col("df_fb") >= 2)
+      val corpusDf = d
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(fbTerms.select("term")), "term")
+        .groupBy("term").agg(count(lit(1)).as("df_corpus"))
+      val expansion = fbTerms.join(corpusDf, "term")
+        .withColumn("exp_u", expr("(df_fb * 1000000) div (df_corpus + 1)"))
+        .orderBy(col("exp_u").desc, col("term")).limit(5)
+      val qterms = expansion.select(col("term"), lit(1L).as("w"))
+        .unionByName(bm25Terms.toDF("term").withColumn("w", lit(2L)))
+      val hits = d
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum("w").as("score"))
+      hits.orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "n_hit", "score")
+        .orderBy("rank")
+    },
+
+    // c16: dataset card — the per-source corpus manifest a training-
+    // data release ships: doc/char/token totals, language count, the
+    // dominant language (ties to the alphabetically first), mean doc
+    // length. One pass: per-(source, lang) partials roll up per
+    // source; the dominant lang is min(struct(-n, lang)) over the
+    // partials — order-independent, no window at all.
+    "c16_dataset_card" -> { (s, dir) =>
+      val bySrcLang = table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("text"),
+          tokens(col("text")).as("toks"))
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          size(col("toks")).cast("long").as("nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("nc").as("snc"), sum("nt").as("snt"))
+      bySrcLang.groupBy("source")
+        .agg(sum("n").as("n_docs"), sum("snc").as("n_chars"),
+          sum("snt").as("n_tokens"), count(lit(1)).as("n_langs"),
+          min(struct((-col("n")).as("negn"), col("lang")))
+            .getField("lang").as("top_lang"))
+        .withColumn("mean_chars", expr("n_chars div n_docs"))
+        .select("source", "n_docs", "n_chars", "n_tokens", "n_langs",
+          "top_lang", "mean_chars")
+        .orderBy("source")
+    },
+
     // b2: exact PHRASE match ("merge join", adjacent tokens) as a pure
     // projection — no shuffle, no postings index: the optimal 100 TB
     // shape for a fixed-phrase scan (b1's inverted-index path is for
@@ -2055,6 +2124,68 @@ object TextQ {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank FROM ag)
         |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    "b4_prf_expand" ->
+      s"""WITH tk AS ($toksSql),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS t_toks FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('table', 'hash', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  (CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+        |    * 22 * st.t_toks * tf.tf)
+        |  // (10 * st.t_toks * tf.tf + 3 * st.t_toks + 9 * tf.dl * st.n_docs) AS c_u
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term),
+        |ag AS (SELECT doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id),
+        |fb AS (SELECT doc_id FROM ag ORDER BY score_u DESC, doc_id LIMIT 10),
+        |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
+        |fbt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_fb
+        |  FROM dt JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('table', 'hash', 'merge', 'window')
+        |    AND length(term) >= 3
+        |  GROUP BY term HAVING COUNT(*) >= 2),
+        |cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_corpus
+        |  FROM dt WHERE term IN (SELECT term FROM fbt) GROUP BY term),
+        |ex AS (SELECT f.term
+        |  FROM fbt f JOIN cdf c USING (term)
+        |  ORDER BY (f.df_fb * 1000000) // (c.df_corpus + 1) DESC, f.term
+        |  LIMIT 5),
+        |q AS (SELECT term, CAST(1 AS BIGINT) AS w FROM ex
+        |  UNION ALL
+        |  SELECT unnest(['table', 'hash', 'merge', 'window']) AS term,
+        |    CAST(2 AS BIGINT) AS w),
+        |h AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |  CAST(SUM(q.w) AS BIGINT) AS score
+        |  FROM dt JOIN q USING (term) GROUP BY dt.doc_id),
+        |r AS (SELECT doc_id, n_hit, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT rank, doc_id, n_hit, score FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    "c16_dataset_card" ->
+      s"""WITH tk AS ($toksSql),
+        |b AS (SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(d.text)) AS BIGINT) AS snc,
+        |  CAST(SUM(len(tk.toks)) AS BIGINT) AS snt
+        |  FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+        |  GROUP BY d.source, d.lang),
+        |card AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(snc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(snt) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM b GROUP BY source),
+        |top AS (SELECT source, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+        |  FROM b)
+        |SELECT c.source, c.n_docs, c.n_chars, c.n_tokens, c.n_langs,
+        |  t.lang AS top_lang, c.n_chars // c.n_docs AS mean_chars
+        |FROM card c JOIN top t ON c.source = t.source AND t.rn = 1
+        |ORDER BY c.source""".stripMargin,
 
     "b2_phrase" ->
       s"""WITH tk AS ($toksSql),

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSuite {
   private val boundedGlobalWindow = Set(
     "b1_bm25_topk",     // ranks the 10 TakeOrdered survivors
     "b3_hybrid_rrf",    // ranks ≤40 fused rows from two top-20 legs
+    "b4_prf_expand",    // ranks the 10 TakeOrdered re-scored survivors
     "k1_kmer_spectrum"  // ranks the 30 TakeOrdered k-mers
   )
 
