@@ -328,6 +328,59 @@ object DedupQ {
         .orderBy("q", "rank")
     },
 
+    // n10: MMR-DIVERSIFIED rerank — the stage after ANN retrieval in a
+    // RAG / training-data-selection stack: from each query's top-20
+    // cosine candidates, greedily pick 5 maximizing
+    // 0.5·relevance − 0.5·max-similarity-to-already-picked (Carbonell
+    // & Goldstein's maximal marginal relevance, λ = 0.5). The greedy
+    // loop is unrolled RELATIONALLY — candidate and candidate-pair
+    // frames are persisted once (bounded: 20 rows and 20·19 pairs per
+    // query, BY CONSTRUCTION, regardless of corpus size), each pick is
+    // a per-query window over ≤20 rows (partitioned by q — never
+    // global), and the corpus is scanned exactly once by the top-20
+    // stage. Scores are IEEE doubles computed by the identical
+    // expression tree in both engines, so the gate is hash-exact.
+    "n10_mmr_rerank" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cand = CosineSim.topK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("q"), col("neighbor").as("n"), col("cos").as("rel"))
+        .persist()
+      val cvec = emb.select(col("vec_id").as("n"), col("embedding").as("v"),
+        sqrt(CosineSim.dot(col("embedding"), col("embedding"))).as("nn"))
+      val withV = cand.join(cvec, "n")
+      val lhs = withV.select(col("q"), col("n").as("a"),
+        col("v").as("va"), col("nn").as("na"))
+      val rhs = withV.select(col("q"), col("n").as("b"),
+        col("v").as("vb"), col("nn").as("nb"))
+      val pairs = lhs.join(rhs, Seq("q")).where(col("a") =!= col("b"))
+        .select(col("q"), col("a"), col("b"),
+          (CosineSim.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+            .as("sim"))
+        .persist()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(col("score").desc, col("n"))
+      var sel = cand.withColumn("score", col("rel"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("q"), col("n"), col("score"), lit(1L).as("rank"))
+      var rem = cand.join(sel.select("q", "n"), Seq("q", "n"), "left_anti")
+      for (i <- 2 to 5) {
+        val simToSel = pairs
+          .join(sel.select(col("q"), col("n").as("b")), Seq("q", "b"))
+          .groupBy(col("q"), col("a")).agg(max(col("sim")).as("ms"))
+          .withColumnRenamed("a", "n")
+        val scored = rem.join(simToSel, Seq("q", "n"))
+          .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("ms"))
+        val next = scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("q"), col("n"), col("score"), lit(i.toLong).as("rank"))
+        sel = sel.unionByName(next)
+        rem = rem.join(next.select("q", "n"), Seq("q", "n"), "left_anti")
+      }
+      sel.select(col("q"), col("rank"), col("n").as("neighbor"), col("score"))
+        .orderBy("q", "rank")
+    },
+
     // n5: trained-codebook IVF — FIXED k centroids (deterministic
     // md5-smallest hash sample), so assignment is n·k (linear in the
     // corpus) where the √n-stride sampler is n^1.5; the codebook is
@@ -992,6 +1045,69 @@ object DedupQ {
         |r AS (SELECT q, neighbor, d2,
         |  ROW_NUMBER() OVER (PARTITION BY q ORDER BY d2, neighbor) AS rk FROM ex)
         |SELECT q, CAST(rk AS BIGINT) AS rank, neighbor, d2 FROM r WHERE rk <= 3
+        |ORDER BY q, rank""".stripMargin,
+
+    "n10_mmr_rerank" ->
+      """WITH q0 AS (SELECT vec_id AS q, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS n, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT q, n,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rel
+        |  FROM q0 JOIN c0 ON q <> n),
+        |cand AS (SELECT q, n, rel FROM (
+        |  SELECT q, n, rel, ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, n) AS rk FROM s)
+        |  WHERE rk <= 20),
+        |cvs AS (SELECT cand.q, cand.n, c0.cv FROM cand JOIN c0 ON cand.n = c0.n),
+        |pr AS (SELECT x.q, x.n AS a, y.n AS b,
+        |  list_dot_product(x.cv, y.cv) /
+        |    (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv))) AS sim
+        |  FROM cvs x JOIN cvs y ON x.q = y.q AND x.n <> y.n),
+        |sel1 AS (SELECT q, n, rel AS score, CAST(1 AS BIGINT) AS rank FROM (
+        |  SELECT q, n, rel, ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, n) AS rk FROM cand)
+        |  WHERE rk = 1),
+        |rem1 AS (SELECT c.q, c.n, c.rel FROM cand c LEFT JOIN sel1 s
+        |  ON c.q = s.q AND c.n = s.n WHERE s.n IS NULL),
+        |ms2 AS (SELECT p.q, p.a AS n, MAX(p.sim) AS ms FROM pr p
+        |  JOIN sel1 s ON p.q = s.q AND p.b = s.n GROUP BY p.q, p.a),
+        |sc2 AS (SELECT r.q, r.n, 0.5 * r.rel - 0.5 * m.ms AS score
+        |  FROM rem1 r JOIN ms2 m ON r.q = m.q AND r.n = m.n),
+        |sel2 AS (SELECT q, n, score, CAST(2 AS BIGINT) AS rank FROM (
+        |  SELECT q, n, score, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, n) AS rk FROM sc2)
+        |  WHERE rk = 1),
+        |acc2 AS (SELECT q, n FROM sel1 UNION ALL SELECT q, n FROM sel2),
+        |rem2 AS (SELECT r.q, r.n, r.rel FROM rem1 r LEFT JOIN sel2 s
+        |  ON r.q = s.q AND r.n = s.n WHERE s.n IS NULL),
+        |ms3 AS (SELECT p.q, p.a AS n, MAX(p.sim) AS ms FROM pr p
+        |  JOIN acc2 s ON p.q = s.q AND p.b = s.n GROUP BY p.q, p.a),
+        |sc3 AS (SELECT r.q, r.n, 0.5 * r.rel - 0.5 * m.ms AS score
+        |  FROM rem2 r JOIN ms3 m ON r.q = m.q AND r.n = m.n),
+        |sel3 AS (SELECT q, n, score, CAST(3 AS BIGINT) AS rank FROM (
+        |  SELECT q, n, score, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, n) AS rk FROM sc3)
+        |  WHERE rk = 1),
+        |acc3 AS (SELECT q, n FROM acc2 UNION ALL SELECT q, n FROM sel3),
+        |rem3 AS (SELECT r.q, r.n, r.rel FROM rem2 r LEFT JOIN sel3 s
+        |  ON r.q = s.q AND r.n = s.n WHERE s.n IS NULL),
+        |ms4 AS (SELECT p.q, p.a AS n, MAX(p.sim) AS ms FROM pr p
+        |  JOIN acc3 s ON p.q = s.q AND p.b = s.n GROUP BY p.q, p.a),
+        |sc4 AS (SELECT r.q, r.n, 0.5 * r.rel - 0.5 * m.ms AS score
+        |  FROM rem3 r JOIN ms4 m ON r.q = m.q AND r.n = m.n),
+        |sel4 AS (SELECT q, n, score, CAST(4 AS BIGINT) AS rank FROM (
+        |  SELECT q, n, score, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, n) AS rk FROM sc4)
+        |  WHERE rk = 1),
+        |acc4 AS (SELECT q, n FROM acc3 UNION ALL SELECT q, n FROM sel4),
+        |rem4 AS (SELECT r.q, r.n, r.rel FROM rem3 r LEFT JOIN sel4 s
+        |  ON r.q = s.q AND r.n = s.n WHERE s.n IS NULL),
+        |ms5 AS (SELECT p.q, p.a AS n, MAX(p.sim) AS ms FROM pr p
+        |  JOIN acc4 s ON p.q = s.q AND p.b = s.n GROUP BY p.q, p.a),
+        |sc5 AS (SELECT r.q, r.n, 0.5 * r.rel - 0.5 * m.ms AS score
+        |  FROM rem4 r JOIN ms5 m ON r.q = m.q AND r.n = m.n),
+        |sel5 AS (SELECT q, n, score, CAST(5 AS BIGINT) AS rank FROM (
+        |  SELECT q, n, score, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, n) AS rk FROM sc5)
+        |  WHERE rk = 1),
+        |allsel AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+        |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+        |  UNION ALL SELECT * FROM sel5)
+        |SELECT q, rank, n AS neighbor, score FROM allsel
         |ORDER BY q, rank""".stripMargin,
 
     "n1_ann_topk" ->
