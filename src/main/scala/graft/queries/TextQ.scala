@@ -711,6 +711,51 @@ object TextQ {
       }(enc).orderBy("media_id")
     },
 
+    // m16: image RESIZE on the real decode path — the
+    // feature-extraction staple (thumbnail / model-input downsample)
+    // over the binary column: a 16×12 PNG (md5-derived grayscale
+    // pixels, same fixture family as m9) is encoded, decoded through
+    // ImageIO, and area-average-resized to a 4×3 grid
+    // (`ImageCodec.grayGrid` — integer luma sums, floor cell bounds).
+    // Each 4×4 cell's mean luma (thousandths) is emitted as a row, so
+    // the oracle re-derives every output value with pure integer SQL
+    // over the same md5 bytes: one wrong pixel or off-by-one cell
+    // bound shifts a mean and fails the hash. mapPartitions batch
+    // shape: one encoder/decoder per task, 12 output rows per image,
+    // input partitioning preserved — no shuffle until the final sort.
+    "m16_image_resize" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("cy", LongType),
+        StructField("cx", LongType),
+        StructField("gray1000", LongType))))
+      media.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pix(id: Long, x: Int, y: Int): Int = {
+          md.reset()
+          (md.digest(s"$id:$x:$y".getBytes("UTF-8"))(0)) & 0xff
+        }
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(
+            16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 12; x <- 0 until 16) {
+            val v = pix(id, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val decoded = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val g = graft.multimodal.ImageCodec.grayGrid(decoded, 4, 3)
+          for (cy <- 0 until 3; cx <- 0 until 4)
+            yield Row(id, cy.toLong, cx.toLong, g(cy * 4 + cx))
+        }
+      }(enc).orderBy("media_id", "cy", "cx")
+    },
+
     // m10: perceptual image DEDUP end-to-end, oracle-gated — the
     // whole real pipeline m9 gates only the front of: decode (PNG →
     // ImageIO pixels) → dHash → pigeonhole blocks → banded Hamming
@@ -1972,6 +2017,21 @@ object TextQ {
         |SELECT doc_id, i AS frame_no, CAST(off AS BIGINT) AS frame_off,
         |  sz AS frame_sz, payload
         |FROM o ORDER BY doc_id, frame_no""".stripMargin,
+
+    "m16_image_resize" ->
+      // PNG is lossless, the 16×12 image splits exactly into 4×4
+      // cells, and grayscale luma is 1000·v — so every area-average
+      // cell value equals this integer arithmetic over the same md5
+      // pixel bytes
+      """WITH m AS (SELECT doc_id AS media_id FROM documents),
+        |px AS (SELECT media_id, x, y,
+        |  ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+        |     CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT AS v
+        |  FROM m, UNNEST(range(0, 16)) AS tx(x), UNNEST(range(0, 12)) AS ty(y))
+        |SELECT media_id, CAST(y // 4 AS BIGINT) AS cy, CAST(x // 4 AS BIGINT) AS cx,
+        |  CAST(SUM(1000 * v) // 16 AS BIGINT) AS gray1000
+        |FROM px GROUP BY media_id, y // 4, x // 4
+        |ORDER BY media_id, cy, cx""".stripMargin,
 
     "m9_image_dhash" ->
       // PNG is lossless and the 9×8 pooling grid is the pixel grid,
