@@ -711,6 +711,40 @@ object TextQ {
       }(enc).orderBy("media_id")
     },
 
+    // c17: SPLIT + LEAKAGE AUDIT — the deterministic 80/10/10
+    // train/val/test assignment (md5(doc_id) bucket — stable across
+    // runs, machines, and re-partitioning; never rand()) plus the
+    // audit every eval set needs before release: how many val/test
+    // docs share an EXACT text hash with a training doc, and how many
+    // (eval, train) duplicate pairs exist. The leak key is a 64-char
+    // PREFIX fingerprint (md5 of the head), the cheap screen that
+    // catches verbatim and near-verbatim template copies the
+    // full-text hash misses (this corpus has prefix dups but zero
+    // full-text dups). Shape at 100 TB: one keyed
+    // aggregate of the train side per content hash, one shuffle join
+    // on that hash from the (small) eval side — no broadcast of the
+    // big split, no all-pairs. (Near-dup contamination is d7's
+    // shingle-overlap decontam; this is the exact-match split gate.)
+    "c17_split_leakage" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10L).as("b"))
+        .withColumn("split",
+          when(col("b") <= 7L, "train")
+            .when(col("b") === 8L, "val").otherwise("test"))
+      val train = d.where(col("split") === "train")
+        .groupBy("h").agg(count(lit(1)).as("n_train_dups"))
+      d.where(col("split") =!= "train")
+        .join(train, Seq("h"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_train_dups").isNotNull, 1L).otherwise(0L))
+            .as("n_leaked_docs"),
+          sum(coalesce(col("n_train_dups"), lit(0L))).as("n_leaked_pairs"))
+        .orderBy("split")
+    },
+
     // m16: image RESIZE on the real decode path — the
     // feature-extraction staple (thumbnail / model-input downsample)
     // over the binary column: a 16×12 PNG (md5-derived grayscale
@@ -2017,6 +2051,21 @@ object TextQ {
         |SELECT doc_id, i AS frame_no, CAST(off AS BIGINT) AS frame_off,
         |  sz AS frame_sz, payload
         |FROM o ORDER BY doc_id, frame_no""".stripMargin,
+
+    "c17_split_leakage" ->
+      """WITH d AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM d),
+        |t AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_train_dups
+        |  FROM s WHERE split = 'train' GROUP BY h)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+        |  CAST(SUM(COALESCE(n_train_dups, 0)) AS BIGINT) AS n_leaked_pairs
+        |FROM s LEFT JOIN t ON s.h = t.h WHERE split <> 'train'
+        |GROUP BY split ORDER BY split""".stripMargin,
 
     "m16_image_resize" ->
       // PNG is lossless, the 16×12 image splits exactly into 4×4
