@@ -102,6 +102,43 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d13: CONTENT-DEFINED chunking dedup (the LBFS/restic CDC shape):
+    // a chunk boundary is declared wherever a hash of the LOCAL 8-char
+    // window hits 0 mod 32 (expected chunk ≈ 32 chars here; production
+    // tunes window/modulus). Because the boundary decision depends
+    // only on window CONTENT, an insertion early in a document shifts
+    // only the chunks it touches — the resynchronization property
+    // fixed-size chunking (d9) lacks, and the reason storage/backup
+    // dedup is CDC-based. Everything is per-doc HOF projection (no
+    // shuffle until the chunk-hash groupBy); the boundary hash is md5
+    // for oracle portability — a deployment would swap in a gear/
+    // xxhash rolling family, the d2-style prod-twin trade. Output per
+    // doc: chunk count, chunks shared with ANY other chunk instance
+    // corpus-wide, and the byte mass those shared chunks cover.
+    "d13_cdc_dedup" -> { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val len = length(col("text"))
+      val hashHit = (i: org.apache.spark.sql.Column) =>
+        conv(substring(md5(col("text").substr(i - lit(7), lit(8))), 1, 4), 16, 10)
+          .cast("long") % 32 === 0
+      val bs = filter(sequence(lit(8), greatest(len, lit(8))),
+        i => i <= len && hashHit(i))
+      val starts = concat(array(lit(1)), transform(bs, b => b + 1))
+      val ends = concat(bs, array(len))
+      val chunks = zip_with(starts, ends,
+        (a, b) => col("text").substr(a, b - a + lit(1)))
+      val ex = d.select(col("doc_id"), explode(chunks).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          length(col("chunk")).cast("long").as("nb"))
+      val global = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+      ex.join(global, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+          sum(when(col("cnt") > 1, col("nb")).otherwise(0L)).as("shared_bytes"))
+        .orderBy("doc_id")
+    },
+
     // d12: INCREMENTAL near-dup ingest — the delta-batch probe of a
     // persisted LSH index. Docs with doc_id % 10 = 7 play the "new
     // crawl snapshot"; the rest are the already-indexed base corpus.
@@ -655,6 +692,28 @@ object DedupQ {
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "d13_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |b AS (SELECT doc_id, text, len,
+        |  list_filter(range(8, GREATEST(len, 8) + 1),
+        |    i -> i <= len AND
+        |      ('0x' || substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 4))::BIGINT % 32 = 0) AS bs
+        |  FROM d),
+        |ck AS (SELECT doc_id, text, len,
+        |  ([CAST(1 AS BIGINT)] || list_transform(bs, x -> x + 1)) AS st,
+        |  (bs || [len]) AS en FROM b),
+        |ex AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(st) + 1),
+        |    i -> substr(text, CAST(st[CAST(i AS INT)] AS INT),
+        |                CAST(en[CAST(i AS INT)] - st[CAST(i AS INT)] + 1 AS INT)))) AS chunk
+        |  FROM ck),
+        |g AS (SELECT md5(chunk) AS h, COUNT(*) AS cnt FROM ex GROUP BY 1)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        |  CAST(SUM(CASE WHEN g.cnt > 1 THEN length(e.chunk) ELSE 0 END) AS BIGINT) AS shared_bytes
+        |FROM ex e JOIN g ON md5(e.chunk) = g.h
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
     // d12 = d2's full U-family recompute over base ∪ delta, filtered
     // to pairs touching the delta split (doc_id % 10 = 7) — the
