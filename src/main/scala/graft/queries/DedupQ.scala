@@ -117,17 +117,8 @@ object DedupQ {
     // corpus-wide, and the byte mass those shared chunks cover.
     "d13_cdc_dedup" -> { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val len = length(col("text"))
-      val hashHit = (i: org.apache.spark.sql.Column) =>
-        conv(substring(md5(col("text").substr(i - lit(7), lit(8))), 1, 4), 16, 10)
-          .cast("long") % 32 === 0
-      val bs = filter(sequence(lit(8), greatest(len, lit(8))),
-        i => i <= len && hashHit(i))
-      val starts = concat(array(lit(1)), transform(bs, b => b + 1))
-      val ends = concat(bs, array(len))
-      val chunks = zip_with(starts, ends,
-        (a, b) => col("text").substr(a, b - a + lit(1)))
-      val ex = d.select(col("doc_id"), explode(chunks).as("chunk"))
+      val ex = d.select(col("doc_id"),
+          explode(graft.dedup.Cdc.chunks(col("text"))).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h"),
           length(col("chunk")).cast("long").as("nb"))
       val global = ex.groupBy("h").agg(count(lit(1)).as("cnt"))

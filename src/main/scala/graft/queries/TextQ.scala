@@ -711,6 +711,34 @@ object TextQ {
       }(enc).orderBy("media_id")
     },
 
+    // t16: character-level Shannon entropy per doc, in integer
+    // micro-nats — the gibberish/boilerplate screen orthogonal to the
+    // token-level filters (t2/t6/t7): encrypted or base64 blobs score
+    // HIGH, template/repeated-char spam scores LOW, and both evade
+    // word-ratio rules. Each (doc, char) term
+    // floor(1e6 · p·ln(1/p)) is quantized BEFORE the per-doc sum
+    // (integer addition — associative, partial-agg safe), and the
+    // doubles feeding floor come from the identical expression tree in
+    // both engines. Plan: one per-char explode (linear in corpus
+    // bytes), two keyed aggregates, one keyed join — no windows.
+    "t16_char_entropy" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).where(length(col("text")) > 0)
+      val ch = d.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+      val cc = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+      val n = cc.groupBy("doc_id").agg(sum("nc").as("n"))
+      cc.join(n, "doc_id")
+        .withColumn("term_u",
+          floor(lit(1e6) * (col("nc").cast("double") / col("n").cast("double")) *
+            log(col("n").cast("double") / col("nc").cast("double"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          sum("term_u").as("entropy_u"))
+        .orderBy("doc_id")
+    },
+
     // c17: SPLIT + LEAKAGE AUDIT — the deterministic 80/10/10
     // train/val/test assignment (md5(doc_id) bucket — stable across
     // runs, machines, and re-partitioning; never rand()) plus the
@@ -2051,6 +2079,19 @@ object TextQ {
         |SELECT doc_id, i AS frame_no, CAST(off AS BIGINT) AS frame_off,
         |  sz AS frame_sz, payload
         |FROM o ORDER BY doc_id, frame_no""".stripMargin,
+
+    "t16_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |  i -> substr(text, CAST(i AS INT), 1))) AS ch FROM d),
+        |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+        |SELECT cc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |  CAST(SUM(CAST(floor(1e6 * (CAST(nc AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |    ln(CAST(n.n AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT)) AS BIGINT) AS entropy_u
+        |FROM cc JOIN n ON cc.doc_id = n.doc_id
+        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin,
 
     "c17_split_leakage" ->
       """WITH d AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h,
