@@ -373,7 +373,6 @@ object DedupQ {
       val cand = CosineSim.topK(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "vec_id", "embedding", k = 20)
         .select(col("q"), col("neighbor").as("n"), col("cos").as("rel"))
-        .persist()
       val cvec = emb.select(col("vec_id").as("n"), col("embedding").as("v"),
         sqrt(CosineSim.dot(col("embedding"), col("embedding"))).as("nn"))
       val withV = cand.join(cvec, "n")
@@ -385,27 +384,46 @@ object DedupQ {
         .select(col("q"), col("a"), col("b"),
           (CosineSim.dot(col("va"), col("vb")) / (col("na") * col("nb")))
             .as("sim"))
-        .persist()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q").orderBy(col("score").desc, col("n"))
-      var sel = cand.withColumn("score", col("rel"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("q"), col("n"), col("score"), lit(1L).as("rank"))
-      var rem = cand.join(sel.select("q", "n"), Seq("q", "n"), "left_anti")
-      for (i <- 2 to 5) {
-        val simToSel = pairs
-          .join(sel.select(col("q"), col("n").as("b")), Seq("q", "b"))
-          .groupBy(col("q"), col("a")).agg(max(col("sim")).as("ms"))
-          .withColumnRenamed("a", "n")
-        val scored = rem.join(simToSel, Seq("q", "n"))
-          .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("ms"))
-        val next = scored.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("q"), col("n"), col("score"), lit(i.toLong).as("rank"))
-        sel = sel.unionByName(next)
-        rem = rem.join(next.select("q", "n"), Seq("q", "n"), "left_anti")
-      }
-      sel.select(col("q"), col("rank"), col("n").as("neighbor"), col("score"))
+      // the greedy runs as ONE per-query projection over grouped
+      // candidate/pair-sim arrays (bounded: 20 candidates, 380 sims
+      // per query BY CONSTRUCTION) — an earlier relationally-unrolled
+      // version planned 5 join+window iterations and spent its wall on
+      // plan optimization and tiny-stage scheduling (measured 15 s for
+      // 25 output rows; HOF form ≈ the top-20 stage alone). The argmax
+      // scan is ORDER-INDEPENDENT (strict (score, n) total order), so
+      // collect_list's nondeterministic order cannot change the picks.
+      val cands = cand.groupBy("q")
+        .agg(collect_list(struct(col("n"), col("rel"))).as("cs"))
+      val sims = pairs.groupBy("q")
+        .agg(collect_list(struct(
+          concat_ws("_", col("a"), col("b")).as("k"), col("sim").as("v"))).as("es"))
+        .select(col("q"), map_from_entries(col("es")).as("sm"))
+      val init = struct(
+        array().cast("array<bigint>").as("sel"),
+        array().cast("array<struct<rank:bigint,n:bigint,score:double>>").as("out"))
+      val picked = cands.join(sims, "q").select(col("q"),
+        aggregate(sequence(lit(1), lit(5)), init, (acc, i) => {
+          val mmr = (c: org.apache.spark.sql.Column) =>
+            when(size(acc("sel")) === 0, c("rel")).otherwise(
+              lit(0.5) * c("rel") - lit(0.5) * array_max(
+                transform(acc("sel"), sid =>
+                  element_at(col("sm"), concat_ws("_", c("n"), sid)))))
+          val best = aggregate(col("cs"),
+            struct(lit(Double.NegativeInfinity).as("score"), lit(-1L).as("n")),
+            (b, c) => when(array_contains(acc("sel"), c("n")), b).otherwise {
+              val sc = mmr(c)
+              when(sc > b("score") || (sc === b("score") && c("n") < b("n")),
+                struct(sc.as("score"), c("n").cast("long").as("n"))).otherwise(b)
+            })
+          struct(
+            concat(acc("sel"), array(best("n"))).as("sel"),
+            concat(acc("out"), array(struct(
+              i.cast("long").as("rank"), best("n").as("n"),
+              best("score").as("score")))).as("out"))
+        }).getField("out").as("out"))
+      picked.select(col("q"), explode(col("out")).as("p"))
+        .select(col("q"), col("p.rank").as("rank"),
+          col("p.n").as("neighbor"), col("p.score").as("score"))
         .orderBy("q", "rank")
     },
 
