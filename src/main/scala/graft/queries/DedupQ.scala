@@ -103,18 +103,20 @@ object DedupQ {
     },
 
     // d13: CONTENT-DEFINED chunking dedup (the LBFS/restic CDC shape):
-    // a chunk boundary is declared wherever a hash of the LOCAL 8-char
-    // window hits 0 mod 32 (expected chunk ≈ 32 chars here; production
-    // tunes window/modulus). Because the boundary decision depends
-    // only on window CONTENT, an insertion early in a document shifts
-    // only the chunks it touches — the resynchronization property
-    // fixed-size chunking (d9) lacks, and the reason storage/backup
-    // dedup is CDC-based. Everything is per-doc HOF projection (no
-    // shuffle until the chunk-hash groupBy); the boundary hash is md5
-    // for oracle portability — a deployment would swap in a gear/
-    // xxhash rolling family, the d2-style prod-twin trade. Output per
-    // doc: chunk count, chunks shared with ANY other chunk instance
-    // corpus-wide, and the byte mass those shared chunks cover.
+    // a chunk boundary is declared wherever the Rabin–Karp polynomial
+    // of the LOCAL 8-char window lands in the prime-modulus hit band
+    // (expected chunk ≈ 32 chars; production tunes window/band).
+    // Because the boundary decision depends only on window CONTENT, an
+    // insertion early in a document shifts only the chunks it touches —
+    // the resynchronization property fixed-size chunking (d9) lacks,
+    // and the reason storage/backup dedup is CDC-based. Everything is
+    // per-doc HOF projection (no shuffle until the chunk-hash groupBy);
+    // the polynomial is pure integer arithmetic in BOTH engines (an
+    // earlier md5-per-position version cost 4× as much wall for the
+    // same boundaries-per-byte), and a rolling deployment evaluates the
+    // SAME polynomial incrementally. Output per doc: chunk count,
+    // chunks shared with ANY other chunk instance corpus-wide, and the
+    // byte mass those shared chunks cover.
     "d13_cdc_dedup" -> { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val ex = d.select(col("doc_id"),
@@ -707,7 +709,14 @@ object DedupQ {
         |b AS (SELECT doc_id, text, len,
         |  list_filter(range(8, GREATEST(len, 8) + 1),
         |    i -> i <= len AND
-        |      ('0x' || substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 4))::BIGINT % 32 = 0) AS bs
+        |      (CAST(ord(substr(text, CAST(i AS INT) - 7, 1)) AS BIGINT) * 27512614111
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 6, 1)) AS BIGINT) * 887503681
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 5, 1)) AS BIGINT) * 28629151
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 4, 1)) AS BIGINT) * 923521
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 3, 1)) AS BIGINT) * 29791
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 2, 1)) AS BIGINT) * 961
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 1, 1)) AS BIGINT) * 31
+        |     + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) % 1031 < 32) AS bs
         |  FROM d),
         |ck AS (SELECT doc_id, text, len,
         |  ([CAST(1 AS BIGINT)] || list_transform(bs, x -> x + 1)) AS st,
