@@ -165,7 +165,8 @@ object Bench {
       "g6_kcore", "b2_phrase", "d10_containment", "c10_neardup_removal",
       "t11_bpe_merges", "w8_retention",
       "g7_label_propagation", "m4_snapshot_diff", "m5_bucketed_join",
-      "st9_stream_upsert", "b5_snippet")
+      "st9_stream_upsert", "b5_snippet",
+      "x18_salted_join", "d13_cdc_dedup", "n10_mmr_rerank", "b4_prf_expand")
     val lineQs = flat.filter { case (k, _) => headline.contains(k) }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
