@@ -647,6 +647,43 @@ object Relational {
         .orderBy("p_size")
     },
 
+    // X19: MERGEABLE distinct-count sketch, oracle-exact — linear
+    // counting (Whang et al.): each user hashes to one of m = 65536
+    // md5 buckets, a scope's sketch is its distinct-bucket SET, and
+    // the estimate is m·ln(m/(m−V)) (quantized ×1000). The point is
+    // the MERGE: the all-days row is computed by set-union of the
+    // per-day bucket sets — the incremental/lakehouse pattern where
+    // each partition ships a fixed-size sketch and the union answers
+    // the global question without re-touching rows. Unlike x2's HLL
+    // (engine-private registers, rows-gated), every bucket draw here
+    // is an md5 the oracle replays, so sketch, merge, AND estimates
+    // are hash-gated; the exact distinct count rides along per scope
+    // as the accuracy reference.
+    "x19_linear_counting" -> { (s, dir) =>
+      val m = 65536L
+      val ev = IntervalsQ.events(s, dir)
+        .select(expr("ts div 1000000000 div 86400").as("day"), col("user_id"))
+      val bucket =
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % m
+      val db = ev.select(col("day"), bucket.as("b")).distinct()
+      val perDay = db.groupBy("day").agg(count(lit(1)).as("v"))
+      val allDays = db.select("b").distinct()
+        .agg(count(lit(1)).as("v")).withColumn("day", lit(-1L))
+      val exactDay = ev.distinct().groupBy("day")
+        .agg(count(lit(1)).as("exact"))
+      val exactAll = ev.select("user_id").distinct()
+        .agg(count(lit(1)).as("exact")).withColumn("day", lit(-1L))
+      perDay.unionByName(allDays.select("day", "v"))
+        .join(exactDay.unionByName(exactAll.select("day", "exact")), "day")
+        .withColumn("est_u",
+          floor(lit(1000.0) * lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toDouble) - col("v").cast("double"))))
+            .cast("long"))
+        .select("day", "v", "est_u", "exact")
+        .orderBy("day")
+    },
+
     // X12: A/B experiment readout — the two-proportion z-test over a
     // deterministic arm split (user_id parity): among users with at
     // least one click, does conversion (any purchase) differ by arm?
@@ -717,6 +754,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "x19_linear_counting" ->
+      """WITH e AS (SELECT epoch_ms(ts)//1000//86400 AS day, user_id FROM events),
+        |db AS (SELECT DISTINCT day,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 65536 AS b
+        |  FROM e),
+        |pd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS v FROM db GROUP BY day
+        |  UNION ALL
+        |  SELECT -1, CAST(COUNT(DISTINCT b) AS BIGINT) FROM db),
+        |ex AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM e GROUP BY day
+        |  UNION ALL
+        |  SELECT -1, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e)
+        |SELECT pd.day, pd.v,
+        |  CAST(floor(1000.0 * 65536.0 *
+        |    ln(65536.0 / (65536.0 - CAST(v AS DOUBLE)))) AS BIGINT) AS est_u,
+        |  ex.exact
+        |FROM pd JOIN ex ON pd.day = ex.day ORDER BY pd.day""".stripMargin,
+
     "x17_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1109,6 +1109,48 @@ object TextQ {
         .orderBy("rank")
     },
 
+    // b6: FIELD-WEIGHTED BM25 (the BM25F shape): documents get a
+    // title field (first 5 tokens) weighted 3× against the body, term
+    // frequency and document length both become their field-weighted
+    // sums, and the b1 integer BM25 fraction runs unchanged on top —
+    // the structured-document ranking every real search deployment
+    // uses (title hits outrank body hits at equal tf). Same all-
+    // integer algebra as b1 (products < 2^63 through sf5), same
+    // df-via-window trick (no second corpus scan), rank window behind
+    // the bounded top-10.
+    "b6_bm25f" -> { (s, dir) =>
+      val fielded = docToks(s, dir).select(col("doc_id"),
+        slice(col("toks"), 1, 5).as("title"),
+        slice(col("toks"), lit(6),
+          greatest(size(col("toks")) - 5, lit(0))).as("body"))
+      val base = fielded.withColumn("wdl",
+        (size(col("title")) * 3 + size(col("body"))).cast("long"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), sum("wdl").as("t_wdl"))
+      val tf = base.select(col("doc_id"), col("wdl"),
+          explode(concat(
+            transform(col("title"), t => struct(t.as("term"), lit(3L).as("w"))),
+            transform(col("body"), t => struct(t.as("term"), lit(1L).as("w")))))
+            .as("tw"))
+        .select(col("doc_id"), col("wdl"),
+          col("tw.term").as("term"), col("tw.w").as("w"))
+        .where(col("term").isin(bm25Terms: _*))
+        .groupBy("doc_id", "wdl", "term").agg(sum("w").as("wtf"))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_u",
+          floor(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("long"))
+        .withColumn("c_u",
+          expr("(idf_u * 22 * t_wdl * wtf) div (10 * t_wdl * wtf + 3 * t_wdl + 9 * wdl * n_docs)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum("c_u").as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "n_hit_terms", "score_u")
+        .orderBy("rank")
+    },
+
     // b4: pseudo-relevance-feedback query expansion (the Rocchio/RM
     // shape): the b1 BM25 top-10 is the feedback set; candidate
     // expansion terms are scored df_fb·1e6 div (df_corpus + 1) —
@@ -2272,6 +2314,34 @@ object TextQ {
         |  CAST(SUM(c_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id),
         |r AS (SELECT doc_id, n_hit_terms, score_u,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank FROM ag)
+        |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    "b6_bm25f" ->
+      s"""WITH tk AS ($toksSql),
+        |f AS (SELECT doc_id, list_slice(toks, 1, 5) AS title,
+        |  list_slice(toks, 6, len(toks)) AS body FROM tk),
+        |fb AS (SELECT doc_id, title, body,
+        |  CAST(3 * len(title) + len(body) AS BIGINT) AS wdl FROM f),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wdl) AS BIGINT) AS t_wdl FROM fb),
+        |tw AS (SELECT doc_id, wdl, term, w FROM (
+        |  SELECT doc_id, wdl, unnest(title) AS term, CAST(3 AS BIGINT) AS w FROM fb
+        |  UNION ALL
+        |  SELECT doc_id, wdl, unnest(body) AS term, CAST(1 AS BIGINT) AS w FROM fb)
+        |  WHERE term IN ('table', 'hash', 'merge', 'window')),
+        |tf AS (SELECT doc_id, wdl, term, CAST(SUM(w) AS BIGINT) AS wtf
+        |  FROM tw GROUP BY doc_id, wdl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  (CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+        |    * 22 * st.t_wdl * tf.wtf)
+        |  // (10 * st.t_wdl * tf.wtf + 3 * st.t_wdl + 9 * tf.wdl * st.n_docs) AS c_u
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(SUM(c_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_hit_terms, score_u,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM ag)
         |SELECT rank, doc_id, n_hit_terms, score_u FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
 

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSuite {
     "b1_bm25_topk",     // ranks the 10 TakeOrdered survivors
     "b3_hybrid_rrf",    // ranks ≤40 fused rows from two top-20 legs
     "b4_prf_expand",    // ranks the 10 TakeOrdered re-scored survivors
+    "b6_bm25f",         // ranks the 10 TakeOrdered field-weighted survivors
     "k1_kmer_spectrum"  // ranks the 30 TakeOrdered k-mers
   )
 
