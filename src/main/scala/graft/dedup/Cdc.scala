@@ -14,17 +14,15 @@ import org.apache.spark.sql.functions._
   * fixed-size chunking lacks, and the reason storage/backup dedup and
   * delta-sync protocols are CDC-based (`CdcSpec` pins it).
   *
-  * Pure column builders (codegen'd HOFs, no UDF): callers explode
-  * `chunks` and aggregate chunk hashes. The boundary hash is the
-  * Rabin–Karp polynomial of the window (Σ c_j·31^(window-1-j)) tested
-  * against a PRIME modulus (a power-of-two modulus of a base-31
-  * polynomial degenerates: 31^j mod 2^k cycles with period 2, making
-  * the bucket an alternating char sum) — pure integer arithmetic,
-  * identical in Spark and DuckDB, and ~4× cheaper than the md5 the
-  * first version hashed per position. A rolling deployment evaluates
-  * the SAME polynomial incrementally (one multiply-add per byte); the
-  * recompute-per-position form here trades that constant for
-  * stateless, codegen'd columns.
+  * Pure column builders (no UDF): callers explode `chunks` and
+  * aggregate chunk hashes. The boundary hash is the Rabin–Karp
+  * polynomial of the window (Σ c_j·31^(window-1-j)) tested against a
+  * PRIME modulus (a power-of-two modulus of a base-31 polynomial
+  * degenerates: 31^j mod 2^k cycles with period 2, making the bucket
+  * an alternating char sum) — pure integer arithmetic, identical in
+  * Spark and DuckDB, evaluated by the native rolling
+  * [[graft.functions.CdcBoundaries]] expression (one
+  * multiply-subtract-add per byte).
   */
 object Cdc {
 
@@ -41,11 +39,16 @@ object Cdc {
 
   /** The chunk substrings, in order, covering the whole string (a doc
     * with no boundary hit is one chunk; empty text is one empty
-    * chunk). */
+    * chunk). A boundary landing exactly on the last position is the
+    * natural end of the final chunk, NOT the start of an empty
+    * trailing chunk — without this filter ~HIT_BAND/MOD of docs would
+    * grow a spurious ""-chunk whose shared md5 cross-matches unrelated
+    * docs in dedup stats. */
   def chunks(text: Column, window: Int = 8): Column = {
-    val bs = boundaries(text, window)
+    val len = length(text)
+    val bs = filter(boundaries(text, window), b => b < len)
     val starts = concat(array(lit(1)), transform(bs, b => b + 1))
-    val ends = concat(bs, array(length(text)))
+    val ends = concat(bs, array(len))
     zip_with(starts, ends, (a, b) => text.substr(a, b - a + lit(1)))
   }
 }

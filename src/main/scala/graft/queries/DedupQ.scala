@@ -362,19 +362,23 @@ object DedupQ {
     // RAG / training-data-selection stack: from each query's top-20
     // cosine candidates, greedily pick 5 maximizing
     // 0.5·relevance − 0.5·max-similarity-to-already-picked (Carbonell
-    // & Goldstein's maximal marginal relevance, λ = 0.5). The greedy
-    // loop is unrolled RELATIONALLY — candidate and candidate-pair
-    // frames are persisted once (bounded: 20 rows and 20·19 pairs per
-    // query, BY CONSTRUCTION, regardless of corpus size), each pick is
-    // a per-query window over ≤20 rows (partitioned by q — never
-    // global), and the corpus is scanned exactly once by the top-20
-    // stage. Scores are IEEE doubles computed by the identical
-    // expression tree in both engines, so the gate is hash-exact.
+    // & Goldstein's maximal marginal relevance, λ = 0.5). The whole
+    // greedy runs inside ONE aggregate expression over per-query
+    // candidate/pair-sim arrays (bounded: 20 rows and 20·19 sims per
+    // query BY CONSTRUCTION, regardless of corpus size); the corpus is
+    // scanned exactly once by the persisted top-20 stage. Scores are
+    // IEEE doubles computed by the identical expression tree in both
+    // engines, so the gate is hash-exact through all five recursive
+    // selection steps.
     "n10_mmr_rerank" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
+      // persisted: both the candidate grouping and the pair-sim branch
+      // consume cand — uncached, the corpus-wide top-20 stage (the
+      // dominant cost) would execute twice
       val cand = CosineSim.topK(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "vec_id", "embedding", k = 20)
         .select(col("q"), col("neighbor").as("n"), col("cos").as("rel"))
+        .persist()
       val cvec = emb.select(col("vec_id").as("n"), col("embedding").as("v"),
         sqrt(CosineSim.dot(col("embedding"), col("embedding"))).as("nn"))
       val withV = cand.join(cvec, "n")
@@ -417,11 +421,14 @@ object DedupQ {
               when(sc > b("score") || (sc === b("score") && c("n") < b("n")),
                 struct(sc.as("score"), c("n").cast("long").as("n"))).otherwise(b)
             })
-          struct(
+          // candidates exhausted (fewer than 5 selectable): keep acc
+          // unchanged instead of appending a -1/-Inf filler row the
+          // oracle's empty CTE never emits
+          when(best("n") === -1L, acc).otherwise(struct(
             concat(acc("sel"), array(best("n"))).as("sel"),
             concat(acc("out"), array(struct(
               i.cast("long").as("rank"), best("n").as("n"),
-              best("score").as("score")))).as("out"))
+              best("score").as("score")))).as("out")))
         }).getField("out").as("out"))
       picked.select(col("q"), explode(col("out")).as("p"))
         .select(col("q"), col("p.rank").as("rank"),
@@ -718,9 +725,11 @@ object DedupQ {
         |     + CAST(ord(substr(text, CAST(i AS INT) - 1, 1)) AS BIGINT) * 31
         |     + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) % 1031 < 32) AS bs
         |  FROM d),
+        |b2 AS (SELECT doc_id, text, len,
+        |  list_filter(bs, x -> x < len) AS bs FROM b),
         |ck AS (SELECT doc_id, text, len,
         |  ([CAST(1 AS BIGINT)] || list_transform(bs, x -> x + 1)) AS st,
-        |  (bs || [len]) AS en FROM b),
+        |  (bs || [len]) AS en FROM b2),
         |ex AS (SELECT doc_id,
         |  unnest(list_transform(range(1, len(st) + 1),
         |    i -> substr(text, CAST(st[CAST(i AS INT)] AS INT),

@@ -676,9 +676,15 @@ object Relational {
         .agg(count(lit(1)).as("exact")).withColumn("day", lit(-1L))
       perDay.unionByName(allDays.select("day", "v"))
         .join(exactDay.unionByName(exactAll.select("day", "exact")), "day")
+        // least(v, m-1): a saturated sketch (every bucket set) would put
+        // ln(m/0) = Inf through floor — Spark saturates the Long cast
+        // while DuckDB errors, so the estimate is pinned to the largest
+        // finite value in BOTH engines (a saturated linear counter has
+        // no estimate anyway; production sizes m above the cardinality)
+        .withColumn("vc", least(col("v"), lit(m - 1)).cast("double"))
         .withColumn("est_u",
           floor(lit(1000.0) * lit(m.toDouble) *
-            log(lit(m.toDouble) / (lit(m.toDouble) - col("v").cast("double"))))
+            log(lit(m.toDouble) / (lit(m.toDouble) - col("vc"))))
             .cast("long"))
         .select("day", "v", "est_u", "exact")
         .orderBy("day")
@@ -768,7 +774,7 @@ object Relational {
         |  SELECT -1, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e)
         |SELECT pd.day, pd.v,
         |  CAST(floor(1000.0 * 65536.0 *
-        |    ln(65536.0 / (65536.0 - CAST(v AS DOUBLE)))) AS BIGINT) AS est_u,
+        |    ln(65536.0 / (65536.0 - CAST(LEAST(v, 65535) AS DOUBLE)))) AS BIGINT) AS est_u,
         |  ex.exact
         |FROM pd JOIN ex ON pd.day = ex.day ORDER BY pd.day""".stripMargin,
 
