@@ -186,6 +186,33 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // W11: TIME-DECAYED aggregate — the trending/leaderboard score:
+    // each positive-value event contributes value·2^(−days_ago)
+    // (halflife = 1 day) to its type's running score. The decay is
+    // DYADIC on purpose: a pow(0.5, Δt) formulation cannot hash-gate
+    // (libm pow is not correctly rounded, so engines disagree at the
+    // ulp), but halving per elapsed day is an integer right-shift of
+    // the cent amount — exact, associative, partial-agg safe. The
+    // reference day is the corpus max (broadcast 1-row crossJoin, the
+    // t10 stats pattern); days_ago ≥ 63 contributes exactly 0 in both
+    // engines (shift-overflow guard).
+    "w11_decay_sum" -> { (s, dir) =>
+      val ev = IntervalsQ.events(s, dir)
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 86400").as("day"), col("value"))
+        .where(col("value") > 0)
+      val mx = ev.agg(max("day").as("maxday"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("days_ago", col("maxday") - col("day"))
+        .withColumn("vc", floor(col("value") * 100).cast("long"))
+        .withColumn("term_u", when(col("days_ago") >= 63, lit(0L))
+          .otherwise(expr(
+            "vc div shiftleft(cast(1 as bigint), cast(days_ago as int))")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("term_u").as("decayed_u"))
+        .orderBy("event_type")
+    },
+
     // W7: ordered conversion funnel — users progressing signup ->
     // view -> click -> purchase in event-time order (each stage's
     // event must be strictly after the user's previous-stage
@@ -760,6 +787,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w11_decay_sum" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts)//1000//86400 AS day, value
+        |  FROM events WHERE value > 0),
+        |mx AS (SELECT MAX(day) AS maxday FROM e),
+        |t AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS vc,
+        |  maxday - day AS days_ago FROM e, mx)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN days_ago >= 63 THEN 0
+        |    ELSE vc // (CAST(1 AS BIGINT) << days_ago) END) AS BIGINT) AS decayed_u
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "x19_linear_counting" ->
       """WITH e AS (SELECT epoch_ms(ts)//1000//86400 AS day, user_id FROM events),
         |db AS (SELECT DISTINCT day,
