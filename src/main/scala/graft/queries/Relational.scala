@@ -186,6 +186,42 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // C18: WINSORIZATION — clip each key's values to its own exact
+    // [P1, P99] order statistics before averaging: the standard
+    // outlier treatment for feature/reward columns (a mean over raw
+    // values is one corrupt reading away from garbage; trimming
+    // discards data, winsorizing keeps the row at the boundary).
+    // Order statistics are EXACT and explicitly indexed
+    // (idx = q·(n−1) div 100 + 1, so both engines pick the identical
+    // multiset element — no interpolation, no percentile_cont float
+    // drift); everything after is integer cents. Plan: one keyed rank
+    // window + two keyed aggregates + one keyed join — at 100 TB the
+    // per-key sort is the cost, which is why x6's approx-quantile
+    // sketch exists as the scale path; this is the exact-audit twin.
+    "c18_winsorize" -> { (s, dir) =>
+      val ev = IntervalsQ.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      val w = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+      val nPer = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bounds = ev.withColumn("rn", row_number().over(w))
+        .join(nPer, "event_type")
+        .withColumn("idx_lo", expr("(n - 1) div 100 + 1"))
+        .withColumn("idx_hi", expr("99 * (n - 1) div 100 + 1"))
+        .where(col("rn") === col("idx_lo") || col("rn") === col("idx_hi"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === col("idx_lo"), col("vc"))).as("lo"),
+             max(when(col("rn") === col("idx_hi"), col("vc"))).as("hi"))
+      ev.join(bounds, "event_type")
+        .withColumn("cl", greatest(least(col("vc"), col("hi")), col("lo")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("vc") < col("lo") || col("vc") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          expr("sum(cl) div count(1)").as("winsor_mean_c"))
+        .orderBy("event_type")
+    },
+
     // W11: TIME-DECAYED aggregate — the trending/leaderboard score:
     // each positive-value event contributes value·2^(−days_ago)
     // (halflife = 1 day) to its type's running score. The decay is
@@ -787,6 +823,26 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "c18_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT event_type, vc,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn
+        |  FROM e),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type),
+        |b AS (SELECT r.event_type,
+        |  MIN(CASE WHEN rn = (n - 1) // 100 + 1 THEN vc END) AS lo,
+        |  MAX(CASE WHEN rn = 99 * (n - 1) // 100 + 1 THEN vc END) AS hi
+        |  FROM r JOIN n ON r.event_type = n.event_type
+        |  WHERE rn = (n - 1) // 100 + 1 OR rn = 99 * (n - 1) // 100 + 1
+        |  GROUP BY r.event_type)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN vc < lo OR vc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(GREATEST(LEAST(vc, hi), lo)) // COUNT(*) AS BIGINT) AS winsor_mean_c
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "w11_decay_sum" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts)//1000//86400 AS day, value
         |  FROM events WHERE value > 0),
