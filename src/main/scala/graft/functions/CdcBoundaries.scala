@@ -76,4 +76,22 @@ object CdcBoundaries {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text)))
   }
+
+  /** SQL surface: `SELECT cdc_boundaries(text) …` — arity-checked like
+    * [[DotProduct.register]]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_boundaries",
+      exprs => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`cdc_boundaries`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CdcBoundaries(exprs.head)
+      },
+      "built-in")
 }
