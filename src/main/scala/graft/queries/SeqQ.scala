@@ -131,6 +131,21 @@ object SeqQ {
         .orderBy("seq_id")
     },
 
+    // S1 via the DataSourceV2 connector: the same roundtrip as s1 but
+    // read back through `spark.read.format("fasta")` — Hadoop-split
+    // planning (one 100 TB file shards into block-sized, record-safe
+    // partitions) and column pruning at the scan; the spec forces
+    // 512-byte splits to pin exactly-once records across boundaries.
+    "s1c_fasta_v2" -> { (s, dir) =>
+      val tmp = tmpPath(s, "graft_fasta_v2")
+      Fasta.format(withDna(s, dir)
+          .select(concat(lit("doc_"), col("doc_id")).as("seq_id"), col("dna").as("seq")))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      s.read.format("fasta").load(tmp)
+        .select(col("seq_id"), col("length"), md5(col("seq")).as("seq_hash"))
+        .orderBy("seq_id")
+    },
+
     // S4 roundtrip: write MAF text (one block per doc: a gapped '+'
     // row and a '-' strand row against the reference row), re-parse
     // it distributed through Maf.read, and emit the normalized
@@ -418,6 +433,12 @@ object SeqQ {
     },
 
     "s1_fasta_roundtrip" ->
+      s"""WITH d AS ($dnaSql)
+        |SELECT 'doc_' || doc_id AS seq_id, CAST(length(dna) AS BIGINT) AS length,
+        |  md5(dna) AS seq_hash
+        |FROM d ORDER BY seq_id""".stripMargin,
+
+    "s1c_fasta_v2" ->
       s"""WITH d AS ($dnaSql)
         |SELECT 'doc_' || doc_id AS seq_id, CAST(length(dna) AS BIGINT) AS length,
         |  md5(dna) AS seq_hash

@@ -26,18 +26,23 @@ object Fasta {
         classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
       .filter(_.nonEmpty)
-      .map { rec =>
-        val body = if (rec.startsWith(">")) rec.substring(1) else rec
-        val nl = body.indexOf('\n')
-        val (header, seqLines) =
-          if (nl < 0) (body, "") else (body.substring(0, nl), body.substring(nl + 1))
-        val sp = header.indexWhere(_.isWhitespace)
-        val id = if (sp < 0) header.trim else header.substring(0, sp)
-        val title = if (sp < 0) "" else header.substring(sp + 1).trim
-        val seq = seqLines.replace("\n", "").replace("\r", "")
-        (id, title, seq, seq.length.toLong)
-      }
+      .map(parseRecord)
     records.toDF("seq_id", "title", "seq", "length")
+  }
+
+  /** One `\n>`-delimited record → (seq_id, title, seq, length).
+    * Shared by the RDD reader above and the DataSourceV2 connector
+    * (`graft.sources.v2.FastaDataSource`). */
+  private[graft] def parseRecord(rec: String): (String, String, String, Long) = {
+    val body = if (rec.startsWith(">")) rec.substring(1) else rec
+    val nl = body.indexOf('\n')
+    val (header, seqLines) =
+      if (nl < 0) (body, "") else (body.substring(0, nl), body.substring(nl + 1))
+    val sp = header.indexWhere(_.isWhitespace)
+    val id = if (sp < 0) header.trim else header.substring(0, sp)
+    val title = if (sp < 0) "" else header.substring(sp + 1).trim
+    val seq = seqLines.replace("\n", "").replace("\r", "")
+    (id, title, seq, seq.length.toLong)
   }
 
   /** Format (seq_id, seq) rows as FASTA text with 60-column wrap

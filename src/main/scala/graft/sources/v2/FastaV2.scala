@@ -1,0 +1,149 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID}
+import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit, LineRecordReader, TextInputFormat}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.seq.Fasta
+
+/** DataSourceV2 FASTA connector: `spark.read.format("fasta").load(p)`
+  * (registered shortname via DataSourceRegister). The same
+  * `\n>`-delimited distributed parse as [[graft.seq.Fasta.read]]
+  * (pygr seqfmt.pyx:21-59), integrated as a first-class Spark source:
+  *
+  *  - SPLIT PLANNING rides Hadoop's `TextInputFormat.getSplits`, so
+  *    one 100 TB FASTA file shards into block-sized partitions (the
+  *    record delimiter makes split boundaries record-safe — each
+  *    reader discards the partial record before its first delimiter
+  *    and reads one past its end, the standard line-reader contract).
+  *  - COLUMN PRUNING via SupportsPushDownRequiredColumns: a query
+  *    touching only (seq_id, length) never materializes the sequence
+  *    string into rows (`.explain` shows the pruned ReadSchema).
+  *
+  * Reader tasks reconstruct a default Hadoop Configuration (the
+  * sandbox runs on local/HDFS defaults); a deployment with custom FS
+  * settings would ship a serialized conf per partition.
+  */
+class FastaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fasta"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FastaDataSource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "fasta source requires a single load path"))
+    new FastaTable(path)
+  }
+}
+
+object FastaDataSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("seq_id", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("seq", StringType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+}
+
+class FastaTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"fasta:$path"
+  override def schema(): StructType = FastaDataSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FastaScanBuilder(path)
+}
+
+class FastaScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = FastaDataSource.SCHEMA
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new FastaScan(path, required)
+}
+
+case class FastaPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+class FastaScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"FastaScan(path=$path)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // planning runs on the driver: honor the session's Hadoop conf
+    // (filesystem settings, split-size overrides)
+    val conf = new Configuration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n>")
+    val job = Job.getInstance(conf)
+    FileInputFormat.setInputPaths(job, new Path(path))
+    new TextInputFormat().getSplits(job).asScala.map { s =>
+      val fs = s.asInstanceOf[FileSplit]
+      FastaPartition(fs.getPath.toString, fs.getStart, fs.getLength)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FastaReaderFactory(required.fieldNames)
+}
+
+class FastaReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FastaPartitionReader(partition.asInstanceOf[FastaPartition], fields)
+}
+
+class FastaPartitionReader(p: FastaPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  conf.set("textinputformat.record.delimiter", "\n>")
+  // the delimiter MUST go through the constructor: the no-arg
+  // LineRecordReader ignores the conf key and splits on newlines
+  // (verified empirically — header and sequence lines came back as
+  // separate records)
+  private val reader = new LineRecordReader(
+    "\n>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  reader.initialize(
+    new FileSplit(new Path(p.file), p.start, p.length, Array.empty[String]),
+    new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val rec = reader.getCurrentValue.toString
+      if (rec.nonEmpty) {
+        val (id, title, seq, len) = Fasta.parseRecord(rec)
+        val values = fields.map {
+          case "seq_id" => UTF8String.fromString(id)
+          case "title"  => UTF8String.fromString(title)
+          case "seq"    => UTF8String.fromString(seq)
+          case "length" => java.lang.Long.valueOf(len)
+        }
+        row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

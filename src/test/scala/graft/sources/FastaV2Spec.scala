@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.seq.Fasta
+
+/** The V2 connector must parse identically to the RDD reader, prune
+  * columns at the scan, and survive records that straddle split
+  * boundaries.
+  */
+class FastaV2Spec extends SparkSuite {
+
+  private def writeFasta(content: String): String = {
+    val dir = Files.createTempDirectory("fastav2")
+    Files.writeString(dir.resolve("x.fasta"), content)
+    dir.toString
+  }
+
+  private val fixture =
+    """>seq1 first title
+      |ACGTACGT
+      |ACGT
+      |>seq2
+      |TTTT
+      |>seq3 third one here
+      |GGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGGG
+      |CCCC
+      |""".stripMargin
+
+  test("format(\"fasta\") parses identically to Fasta.read") {
+    val dir = writeFasta(fixture)
+    val v2 = spark.read.format("fasta").load(dir)
+      .orderBy("seq_id").collect().toSeq
+    val rdd = Fasta.read(spark, dir)
+      .select("seq_id", "title", "seq", "length")
+      .orderBy("seq_id").collect().toSeq
+    assert(v2 === rdd)
+    assert(v2.size === 3)
+    assert(v2.head.getString(0) === "seq1")
+    assert(v2.head.getString(2) === "ACGTACGTACGT")
+  }
+
+  test("column pruning reaches the scan (seq never materialized)") {
+    val dir = writeFasta(fixture)
+    val df = spark.read.format("fasta").load(dir).select("seq_id", "length")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val pruned = scans.head.scan.readSchema().fieldNames.toSet
+    assert(pruned === Set("seq_id", "length"), s"got $pruned")
+  }
+
+  test("records survive split boundaries (forced tiny splits)") {
+    // many records, then read with a tiny max split size so records
+    // straddle split edges; the delimiter contract must keep every
+    // record whole and exactly-once
+    val recs = (0 until 200).map(i => s">r$i t$i\n${"ACGT" * (10 + i % 7)}")
+    val dir = writeFasta(recs.mkString("\n") + "\n")
+    val prev = spark.conf.getOption("spark.hadoop.mapreduce.input.fileinputformat.split.maxsize")
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.input.fileinputformat.split.maxsize", "512")
+      val got = spark.read.format("fasta").load(dir)
+        .select(col("seq_id"), col("length")).orderBy("seq_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = (0 until 200).map(i => (s"r$i", 4L * (10 + i % 7)))
+        .sortBy(_._1)
+      assert(got === want)
+    } finally {
+      spark.sparkContext.hadoopConfiguration
+        .unset("mapreduce.input.fileinputformat.split.maxsize")
+      prev.foreach(v => spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.input.fileinputformat.split.maxsize", v))
+    }
+  }
+}
