@@ -77,21 +77,8 @@ object CdcBoundaries {
     ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text)))
   }
 
-  /** SQL surface: `SELECT cdc_boundaries(text) …` — arity-checked like
-    * [[DotProduct.register]]. */
+  /** SQL surface: `SELECT cdc_boundaries(text) …` */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cdc_boundaries",
-      exprs => {
-        if (exprs.length != 1)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`cdc_boundaries`",
-              "expectedNum" -> "1",
-              "actualNum" -> exprs.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        CdcBoundaries(exprs.head)
-      },
-      "built-in")
+    GraftFunctions.registerChecked(spark, "cdc_boundaries", 1)(
+      exprs => CdcBoundaries(exprs.head))
 }

@@ -102,18 +102,6 @@ object DotProduct {
     * instead of a clean analysis error.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => {
-        if (exprs.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`dot_product`",
-              "expectedNum" -> "2",
-              "actualNum" -> exprs.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        DotProduct(exprs(0), exprs(1))
-      },
-      "built-in")
+    GraftFunctions.registerChecked(spark, "dot_product", 2)(
+      exprs => DotProduct(exprs(0), exprs(1)))
 }

@@ -81,6 +81,6 @@ object ReverseComplement {
 
   /** Register `reverse_complement` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "reverse_complement", exprs => ReverseComplement(exprs.head), "built-in")
+    GraftFunctions.registerChecked(spark, "reverse_complement", 1)(
+      exprs => ReverseComplement(exprs.head))
 }

@@ -106,6 +106,6 @@ object TranslateCodons {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "translate_codons", exprs => TranslateCodons(exprs.head), "built-in")
+    GraftFunctions.registerChecked(spark, "translate_codons", 1)(
+      exprs => TranslateCodons(exprs.head))
 }

@@ -199,7 +199,13 @@ object Relational {
     // per-key sort is the cost, which is why x6's approx-quantile
     // sketch exists as the scale path; this is the exact-audit twin.
     "c18_winsorize" -> { (s, dir) =>
+      // value > 0 pins the mean's integer-division semantics: Spark's
+      // `div` truncates toward zero while DuckDB's `//` floors, which
+      // diverge on a negative winsorized sum — the positive-domain
+      // filter (a no-op on this data) makes the contract explicit in
+      // BOTH engines instead of latent
       val ev = IntervalsQ.events(s, dir)
+        .where(col("value") > 0)
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 100).cast("long").as("vc"))
       val w = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
@@ -825,7 +831,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "c18_winsorize" ->
       """WITH e AS (SELECT event_type, event_id,
-        |  CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |  CAST(floor(value * 100) AS BIGINT) AS vc FROM events WHERE value > 0),
         |r AS (SELECT event_type, vc,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn
         |  FROM e),

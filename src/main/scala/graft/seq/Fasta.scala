@@ -45,6 +45,27 @@ object Fasta {
     (id, title, seq, seq.length.toLong)
   }
 
+  /** Header fields + sequence LENGTH without materializing the joined
+    * sequence string — the hot path for a column-pruned (seq_id,
+    * length) scan: length is a count of non-newline chars, no copies.
+    */
+  private[graft] def parseMeta(rec: String): (String, String, Long) = {
+    val body = if (rec.startsWith(">")) rec.substring(1) else rec
+    val nl = body.indexOf('\n')
+    val header = if (nl < 0) body else body.substring(0, nl)
+    val sp = header.indexWhere(_.isWhitespace)
+    val id = if (sp < 0) header.trim else header.substring(0, sp)
+    val title = if (sp < 0) "" else header.substring(sp + 1).trim
+    var len = 0L
+    var i = if (nl < 0) body.length else nl + 1
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c != '\n' && c != '\r') len += 1
+      i += 1
+    }
+    (id, title, len)
+  }
+
   /** Format (seq_id, seq) rows as FASTA text with 60-column wrap
     * (pygr `write_fasta`, `sequtil.py:60-78`); one output string per
     * record, writable via `df.write.text`.

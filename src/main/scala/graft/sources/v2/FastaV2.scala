@@ -99,21 +99,37 @@ class FastaScan(path: String, required: StructType) extends Scan with Batch {
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FastaReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executors must see the DRIVER's filesystem settings (s3a
+    // credentials, HDFS nameservices…) — a default Configuration on
+    // the reader side would break any non-default FS even though
+    // planning succeeded. Ship the non-default entries; they rebuild
+    // per task.
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val entries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    new FastaReaderFactory(required.fieldNames, entries)
+  }
 }
 
-class FastaReaderFactory(fields: Array[String])
+class FastaReaderFactory(fields: Array[String],
+                         confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FastaPartitionReader(partition.asInstanceOf[FastaPartition], fields)
+    new FastaPartitionReader(partition.asInstanceOf[FastaPartition],
+      fields, confEntries)
 }
 
-class FastaPartitionReader(p: FastaPartition, fields: Array[String])
+class FastaPartitionReader(p: FastaPartition, fields: Array[String],
+                           confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
-  conf.set("textinputformat.record.delimiter", "\n>")
+  private val conf = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   // the delimiter MUST go through the constructor: the no-arg
   // LineRecordReader ignores the conf key and splits on newlines
   // (verified empirically — header and sequence lines came back as
@@ -124,20 +140,34 @@ class FastaPartitionReader(p: FastaPartition, fields: Array[String])
     new FileSplit(new Path(p.file), p.start, p.length, Array.empty[String]),
     new TaskAttemptContextImpl(conf, new TaskAttemptID()))
 
+  // a (seq_id, length)-pruned scan must not pay the sequence-string
+  // materialization: length is counted from the record bytes instead
+  // of building the joined string
+  private val needSeqString = fields.contains("seq")
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
       val rec = reader.getCurrentValue.toString
       if (rec.nonEmpty) {
-        val (id, title, seq, len) = Fasta.parseRecord(rec)
-        val values = fields.map {
-          case "seq_id" => UTF8String.fromString(id)
-          case "title"  => UTF8String.fromString(title)
-          case "seq"    => UTF8String.fromString(seq)
-          case "length" => java.lang.Long.valueOf(len)
-        }
-        row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        val values: Array[Any] =
+          if (needSeqString) {
+            val (id, title, seq, len) = Fasta.parseRecord(rec)
+            fields.map {
+              case "seq_id" => UTF8String.fromString(id)
+              case "title"  => UTF8String.fromString(title)
+              case "seq"    => UTF8String.fromString(seq)
+              case "length" => java.lang.Long.valueOf(len)
+            }.asInstanceOf[Array[Any]]
+          } else {
+            val (id, title, len) = Fasta.parseMeta(rec)
+            fields.map {
+              case "seq_id" => UTF8String.fromString(id)
+              case "title"  => UTF8String.fromString(title)
+              case "length" => java.lang.Long.valueOf(len)
+            }.asInstanceOf[Array[Any]]
+          }
+        row = new GenericInternalRow(values)
         return true
       }
     }

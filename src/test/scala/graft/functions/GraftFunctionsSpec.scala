@@ -27,11 +27,19 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(row.getSeq[Int](3) === expected)
   }
 
-  test("wrong arity is an analysis error, not a runtime crash") {
+  test("wrong arity is an analysis error for EVERY registered function") {
     GraftFunctions.registerAll(spark)
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT cdc_boundaries('a', 'b')").collect()
+    val bad = Seq(
+      "SELECT cdc_boundaries('a', 'b')",
+      "SELECT dot_product(array(1.0d))",
+      "SELECT reverse_complement()",
+      "SELECT translate_codons('ATG', 'oops')")
+    for (q <- bad) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.contains("WRONG_NUM_ARGS") ||
+        e.getErrorClass != null, s"weak error for $q: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("cdc_boundaries"))
   }
 }

@@ -61,10 +61,12 @@ class FastaV2Spec extends SparkSuite {
     // record whole and exactly-once
     val recs = (0 until 200).map(i => s">r$i t$i\n${"ACGT" * (10 + i % 7)}")
     val dir = writeFasta(recs.mkString("\n") + "\n")
-    val prev = spark.conf.getOption("spark.hadoop.mapreduce.input.fileinputformat.split.maxsize")
+    // read prev from the SAME store being mutated (the shared session
+    // hadoopConfiguration), so a pre-set value is restored, not lost
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val prev = Option(spark.sparkContext.hadoopConfiguration.get(key))
     try {
-      spark.sparkContext.hadoopConfiguration
-        .set("mapreduce.input.fileinputformat.split.maxsize", "512")
+      spark.sparkContext.hadoopConfiguration.set(key, "512")
       val got = spark.read.format("fasta").load(dir)
         .select(col("seq_id"), col("length")).orderBy("seq_id")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -72,10 +74,8 @@ class FastaV2Spec extends SparkSuite {
         .sortBy(_._1)
       assert(got === want)
     } finally {
-      spark.sparkContext.hadoopConfiguration
-        .unset("mapreduce.input.fileinputformat.split.maxsize")
-      prev.foreach(v => spark.sparkContext.hadoopConfiguration
-        .set("mapreduce.input.fileinputformat.split.maxsize", v))
+      spark.sparkContext.hadoopConfiguration.unset(key)
+      prev.foreach(v => spark.sparkContext.hadoopConfiguration.set(key, v))
     }
   }
 }
