@@ -1464,6 +1464,64 @@ object TextQ {
     // batch sequence alone (existing state beats the new batch) —
     // never by intra-batch partition order, on any executor count.
     // Oracle = keep min doc_id per key.
+    // st11: STREAMING CDC chunk-novelty ingest — the storage/backup
+    // dedup accounting at ingest time: each arriving document's CDC
+    // chunks (the d13 boundaries) probe the stream's
+    // seen-chunk-hash state; a hash's FIRST instance claims it, later
+    // instances are duplicates the ingest can skip writing. State is
+    // one row per distinct chunk hash within the watermark horizon
+    // (the bound that lets this run forever). Replay determinism
+    // needs exactly TWO waves: wave 0 carries each hash's
+    // (doc_id, idx)-minimum instance (one per hash — keys unique
+    // within the wave), wave 1 carries everything else, all of which
+    // hit existing state and drop regardless of order. The retained
+    // set is exactly the per-hash minimum the oracle's window
+    // computes, and the replay costs 2 micro-batches, not
+    // max-multiplicity of them (the r-th-instance-per-wave form
+    // measured ~10× slower at sf0.1). Output per doc: chunk count,
+    // chunks it claimed first, and the novel byte mass (what the
+    // ingest actually has to store).
+    "st11_stream_cdc_novelty" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val instDf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.dedup.Cdc.chunks(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          md5(col("col")).as("h"), length(col("col")).cast("long").as("nb"))
+      val inst = instDf.as[(Long, Long, String, Long)].collect()
+      val waves = inst.groupBy(_._3).values.toSeq
+        .flatMap(_.sortBy(t => (t._1, t._2)).zipWithIndex
+          .map { case (t, r) => (math.min(r, 1), t) })
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Long)]
+      val src = in.toDF().toDF("doc_id", "idx", "h", "nb")
+        .withColumn("ts", timestamp_seconds(lit(1000000L)))
+      val out = src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("h")
+      val name = "st11_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint(name.take(6)))
+          .start()
+        try {
+          waves.foreach { case (_, rows) =>
+            in.addData(rows.map(_._2))
+            q.processAllAvailable()
+          }
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      val claims = s.table(name).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_novel_chunks"), sum("nb").as("novel_bytes"))
+      instDf.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(claims, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel_chunks", "novel_bytes"))
+        .orderBy("doc_id")
+    },
+
     "st7_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -2572,6 +2630,42 @@ object TextQ {
         |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc FROM bands)
         |SELECT band, bucket, first_doc, dup_doc FROM w
         |WHERE dup_doc <> first_doc ORDER BY band, bucket, dup_doc""".stripMargin,
+
+    "st11_stream_cdc_novelty" ->
+      // the batch equivalence: a chunk hash's claimant is its global
+      // (doc_id, idx) minimum — the stream's first arrival under the
+      // wave construction
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |b AS (SELECT doc_id, text, len,
+        |  list_filter(range(8, GREATEST(len, 8) + 1),
+        |    i -> i <= len AND
+        |      (CAST(ord(substr(text, CAST(i AS INT) - 7, 1)) AS BIGINT) * 27512614111
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 6, 1)) AS BIGINT) * 887503681
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 5, 1)) AS BIGINT) * 28629151
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 4, 1)) AS BIGINT) * 923521
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 3, 1)) AS BIGINT) * 29791
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 2, 1)) AS BIGINT) * 961
+        |     + CAST(ord(substr(text, CAST(i AS INT) - 1, 1)) AS BIGINT) * 31
+        |     + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) % 1031 < 32) AS bs
+        |  FROM d),
+        |b2 AS (SELECT doc_id, text, len,
+        |  list_filter(bs, x -> x < len) AS bs FROM b),
+        |ck AS (SELECT doc_id, text, len,
+        |  ([CAST(1 AS BIGINT)] || list_transform(bs, x -> x + 1)) AS st,
+        |  (bs || [len]) AS en FROM b2),
+        |ex AS (SELECT doc_id,
+        |  unnest(range(1, len(st) + 1)) AS idx,
+        |  unnest(list_transform(range(1, len(st) + 1),
+        |    i -> substr(text, CAST(st[CAST(i AS INT)] AS INT),
+        |                CAST(en[CAST(i AS INT)] - st[CAST(i AS INT)] + 1 AS INT)))) AS chunk
+        |  FROM ck),
+        |r AS (SELECT doc_id, idx, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+        |  FROM ex)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS BIGINT) AS novel_bytes
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "st7_stream_dedup" ->
       s"""WITH tk AS ($toksSql),
