@@ -309,6 +309,39 @@ object GraphQ {
       step(step(r0)).orderBy("node")
     },
 
+    // g11: degree ASSORTATIVITY — the Pearson correlation of endpoint
+    // degrees across edges (Newman's mixing coefficient): do hubs
+    // attach to hubs (r > 0, social-graph shape) or to leaves (r < 0,
+    // the hub-and-spoke/bipartite shape)? One number that
+    // characterizes a graph's topology for partitioning and skew
+    // planning. Same exactness scheme as x5: integer degree sums
+    // (exact, associative, map-side combined — never a row-pair
+    // join), the float formula applied ONCE to the final sums, result
+    // quantized to micro-units; operands stay under 2^53 through sf5
+    // so the decimal→double step is exact in both engines.
+    "g11_assortativity" -> { (s, dir) =>
+      val e = suppPartEdges(s, dir)
+      val degs = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(degs.select(col("node").as("src"), col("deg").as("dx")), "src")
+        .join(degs.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      ed.agg(count(lit(1)).as("n"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n"),
+          floor(((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * lit(1e6)))
+            .cast("long").as("assort_u"))
+    },
+
     // g10: PERSONALIZED PageRank — the random walk teleports back to a
     // seed set (suppliers 0-9) instead of everywhere, so scores rank
     // proximity TO THE SEEDS (the recommendation / similar-entity
@@ -529,6 +562,24 @@ object GraphQ {
       s"""WITH e AS ($sp)
         |SELECT src AS suppkey, COUNT(*) AS out_deg FROM e
         |GROUP BY src ORDER BY suppkey""".stripMargin,
+
+    "g11_assortativity" ->
+      s"""WITH e AS ($sp),
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY node),
+        |ed AS (SELECT a.deg AS dx, b.deg AS dy
+        |  FROM e JOIN dg a ON e.src = a.node JOIN dg b ON e.dst = b.node),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |  CAST(SUM(dy * dy) AS BIGINT) AS syy FROM ed)
+        |SELECT n,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS assort_u
+        |FROM s""".stripMargin,
 
     "g10_ppr" ->
       s"""WITH e AS ($sp),
