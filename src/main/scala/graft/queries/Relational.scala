@@ -186,6 +186,38 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // X20: GINI CONCENTRATION — per-nation revenue inequality across
+    // suppliers (G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-rank
+    // cents): the source-concentration audit a data-curation pipeline
+    // runs before trusting a mixture (G → 1 means one supplier IS the
+    // nation's mass). Scale shape: the fact table pays ONE keyed
+    // map-side-combined aggregate to supplier grain; the rank window
+    // runs over the DIMENSION-sized per-nation supplier lists (m15's
+    // manifest-window shape, bounded by |suppliers|, not |lineitem|).
+    // All sums integer cents; one float division per nation, floored
+    // to micro-units.
+    "x20_gini" -> { (s, dir) =>
+      val rev = table(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast(dec)).as("r"))
+        .select(col("l_suppkey").as("s_suppkey"),
+          (col("r") * 100).cast("long").as("rc"))
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ranked = rev.join(sup, "s_suppkey")
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("s_nationkey").orderBy(col("rc"), col("s_suppkey"))))
+      ranked.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("rc").as("sr"),
+          sum(col("i") * col("rc")).as("sir"))
+        .select(col("s_nationkey"), col("n"),
+          floor((lit(2.0) * col("sir").cast("double") /
+              (col("n").cast("double") * col("sr").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double")) * lit(1e6))
+            .cast("long").as("gini_u"))
+        .orderBy("s_nationkey")
+    },
+
     // C18: WINSORIZATION — clip each key's values to its own exact
     // [P1, P99] order statistics before averaging: the standard
     // outlier treatment for feature/reward columns (a mean over raw
@@ -829,6 +861,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "x20_gini" ->
+      """WITH rev AS (SELECT l_suppkey AS s_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM lineitem GROUP BY l_suppkey),
+        |r2 AS (SELECT s.s_nationkey, rc,
+        |  ROW_NUMBER() OVER (PARTITION BY s.s_nationkey ORDER BY rc, rev.s_suppkey) AS i
+        |  FROM rev JOIN supplier s ON rev.s_suppkey = s.s_suppkey),
+        |a AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(rc) AS BIGINT) AS sr, CAST(SUM(i * rc) AS BIGINT) AS sir
+        |  FROM r2 GROUP BY s_nationkey)
+        |SELECT s_nationkey, n,
+        |  CAST(floor((2.0 * CAST(sir AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS gini_u
+        |FROM a ORDER BY s_nationkey""".stripMargin,
+
     "c18_winsorize" ->
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(floor(value * 100) AS BIGINT) AS vc FROM events WHERE value > 0),
