@@ -146,6 +146,13 @@ object Bench {
       .map { case (k, (_, _, m)) => "\"" + k + "\":" + objJson(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // CPU-time secondary headline: Σ task_cpu_ms across the suite.
+    // Wall time on a contended host inflates uniformly (r7/r8 lesson);
+    // executor CPU seconds barely move, so driver-vs-quiet comparisons
+    // can adjudicate contention from the artifact alone.
+    val cpuTotalS = results.flatMap { case (_, (_, _, m)) =>
+      m.collectFirst { case ("task_cpu_ms", v) => v.toDouble / 1000.0 }
+    }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     // The driver captures only a bounded (~2.3 kB) tail of stdout: the
@@ -169,7 +176,7 @@ object Bench {
       "x18_salted_join", "d13_cdc_dedup", "n10_mmr_rerank", "b4_prf_expand")
     val lineQs = flat.filter { case (k, _) => headline.contains(k) }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_s":${fmt(cpuTotalS)},"queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
     // a SPARK_GRAFT_QUERIES subset run must not clobber the committed
     // full-map artifact (it did once in r8 — a 5-query dedup probe
     // overwrote the 173-query map): subsets default to their own file
@@ -189,7 +196,7 @@ object Bench {
       } catch { case _: Throwable => false }
     val fullField = if (wrote) "\"" + outPath + "\"" else "null"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(lineQs)},"env":$envJson,"sf":$sfNum,"full":$fullField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_s":${fmt(cpuTotalS)},"queries":${toJson(lineQs)},"env":$envJson,"sf":$sfNum,"full":$fullField}"""
     println(line)
     spark.stop()
   }

@@ -31,9 +31,9 @@ object PairAlignment {
         when(col("dest_ori") < 0, SeqFunctions.reverseComplement(col("__dpiece")))
           .otherwise(col("__dpiece")))
       .withColumn("n_match",
-        size(filter(sequence(lit(1), (col("src_end") - col("src_start")).cast("int")),
-          p => col("src_text").substr(p, lit(1)) === col("dest_text").substr(p, lit(1))))
-          .cast("long"))
+        graft.functions.LetterMatches.letter_matches(
+          col("src_text"), col("dest_text"),
+          (col("src_end") - col("src_start")).cast("int")))
       .drop("__sseq", "__dseq", "__dpiece")
   }
 

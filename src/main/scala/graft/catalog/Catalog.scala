@@ -1,10 +1,6 @@
 package graft.catalog
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A named resource: hierarchical dotted name → physical table.
@@ -31,47 +27,89 @@ case class Relation(name: String, src: String, srcCol: String,
                     edge: String = "", edgeSrcCol: String = "",
                     edgeDstCol: String = "")
 
-/** Metadata catalog persisted as line-oriented records under a
-  * directory (the shelve/MySQL metabase analog — metadata is tiny and
-  * driver-side; the DATA stays in distributed storage).
+/** Metadata catalog persisted as PARQUET TABLES under a warehouse
+  * directory (the shelve/MySQL shared-zone metabase analog,
+  * `metabase.py:899-947`): `dir` may be any Hadoop filesystem path —
+  * `hdfs://…`, `s3a://…`, a mounted warehouse — so the catalog
+  * survives driver loss and every session of the cluster resolves the
+  * same names. Metadata is tiny (one row per resource/relation); the
+  * DATA stays wherever the resource paths point.
+  *
+  * Writes are read-modify-swap: the new table lands in a temp dir and
+  * is renamed over the old one, so a failed write leaves the previous
+  * catalog intact (a production multi-writer deployment would put
+  * these two tables in a transactional table format; single-writer
+  * swap is the worldbase `commit()` model, `metabase.py:1040-1075`).
+  * Reads are cached per Catalog instance and refreshed by writes;
+  * construct a fresh Catalog (or call `refresh()`) to observe another
+  * writer's updates.
   */
-class Catalog(dir: String) {
-  private val resFile = Paths.get(dir, "resources.tsv")
-  private val relFile = Paths.get(dir, "relations.tsv")
-  Files.createDirectories(Paths.get(dir))
+class Catalog(spark: SparkSession, dir: String) {
+  private val resPath = s"$dir/resources"
+  private val relPath = s"$dir/relations"
 
-  private def readLines(p: java.nio.file.Path): Seq[String] =
-    if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-    else Seq.empty
+  @volatile private var resCache: Map[String, Resource] = _
+  @volatile private var relCache: Map[String, Relation] = _
 
-  def resources: Map[String, Resource] =
-    readLines(resFile).map(_.split("\t", -1)).collect {
-      case Array(n, k, f, p) => n -> Resource(n, k, f, p)
-    }.toMap
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def relations: Map[String, Relation] =
-    readLines(relFile).map(_.split("\t", -1)).collect {
-      case Array(n, s, sc, d, dc, k) => n -> Relation(n, s, sc, d, dc, k)
-      case Array(n, s, sc, d, dc, k, e, esc, edc) =>
-        n -> Relation(n, s, sc, d, dc, k, e, esc, edc)
-    }.toMap
+  private def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(p).exists(p)
+  }
+
+  /** Temp-and-rename swap so a failed write never truncates the
+    * catalog; metadata is one coalesced file, not a shuffle. */
+  private def swapWrite(df: DataFrame, path: String): Unit = {
+    val tmp = new Path(path + ".tmp")
+    val dst = new Path(path)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = fsFor(dst)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Drop the instance cache: next read reloads from the warehouse. */
+  def refresh(): Unit = { resCache = null; relCache = null }
+
+  def resources: Map[String, Resource] = {
+    if (resCache == null)
+      resCache =
+        if (!exists(resPath)) Map.empty
+        else {
+          import spark.implicits._
+          spark.read.parquet(resPath).as[Resource].collect()
+            .map(r => r.name -> r).toMap
+        }
+    resCache
+  }
+
+  def relations: Map[String, Relation] = {
+    if (relCache == null)
+      relCache =
+        if (!exists(relPath)) Map.empty
+        else {
+          import spark.implicits._
+          spark.read.parquet(relPath).as[Relation].collect()
+            .map(r => r.name -> r).toMap
+        }
+    relCache
+  }
 
   /** Register (or replace) a resource; names are hierarchical dotted
     * paths like `Bio.Seq.Genome.HUMAN.hg18` (`metabase.py:1395+`).
     */
   def register(r: Resource): Unit = {
     val rows = resources + (r.name -> r)
-    Files.write(resFile, rows.values.toSeq.sortBy(_.name)
-      .map(x => s"${x.name}\t${x.kind}\t${x.format}\t${x.path}")
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath)
+    resCache = rows
   }
 
   def addRelation(rel: Relation): Unit = {
     val rows = relations + (rel.name -> rel)
-    Files.write(relFile, rows.values.toSeq.sortBy(_.name)
-      .map(x => s"${x.name}\t${x.src}\t${x.srcCol}\t${x.dst}\t${x.dstCol}\t${x.kind}" +
-        (if (x.edge.nonEmpty) s"\t${x.edge}\t${x.edgeSrcCol}\t${x.edgeDstCol}" else ""))
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath)
+    relCache = rows
   }
 
   /** worldbase.Bio.X.Y → DataFrame. `ref` resources resolve

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * Spark and DuckDB, evaluated by the native rolling
   * [[graft.functions.CdcBoundaries]] expression (one
   * multiply-subtract-add per byte).
+  *
+  * ASCII precondition (both entry points): the native boundary scan
+  * emits BYTE positions while `chunks` slices with CHARACTER-based
+  * substr/length — these agree only when every char is one byte.
+  * `chunks` therefore gates per row with
+  * `octet_length(text) = length(text)` and returns NULL for any
+  * multi-byte row rather than silently mis-slicing it; a production
+  * corpus with non-ASCII text should chunk a byte representation
+  * (e.g. `encode(text, 'UTF-8')` keyed by byte offsets) instead.
   */
 object Cdc {
 
@@ -49,6 +58,8 @@ object Cdc {
     val bs = filter(boundaries(text, window), b => b < len)
     val starts = concat(array(lit(1)), transform(bs, b => b + 1))
     val ends = concat(bs, array(len))
-    zip_with(starts, ends, (a, b) => text.substr(a, b - a + lit(1)))
+    // ASCII gate (see object doc): byte==char length, else NULL.
+    when(octet_length(text) === len,
+      zip_with(starts, ends, (a, b) => text.substr(a, b - a + lit(1))))
   }
 }

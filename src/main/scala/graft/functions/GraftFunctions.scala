@@ -43,5 +43,6 @@ object GraftFunctions {
     TranslateCodons.register(spark)
     DotProduct.register(spark)
     CdcBoundaries.register(spark)
+    LetterMatches.register(spark)
   }
 }

@@ -21,8 +21,12 @@ object Salt {
 
   /** Deterministic content salt: hash of ALL the frame's columns mod
     * `buckets`. Rows with identical full content share a salt (a key
-    * whose hot rows are byte-identical duplicates stays unsplit — if
-    * that is the skew, dedup first); any value variation spreads.
+    * whose hot rows are byte-identical duplicates share a salt — if
+    * that is the skew, dedup first). The same caveat applies to a
+    * NARROW pre-projected frame with few distinct value combinations
+    * per hot key: the content hash then lands on few salt buckets and
+    * the skew relief degrades — pass an explicit `salt` expression
+    * over a higher-cardinality source column in that case.
     * `hash` never returns null, and `pmod` keeps the range [0, b). */
   private def contentSalt(df: DataFrame, buckets: Int): Column =
     pmod(hash(df.columns.map(col): _*), lit(buckets))
@@ -46,14 +50,20 @@ object Salt {
     * in `buckets` shuffle partitions instead of one, so the reduce-side
     * skew ceiling drops by that factor while the result is bit-identical
     * to the unsalted groupBy (decimal/long partials are
-    * order-independent). The salt is the deterministic content hash —
-    * stable under task retries and AQE replans.
+    * order-independent). The default salt is the deterministic content
+    * hash — stable under task retries and AQE replans; pass `salt`
+    * (any deterministic data-derived expression, as `saltedJoin`
+    * takes) when the frame is a narrow projection whose content hash
+    * would collapse into few buckets.
     */
-  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int = 16)
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int = 16,
+                salt: Option[Column] = None)
                (partialAggs: Column*)(finalAggs: Column*): DataFrame = {
     require(partialAggs.nonEmpty && finalAggs.nonEmpty,
       "saltedAgg needs at least one partial and one final aggregate")
-    df.withColumn("__salt", contentSalt(df, buckets))
+    df.withColumn("__salt",
+        salt.map(s => pmod(coalesce(s.cast("int"), lit(0)), lit(buckets)))
+          .getOrElse(contentSalt(df, buckets)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)

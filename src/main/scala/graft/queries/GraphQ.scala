@@ -151,7 +151,7 @@ object GraphQ {
     "j7_mapview" -> { (s, dir) =>
       import graft.catalog.{Catalog, Relation, Resource}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cat").toString
-      val cat = new Catalog(tmp)
+      val cat = new Catalog(s, tmp)
       cat.register(Resource("TPCH.customer", "table", "parquet", s"$dir/customer.parquet"))
       cat.register(Resource("TPCH.nation", "table", "parquet", s"$dir/nation.parquet"))
       cat.addRelation(Relation("cust_nation", "TPCH.customer", "c_nationkey",
@@ -170,7 +170,7 @@ object GraphQ {
     "j7b_manytomany" -> { (s, dir) =>
       import graft.catalog.{Catalog, Relation, Resource}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cat_mm").toString
-      val cat = new Catalog(tmp)
+      val cat = new Catalog(s, tmp)
       cat.register(Resource("TPCH.part", "table", "parquet", s"$dir/part.parquet"))
       cat.register(Resource("TPCH.supplier", "table", "parquet", s"$dir/supplier.parquet"))
       cat.register(Resource("TPCH.lineitem", "table", "parquet", s"$dir/lineitem.parquet"))
@@ -336,10 +336,15 @@ object GraphQ {
           sum(col("dx") * col("dx")).as("sxx"),
           sum(col("dx") * col("dy")).as("sxy"),
           sum(col("dy") * col("dy")).as("syy"))
-        .select(col("n"),
-          floor(((n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * lit(1e6)))
-            .cast("long").as("assort_u"))
+        .select(col("n"), {
+          // Degenerate (regular) graphs have zero degree variance;
+          // NULL there, mirrored by NULLIF in the oracle, so both
+          // engines agree instead of one producing floor(NaN).
+          val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+          when(den === 0d, lit(null))
+            .otherwise(floor((n * sxy - sx * sy) / sqrt(den) * lit(1e6)))
+            .cast("long").as("assort_u")
+        })
     },
 
     // g10: PERSONALIZED PageRank — the random walk teleports back to a
@@ -348,29 +353,33 @@ object GraphQ {
     // primitive). Same integer quantization and 2-iteration unroll as
     // g3 (floor-divided contributions, ×85/100 damping), with the
     // teleport mass seed-gated; non-seed nodes with no inbound seed
-    // mass stay exactly 0 and are dropped — at scale the frontier
-    // stays sparse (|reachable from seeds|, not |V|), which is the
-    // point of PPR over global PageRank.
+    // mass stay exactly 0 and never enter the iteration — the
+    // frontier each round is seeds ∪ {nodes with inbound mass}
+    // (|reachable from seeds|, not |V|), which is the point of PPR
+    // over global PageRank. The step INNER-joins the nonzero frontier
+    // (no full-node-set left join), so at scale each round's shuffle
+    // is sized by the frontier, not the graph.
     "g10_ppr" -> { (s, dir) =>
       val e = suppPartEdges(s, dir)
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       val outd = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val seeds = nodes.where(col("node") < 10L)
       def seed = when(col("node") < 10L, lit(150000L)).otherwise(lit(0L))
       def step(r: DataFrame): DataFrame = {
         val contrib = e.join(outd, "src")
-          .join(r.withColumnRenamed("node", "src"), "src")
+          .join(r.where(col("pr") > 0).withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"),
             floor(col("pr") / col("d")).cast("long").as("c"))
-        nodes.join(contrib.groupBy("node").agg(sum("c").as("sc")),
-            Seq("node"), "left")
-          .na.fill(0L, Seq("sc"))
+        // Seeds re-enter with 0 inbound so teleport mass is never lost.
+        seeds.select(col("node"), lit(0L).as("c")).unionByName(contrib)
+          .groupBy("node").agg(sum("c").as("sc"))
           .select(col("node"),
             (seed + floor(lit(85L) * col("sc") / lit(100L))).cast("long").as("pr"))
+          .where(col("pr") > 0)
       }
-      val r0 = nodes.withColumn("pr",
-        when(col("node") < 10L, lit(1000000L)).otherwise(lit(0L)))
-      step(step(r0)).where(col("pr") > 0).orderBy("node")
+      val r0 = seeds.withColumn("pr", lit(1000000L))
+      step(step(r0)).orderBy("node")
     },
 
     // g4: triangle counting — per-node triangle participation on the
@@ -576,8 +585,8 @@ object GraphQ {
         |  CAST(SUM(dy * dy) AS BIGINT) AS syy FROM ed)
         |SELECT n,
         |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / sqrt(NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0))
         |    * 1e6) AS BIGINT) AS assort_u
         |FROM s""".stripMargin,
 

@@ -45,6 +45,48 @@ object Fasta {
     (id, title, seq, seq.length.toLong)
   }
 
+  /** seq_id alone — the cheapest possible peek (header line only, no
+    * allocation beyond the id substring) for the pushed-filter path of
+    * the V2 connector: non-matching records are skipped before any
+    * sequence-string work. */
+  private[graft] def recordId(rec: String): String = {
+    val start = if (rec.startsWith(">")) 1 else 0
+    var end = rec.indexOf('\n', start)
+    if (end < 0) end = rec.length
+    var sp = start
+    while (sp < end && !rec.charAt(sp).isWhitespace) sp += 1
+    rec.substring(start, sp).trim
+  }
+
+  /** Build the `<path>.gfidx` sidecar index the V2 connector prunes
+    * splits with: one TSV row `(seq_id, file, rec_start, rec_end)` per
+    * sequence, byte offsets from the Hadoop line reader's record keys
+    * (the position where each `\n>`-delimited record starts). Fully
+    * distributed — the same record-safe split scan as `read`; the
+    * index is sequence-count-sized, the FASTA-bytes-sized input is
+    * never collected. The analog of pygr's persistent seq-db index
+    * (`seqdb.py:63-119`) and of samtools faidx, as a Spark job.
+    */
+  def writeIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n>")
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[
+          org.apache.hadoop.mapreduce.lib.input.FileSplit].getPath.toString
+        it.collect { case (k, v) if v.getLength > 0 =>
+          (recordId(v.toString), file, k.get, k.get + v.getLength)
+        }
+      }
+      .toDF("seq_id", "file", "rec_start", "rec_end")
+      .write.mode("overwrite").option("sep", "\t").csv(path + ".gfidx")
+  }
+
   /** Header fields + sequence LENGTH without materializing the joined
     * sequence string — the hot path for a column-pruned (seq_id,
     * length) scan: length is a count of non-newline chars, no copies.

@@ -14,9 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.graft.BroadcastHadoopConf
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.seq.Fasta
@@ -34,10 +35,24 @@ import graft.seq.Fasta
   *  - COLUMN PRUNING via SupportsPushDownRequiredColumns: a query
   *    touching only (seq_id, length) never materializes the sequence
   *    string into rows (`.explain` shows the pruned ReadSchema).
+  *  - FILTER PUSHDOWN via SupportsPushDownFilters: `seq_id = x` /
+  *    `seq_id IN (...)` predicates reach the scan. Readers skip
+  *    non-matching records after parsing only the HEADER line (the
+  *    sequence string is never assembled), and — when the sidecar
+  *    index written by [[graft.seq.Fasta.writeIndex]] is present —
+  *    split planning keeps only the partitions whose byte range
+  *    overlaps a matching record, so a 100 TB slice lookup reads a
+  *    handful of blocks (pygr's on-disk `.pureseq`+index layout,
+  *    `seqdb.py:63-119`, re-expressed as data-source pruning). The
+  *    filters are also reported back to Spark as residual, so
+  *    correctness never depends on the index: a missing/stale sidecar
+  *    only costs pruning, never rows.
   *
-  * Reader tasks reconstruct a default Hadoop Configuration (the
-  * sandbox runs on local/HDFS defaults); a deployment with custom FS
-  * settings would ship a serialized conf per partition.
+  * Executors see the DRIVER's filesystem settings (s3a credentials,
+  * HDFS nameservices…) through a broadcast `SerializableConfiguration`
+  * — the same mechanism Spark's built-in file sources use: one
+  * compressed shipment per executor, not a copy of the merged conf in
+  * every serialized reader factory.
   */
 class FastaDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fasta"
@@ -70,20 +85,46 @@ class FastaTable(path: String) extends Table with SupportsRead {
 }
 
 class FastaScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = FastaDataSource.SCHEMA
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FastaScan(path, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.collect {
+      case f @ EqualTo("seq_id", _: String) => f
+      case f @ In("seq_id", vs) if vs.forall(_.isInstanceOf[String]) => f
+    }
+    // Everything stays residual: Spark re-evaluates post-scan, so a
+    // missing sidecar index can only cost pruning, never correctness.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    val ids: Array[String] = accepted.flatMap {
+      case EqualTo(_, v: String) => Seq(v)
+      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case _ => Seq.empty[String]
+    }
+    new FastaScan(path, required,
+      if (accepted.nonEmpty) Some(ids.toSet) else None)
+  }
 }
 
 case class FastaPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-class FastaScan(path: String, required: StructType) extends Scan with Batch {
+class FastaScan(path: String, required: StructType,
+                idFilter: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"FastaScan(path=$path)"
+  override def description(): String =
+    s"FastaScan(path=$path" +
+      idFilter.map(s => s", seq_id∈{${s.toSeq.sorted.mkString(",")}}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // planning runs on the driver: honor the session's Hadoop conf
@@ -93,43 +134,86 @@ class FastaScan(path: String, required: StructType) extends Scan with Batch {
     conf.set("textinputformat.record.delimiter", "\n>")
     val job = Job.getInstance(conf)
     FileInputFormat.setInputPaths(job, new Path(path))
-    new TextInputFormat().getSplits(job).asScala.map { s =>
-      val fs = s.asInstanceOf[FileSplit]
-      FastaPartition(fs.getPath.toString, fs.getStart, fs.getLength)
-    }.toArray
+    val splits: Array[InputPartition] =
+      new TextInputFormat().getSplits(job).asScala.map { s =>
+        val fs = s.asInstanceOf[FileSplit]
+        FastaPartition(fs.getPath.toString, fs.getStart, fs.getLength)
+          : InputPartition
+      }.toArray
+    idFilter match {
+      case Some(ids) =>
+        val ranges = FastaScan.indexRanges(conf, path, ids)
+        ranges match {
+          case Some(rs) => splits.filter { ip =>
+            val p = ip.asInstanceOf[FastaPartition]
+            rs.exists { case (f, a, b) =>
+              // pad by the 2-byte "\n>" delimiter: a record starting
+              // exactly at a split boundary is emitted by the PREVIOUS
+              // split (whose range holds its delimiter)
+              f == p.file && a - 2 < p.start + p.length && b > p.start
+            }
+          }
+          case None => splits // no sidecar index: scan everything
+        }
+      case None => splits
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // executors must see the DRIVER's filesystem settings (s3a
-    // credentials, HDFS nameservices…) — a default Configuration on
-    // the reader side would break any non-default FS even though
-    // planning succeeded. Ship the non-default entries; they rebuild
-    // per task.
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val entries = conf.iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    new FastaReaderFactory(required.fieldNames, entries)
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    new FastaReaderFactory(required.fieldNames,
+      org.apache.spark.graft.GraftSparkHooks.broadcastHadoopConf(
+        sc, sc.hadoopConfiguration),
+      idFilter)
+  }
+}
+
+object FastaScan {
+  /** Matching (file, recStart, recEnd) byte ranges from the sidecar
+    * index directory `<path>.gfidx` (TSV part files written by
+    * `Fasta.writeIndex`), or None when no index exists. Driver-side;
+    * the index is one small row per SEQUENCE, not per byte.
+    */
+  private[v2] def indexRanges(conf: Configuration, path: String,
+                              ids: Set[String]): Option[Seq[(String, Long, Long)]] = {
+    val idx = new Path(path + ".gfidx")
+    val fs = idx.getFileSystem(conf)
+    if (!fs.exists(idx)) return None
+    val parts = fs.listStatus(idx).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+    val out = Seq.newBuilder[(String, Long, Long)]
+    parts.foreach { p =>
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+          val f = line.split('\t')
+          if (f.length >= 4 && ids.contains(f(0)))
+            out += ((f(1), f(2).toLong, f(3).toLong))
+        }
+      } finally in.close()
+    }
+    Some(out.result())
   }
 }
 
 class FastaReaderFactory(fields: Array[String],
-                         confEntries: Array[(String, String)])
+                         conf: BroadcastHadoopConf,
+                         idFilter: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FastaPartitionReader(partition.asInstanceOf[FastaPartition],
-      fields, confEntries)
+      fields, conf, idFilter)
 }
 
 class FastaPartitionReader(p: FastaPartition, fields: Array[String],
-                           confEntries: Array[(String, String)])
+                           bc: BroadcastHadoopConf,
+                           idFilter: Option[Set[String]])
     extends PartitionReader[InternalRow] {
 
-  private val conf = {
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  // copy of the broadcast conf (cheap — no XML re-parse): the
+  // TaskAttemptContext may mutate its conf, and the broadcast value is
+  // shared by every reader on the executor
+  private val conf = new Configuration(bc.value)
   // the delimiter MUST go through the constructor: the no-arg
   // LineRecordReader ignores the conf key and splits on newlines
   // (verified empirically — header and sequence lines came back as
@@ -149,7 +233,10 @@ class FastaPartitionReader(p: FastaPartition, fields: Array[String],
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
       val rec = reader.getCurrentValue.toString
-      if (rec.nonEmpty) {
+      // pushed seq_id filter: header-only peek, skip before any
+      // sequence-string work (the per-record half of the pushdown;
+      // the sidecar index prunes whole partitions above it)
+      if (rec.nonEmpty && idFilter.forall(_.contains(Fasta.recordId(rec)))) {
         val values: Array[Any] =
           if (needSeqString) {
             val (id, title, seq, len) = Fasta.parseRecord(rec)

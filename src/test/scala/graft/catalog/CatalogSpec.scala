@@ -8,7 +8,7 @@ class CatalogSpec extends SparkSuite {
 
   test("register/resolve/relations roundtrip (worldbase semantics)") {
     val dir = Files.createTempDirectory("catalog").toString
-    val cat = new Catalog(dir)
+    val cat = new Catalog(spark, dir)
     cat.register(Resource("Test.TPCH.customer", "table", "parquet",
       "/root/testdata/sf0.001/customer.parquet"))
     cat.register(Resource("Test.TPCH.nation", "table", "parquet",
@@ -17,7 +17,7 @@ class CatalogSpec extends SparkSuite {
       "Test.TPCH.nation", "n_nationkey", "one-to-many"))
 
     // a fresh Catalog instance sees the persisted metadata
-    val cat2 = new Catalog(dir)
+    val cat2 = new Catalog(spark, dir)
     assert(cat2.ls("Test.TPCH") ===
       Seq("Test.TPCH.customer", "Test.TPCH.nation"))
     val c = cat2.resolve(spark, "Test.TPCH.customer")
@@ -28,13 +28,13 @@ class CatalogSpec extends SparkSuite {
     // replace keeps the map keyed by name
     cat2.register(Resource("Test.TPCH.customer", "table", "parquet",
       "/root/testdata/sf0.01/customer.parquet"))
-    assert(new Catalog(dir).resources("Test.TPCH.customer").path.contains("sf0.01"))
+    assert(new Catalog(spark, dir).resources("Test.TPCH.customer").path.contains("sf0.01"))
     intercept[NoSuchElementException](cat2.resolve(spark, "Nope.Missing"))
   }
 
   test("ref resources resolve recursively; cycles fail loudly (metabase.py:181-220)") {
     val dir = Files.createTempDirectory("catalog_ref").toString
-    val cat = new Catalog(dir)
+    val cat = new Catalog(spark, dir)
     cat.register(Resource("Base.nation", "table", "parquet",
       "/root/testdata/sf0.001/nation.parquet"))
     // two-level chain: My -> Alias -> Base
@@ -55,7 +55,7 @@ class CatalogSpec extends SparkSuite {
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("catalog_mm").toString
-    val cat = new Catalog(dir)
+    val cat = new Catalog(spark, dir)
     val sf = "/root/testdata/sf0.001"
     cat.register(Resource("T.part", "table", "parquet", s"$sf/part.parquet"))
     cat.register(Resource("T.supplier", "table", "parquet", s"$sf/supplier.parquet"))
@@ -64,7 +64,7 @@ class CatalogSpec extends SparkSuite {
       "T.supplier", "s_suppkey", "many-to-many",
       edge = "T.lineitem", edgeSrcCol = "l_partkey", edgeDstCol = "l_suppkey"))
     // a fresh instance round-trips the 9-field TSV row
-    val cat2 = new Catalog(dir)
+    val cat2 = new Catalog(spark, dir)
     assert(cat2.relations("ps").edge === "T.lineitem")
     val fwd = cat2.bind(spark, "ps")
     // edge data columns ride along with both endpoint tables

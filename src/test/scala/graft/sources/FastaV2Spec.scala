@@ -55,6 +55,50 @@ class FastaV2Spec extends SparkSuite {
     assert(pruned === Set("seq_id", "length"), s"got $pruned")
   }
 
+  test("seq_id filter pushdown: reader-side skip, and sidecar index prunes partitions") {
+    val recs = (0 until 200).map(i => s">r$i t$i\n${"ACGT" * (10 + i % 7)}")
+    val dir = writeFasta(recs.mkString("\n") + "\n")
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    try {
+      spark.sparkContext.hadoopConfiguration.set(key, "512")
+      def partitions(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }.head
+      }
+      val all = spark.read.format("fasta").load(dir)
+      val totalParts = partitions(all.select("seq_id"))
+      assert(totalParts > 10, s"fixture must split many ways, got $totalParts")
+      // no index yet: filter is pushed (reader-side skip) but no pruning
+      def lenOf(i: Int): Long = 4L * (10 + i % 7)
+      val filtered = all.where(col("seq_id") === "r42")
+      assert(filtered.select("seq", "length").collect().toSeq.map(r =>
+        (r.getString(0).length.toLong, r.getLong(1))) ===
+        Seq((lenOf(42), lenOf(42))))
+      // write the sidecar index → the same query now plans FEWER partitions
+      Fasta.writeIndex(spark, dir)
+      val pruned = spark.read.format("fasta").load(dir)
+        .where(col("seq_id").isin("r42", "r77"))
+      val prunedParts = partitions(pruned)
+      assert(prunedParts < totalParts,
+        s"index should prune: $prunedParts vs $totalParts")
+      assert(pruned.select("seq_id", "length").orderBy("seq_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("r42", lenOf(42)), ("r77", lenOf(77))))
+      // results identical with and without the index (pruning is a
+      // superset guarantee, residual filter does the exact cut)
+      val byIdx = pruned.select("seq_id", "title", "seq", "length")
+        .orderBy("seq_id").collect().toSeq
+      val direct = Fasta.read(spark, dir)
+        .where(col("seq_id").isin("r42", "r77"))
+        .select("seq_id", "title", "seq", "length").orderBy("seq_id")
+        .collect().toSeq
+      assert(byIdx === direct)
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("records survive split boundaries (forced tiny splits)") {
     // many records, then read with a tiny max split size so records
     // straddle split edges; the delimiter contract must keep every
