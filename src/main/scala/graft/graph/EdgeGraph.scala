@@ -25,6 +25,27 @@ object EdgeGraph {
     * spark.graft.checkpointDir rather than checkpoint somewhere
     * executors can't read.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` sized to the
+    * iteration's working set (`rows` / ~64k per reduce partition,
+    * capped at the session value), restoring the conf after. Iterative
+    * DataFrame loops persist every round, which PINS partitioning —
+    * AQE's post-shuffle coalescing never gets to fix it — so a small
+    * graph at the session's cluster-sized partition count pays
+    * (stages × rounds × partitions) near-empty tasks per query: pure
+    * scheduler+GC churn (g7 at sf0.1: ~1000 tasks, 15.2 s task time
+    * for 3.2 s CPU, 1.1 s GC — measured). On a big graph the cap
+    * leaves the session value in charge, which is the at-scale
+    * behavior. Same right-size-the-loop contract as
+    * `StreamOps.replaySized`.
+    */
+  private[graph] def sizedShuffle[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val parts = math.max(1L, math.min(prev.toLong, rows / 65536L + 1L))
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private[graph] def ensureCheckpointDir(spark: SparkSession, who: String): Unit = {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
@@ -217,27 +238,30 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     val ue = undirected
       .select(col(src).cast("long").as("node"), col(dst).cast("long").as("nbr"))
       .persist()
-    var labels = ue.select(col("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    labels.count()
-    for (_ <- 1 to rounds) {
-      val next = ue
-        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy("node", "label").agg(count(lit(1)).as("c"))
-        .groupBy("node")
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("label"))
-        .persist()
-      next.count()
+    val eCount = ue.count()
+    EdgeGraph.sizedShuffle(spark, eCount) {
+      var labels = ue.select(col("node")).distinct()
+        .withColumn("label", col("node")).persist()
+      labels.count()
+      for (_ <- 1 to rounds) {
+        val next = ue
+          .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+          .groupBy("node", "label").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("node"), col("m.l").as("label"))
+          .persist()
+        next.count()
+        labels.unpersist()
+        labels = next
+      }
+      ue.unpersist()
+      // hand back a checkpoint-backed result and release the loop cache
+      // (same leak-avoidance contract as kCore)
+      val out = labels.checkpoint()
       labels.unpersist()
-      labels = next
+      out
     }
-    ue.unpersist()
-    // hand back a checkpoint-backed result and release the loop cache
-    // (same leak-avoidance contract as kCore)
-    val out = labels.checkpoint()
-    labels.unpersist()
-    out
   }
 
   /** k-core: the maximal induced subgraph in which every node has
@@ -283,27 +307,29 @@ class EdgeGraph(val edges: DataFrame, src: String = "src", dst: String = "dst") 
     }
     var ue = undirected.select(col(src).as("a"), col(dst).as("b")).persist()
     var nEdges = ue.count()
-    var round = 0
-    var converged = nEdges == 0L
-    while (!converged && round < maxRounds) {
-      val next0 = peel(ue)
-      round += 1
-      val next = if (round % 5 == 0) next0.checkpoint() else next0.persist()
-      val m = next.count()
+    EdgeGraph.sizedShuffle(spark, nEdges) {
+      var round = 0
+      var converged = nEdges == 0L
+      while (!converged && round < maxRounds) {
+        val next0 = peel(ue)
+        round += 1
+        val next = if (round % 5 == 0) next0.checkpoint() else next0.persist()
+        val m = next.count()
+        ue.unpersist()
+        converged = m == nEdges || m == 0L
+        nEdges = m
+        ue = next
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"kCore: peel did not converge within $maxRounds rounds " +
+            s"($nEdges edges still shrinking); raise maxRounds")
+      // hand the caller a checkpoint-backed result and release the
+      // loop's cache — otherwise every kCore call leaks one persisted
+      // edge set into the block manager for the session's lifetime
+      val core = ue.checkpoint()
       ue.unpersist()
-      converged = m == nEdges || m == 0L
-      nEdges = m
-      ue = next
+      core.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"kCore: peel did not converge within $maxRounds rounds " +
-          s"($nEdges edges still shrinking); raise maxRounds")
-    // hand the caller a checkpoint-backed result and release the
-    // loop's cache — otherwise every kCore call leaks one persisted
-    // edge set into the block manager for the session's lifetime
-    val core = ue.checkpoint()
-    ue.unpersist()
-    core.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 }

@@ -352,6 +352,50 @@ object IntervalsQ {
       s.table(name).orderBy("user_id", "session_start")
     },
 
+    // ST12: the FILE-SOURCE ingest twin of st1 — the production
+    // deployment shape every other gated streaming query abstracts
+    // behind MemoryStream: `readStream.json(dir)` watches a drop
+    // directory, two separate file drops prove incremental discovery
+    // (the second lands AFTER the query started), and the tumbling
+    // aggregation runs stateful (complete mode) on the same RocksDB
+    // state store as the rest of the family. Same oracle SQL as st1:
+    // file-fed and memory-fed executions must agree exactly.
+    "st12_file_source_window" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      val drop = java.nio.file.Files.createTempDirectory("graft_st12_drop").toString
+      val src = events(s, dir).select(col("event_id"),
+        sec("ts").cast("long").as("t"), col("event_type"), col("value"))
+      src.where(col("event_id") % 2 === 0)
+        .select("t", "event_type", "value").write.mode("append").json(drop)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val name = "st12_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      StreamOps.replaySized(s, 8) {
+        val stream = s.readStream.schema(sch).json(drop)
+          .select(timestamp_seconds(col("t")).as("ts"),
+            col("event_type"), col("value"))
+        val q = StreamOps.tumblingCounts(stream, "ts", "event_type", 3600L)
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation", StreamOps.scratchCheckpoint("st12"))
+          .start()
+        try {
+          q.processAllAvailable()
+          // second drop while the query is live: the file index must
+          // pick it up and the complete-mode result converge to the
+          // full-corpus aggregate
+          src.where(col("event_id") % 2 === 1)
+            .select("t", "event_type", "value").write.mode("append").json(drop)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      s.table(name).orderBy("wstart", "event_type")
+    },
+
     // ST4: the stream-static interval join under the oracle gate —
     // clicks replay as the stream side; the static side is the
     // error-window table; StreamOps.pointInIntervalStream broadcast-
@@ -789,6 +833,15 @@ object IntervalsQ {
         |SELECT user_id, MAX(len) AS streak FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st1_tumbling_window" ->
+      """SELECT (epoch_ms(ts)//1000)//3600*3600 AS wstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    // identical aggregate to st1 — the twin proves the INGEST path
+    // (file drops vs memory feed), not new semantics
+    "st12_file_source_window" ->
       """SELECT (epoch_ms(ts)//1000)//3600*3600 AS wstart, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -65,10 +65,35 @@ object StreamOps {
     */
   def replaySized[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val skey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val sprev = s.conf.get(skey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(skey, stateStoreProvider)
+    try body finally { s.conf.set(key, prev); s.conf.set(skey, sprev) }
   }
+
+  /** State-store provider for the stateful streaming family. RocksDB
+    * by default — the DEPLOYMENT answer, not a sandbox workaround:
+    * state lives off-heap in a local RocksDB instance (so a large
+    * keyed state neither bloats executor heap nor GCs), and each
+    * micro-batch commit ships only changed SST files to the
+    * checkpoint. The HDFS-backed default keeps every store's full map
+    * on-heap and rewrites a delta file per partition per batch —
+    * exactly the fsync storm the r7/r8 contended-disk incidents
+    * measured. `SPARK_GRAFT_STATE_STORE=hdfs` flips back for A/B
+    * measurement (BENCH.md records both); any other value is taken as
+    * a provider FQCN. Conf is read at query start, so setting it
+    * around each replay is exact and race-free for the wrapped query.
+    */
+  def stateStoreProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case fqcn => fqcn
+    }
 
   /** Tumbling event-time window aggregation. Works identically on a
     * batch DataFrame and a streaming one (pass a watermark for
