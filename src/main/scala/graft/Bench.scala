@@ -101,6 +101,9 @@ object Bench {
     // and the per-query metrics block)
     val results: Seq[(String, (Double, Option[Double], Seq[(String, String)]))] =
       selected.map { case (name, fn) =>
+        // stderr progress marker so a crashed run (OOM, kill) names
+        // the query it died in — the artifact only writes at the end
+        System.err.println(s"[bench] running $name")
         var last = 0.0
         var engine = Option.empty[Double]
         var metr: Seq[(String, String)] = Nil

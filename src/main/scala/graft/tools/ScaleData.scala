@@ -35,6 +35,15 @@ object ScaleData {
     def read(t: String) = spark.read.parquet(s"$from/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$to/$t.parquet")
+    // replicated FACT tables spread over `copies` files (~one
+    // base-corpus-sized file each): a real corpus at N× scale is N×
+    // more same-sized files, not one N×-bigger file — and the base
+    // fixtures are single-row-group parquet a scan cannot split, so
+    // without this every ×100 table would still scan as 1-3 tasks and
+    // the drift audit would measure file layout, not the operators
+    def writeFact(df: DataFrame, t: String): Unit =
+      df.repartition(math.max(2, copies)).write.mode("overwrite")
+        .parquet(s"$to/$t.parquet")
     def rep(df: DataFrame) =
       df.withColumn("__r", explode(sequence(lit(0L), lit(copies - 1L))))
     def off(c: String, stride: Long) = col(c) + col("__r") * stride
@@ -42,24 +51,24 @@ object ScaleData {
     write(read("region"), "region")
     write(read("nation"), "nation")
 
-    write(rep(read("customer"))
+    writeFact(rep(read("customer"))
       .withColumn("c_custkey", off("c_custkey", Strides("custkey")))
       .drop("__r"), "customer")
 
-    write(rep(read("supplier"))
+    writeFact(rep(read("supplier"))
       .withColumn("s_suppkey", off("s_suppkey", Strides("suppkey")))
       .drop("__r"), "supplier")
 
-    write(rep(read("part"))
+    writeFact(rep(read("part"))
       .withColumn("p_partkey", off("p_partkey", Strides("partkey")))
       .drop("__r"), "part")
 
-    write(rep(read("orders"))
+    writeFact(rep(read("orders"))
       .withColumn("o_orderkey", off("o_orderkey", Strides("orderkey")))
       .withColumn("o_custkey", off("o_custkey", Strides("custkey")))
       .drop("__r"), "orders")
 
-    write(rep(read("lineitem"))
+    writeFact(rep(read("lineitem"))
       .withColumn("l_orderkey", off("l_orderkey", Strides("orderkey")))
       .withColumn("l_partkey", off("l_partkey", Strides("partkey")))
       .withColumn("l_suppkey", off("l_suppkey", Strides("suppkey")))
@@ -68,7 +77,7 @@ object ScaleData {
     // ts arrives as nanos-long (Graft.session sets nanosAsLong); the
     // engine only ever reads it via integer division, so the replica
     // keeps it as BIGINT nanos
-    write(rep(read("events"))
+    writeFact(rep(read("events"))
       .withColumn("event_id", off("event_id", Strides("eventid")))
       .withColumn("user_id", off("user_id", Strides("userid")))
       .drop("__r"), "events")
@@ -77,7 +86,7 @@ object ScaleData {
     // replica) md5 — token frequencies (quality/langid/token counts)
     // are preserved, shingle sets are not, so near-dup mass stays
     // linear in corpus size rather than every replica pairing up
-    write(rep(read("documents"))
+    writeFact(rep(read("documents"))
       .withColumn("doc_id", off("doc_id", Strides("docid")))
       .withColumn("text",
         when(col("__r") === 0, col("text")).otherwise(
@@ -97,7 +106,7 @@ object ScaleData {
     // its original (cos ≈ 0.9999), which would add 45 cross-replica
     // dup pairs per source vector and swamp every near-dup operator
     // with quadratic mass the real corpus growth wouldn't have
-    write(rep(read("embeddings"))
+    writeFact(rep(read("embeddings"))
       .withColumn("vec_id", off("vec_id", Strides("vecid")))
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding")).otherwise(
