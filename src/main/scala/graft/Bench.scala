@@ -20,7 +20,18 @@ object Bench {
     }
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // partition count must scale with DATA, not stay pinned to the
+      // local core count: a 10×-the-gate run at 32 partitions gives
+      // every reduce task 10× the rows and the map-side partial aggs
+      // 10× the groups — hash maps overflow to sort+spill and CPU
+      // bends superlinear (j5 at sf1: 6.7 GB spill, 19.6× CPU for 10×
+      // data; 0 spill and ~linear with partitions sized to the SF).
+      // On a real cluster more data comes with more executors and a
+      // proportionally larger partition count — weak scaling. The
+      // override lets scale sweeps model that on fixed hardware;
+      // default stays = cores for the sf0.1 gate.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -40,7 +51,16 @@ object Bench {
     // fixture layout, not a conf. A real corpus has many files/row
     // groups; forcing a repartition before the per-row hash stages
     // would add a full-corpus shuffle that is wrong at scale.)
-    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
+    // SPARK_GRAFT_CONF="key=value;key=value" — extra session confs for
+    // targeted experiments (e.g. AQE advisory sizes in scale sweeps)
+    val builder1 = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq)
+      .getOrElse(Nil).foldLeft(builder0) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+          case _ => b
+        }
+      }
+    val spark = localDir.fold(builder1)(d => builder1.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per-query engine metrics (GC/spill/shuffle) — the r7 round proved
