@@ -142,29 +142,57 @@ object MotifQuery {
     */
   def sharedNeighborsSketch(edges: DataFrame, k: Int = 16,
                             bands: Int = 4, hasher: String = "xx"): DataFrame = {
-    import graft.dedup.MinHashLSH
     require(hasher == "xx" || hasher == "md5", s"unknown hasher: $hasher")
+    require(k % bands == 0)
     val Array(s, d) = edges.columns.take(2)
     val nbrs = edges
       .select(col(s).as("__src"), col(d).cast("string").as("__dst"))
       .groupBy("__src").agg(collect_set("__dst").as("__toks"))
-    val sigs =
-      if (hasher == "xx") MinHashLSH.signaturesXx(nbrs, "__src", "__toks", k, shingleN = 1)
-      else MinHashLSH.signatures(nbrs, "__src", "__toks", k, shingleN = 1)
-    val cand = MinHashLSH.candidatePairs(
-      if (hasher == "xx") MinHashLSH.bandBucketsXx(sigs, "__src", k, bands)
-      else MinHashLSH.bandBuckets(sigs, "__src", k, bands), "__src")
-    val sz = nbrs.select(col("__src"), size(col("__toks")).cast("long").as("__sz"))
-    val sigA = sigs.select(col("__src").as("i") +:
-      (0 until k).map(x => col(s"sig$x").as(s"__a$x")): _*)
-    val sigB = sigs.select(col("__src").as("j") +:
-      (0 until k).map(x => col(s"sig$x").as(s"__b$x")): _*)
+    // ONE aggregation computes the k minhashes AND the set size
+    // (identical values to MinHashLSH.signatures at shingleN=1:
+    // __toks is already a distinct set, so its 1-shingles are itself),
+    // and the band-bucket rows CARRY sigs + size to the candidate
+    // join. The previous composition re-joined candidates back to the
+    // signature and size tables — FIVE evaluations of the whole
+    // scan→collect_set→minhash subtree in the executed plan (exchange
+    // reuse does not collapse them); the r9 sf5 drift audit measured
+    // it at ~3× the intrinsic one-pass CPU and drifting superlinear
+    // (exp 1.41). This shape evaluates the pipeline once per
+    // self-join side, and nothing else.
+    val sh = nbrs.select(col("__src"), explode(col("__toks")).as("sh"))
+    val sigAggs = (0 until k).map { i =>
+      if (hasher == "xx") min(xxhash64(lit(i), col("sh"))).as(s"sig$i")
+      else min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")
+    } :+ count(lit(1)).cast("long").as("__sz")
+    val sigs = sh.groupBy("__src").agg(sigAggs.head, sigAggs.tail: _*)
+    // bucket expressions bit-identical to MinHashLSH.bandBuckets{,Xx}
+    // (the DuckDB oracle reproduces the md5 form's buckets)
+    val r = k / bands
+    val bucketRows = (0 until bands).map { b =>
+      val seg = (b * r until (b + 1) * r).map(i => col(s"sig$i"))
+      struct(lit(b).as("band"),
+        (if (hasher == "xx") xxhash64(seg: _*).cast("string") else md5(concat(seg: _*)))
+          .as("bucket"))
+    }
+    val carried = col("__src") +: col("__sz") +:
+      (0 until k).map(i => col(s"sig$i"))
+    val bb = sigs.select(carried :+ explode(array(bucketRows: _*)).as("bb"): _*)
+      .select(carried ++ Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
+    val a = bb.select(col("__src").as("i") +: col("band") +: col("bucket") +:
+      col("__sz").as("__szi") +: (0 until k).map(x => col(s"sig$x").as(s"__a$x")): _*)
+    val b = bb.select(col("__src").as("j") +: col("band") +: col("bucket") +:
+      col("__sz").as("__szj") +: (0 until k).map(x => col(s"sig$x").as(s"__b$x")): _*)
     val m = (0 until k).map(x =>
       when(col(s"__a$x") === col(s"__b$x"), 1L).otherwise(0L)).reduce(_ + _)
-    cand.join(sigA, "i").join(sigB, "j")
-      .withColumn("__m", m)
-      .join(sz.select(col("__src").as("i"), col("__sz").as("__szi")), "i")
-      .join(sz.select(col("__src").as("j"), col("__sz").as("__szj")), "j")
+    a.join(b, Seq("band", "bucket"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"), m.as("__m"),
+        col("__szi"), col("__szj"))
+      // a pair can collide in several bands; the carried values are
+      // per-node constants, so max == the old distinct-then-rejoin
+      .groupBy("i", "j")
+      .agg(max("__m").as("__m"), max("__szi").as("__szi"),
+        max("__szj").as("__szj"))
       .withColumn("est_jac_bp", floor(lit(10000L) * col("__m") / k).cast("long"))
       .withColumn("n_shared_est",
         floor(col("est_jac_bp") * (col("__szi") + col("__szj")) /

@@ -19,6 +19,15 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP
+  // FILE — one file create+delete per image. Per-image decode cost
+  // then grows with filesystem pressure instead of staying constant
+  // (the r9 sf5 drift audit caught m10 drifting superlinear on
+  // exactly this: 500k tmp-file round-trips from 32 threads). The
+  // images here arrive as in-memory byte arrays; cache off makes the
+  // stream memory-backed, which is the only sane mode executor-side.
+  ImageIO.setUseCache(false)
+
   /** Decode image bytes via ImageIO; None for bytes no installed
     * reader accepts (undecodable media must degrade to a row-level
     * null, never a task failure). */

@@ -64,15 +64,17 @@ object IvfFlat {
     */
   def assignTo(corpus: DataFrame, idCol: String, vecCol: String,
                cb: DataFrame): DataFrame =
-    corpus
-      .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .where(col("__n") > 0.0d)
-      .join(broadcast(cb.where(col("__cn") > 0.0d)))
-      .select(col(idCol), col(vecCol),
-        col("__cid"),
-        (dot(col(vecCol), col("__cv")) / (col("__n") * col("__cn"))).as("__cos"))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid"))).as("cell"))
+    // Delegates to the SCAN-LOCAL kernel. The join+argmax form this
+    // replaced materialized n·k rows (each carrying BOTH vectors)
+    // through an aggregate — row machinery, not flops, and at a √n
+    // codebook that is n^1.5 rows: the r9 sf5 drift audit measured
+    // n3 at 2 397 s CPU (exp ≈ 1.85) on the join form vs n·k flops in
+    // a map here. Semantics pinned identical by SemDedupSpec (cosine
+    // argmax, ties to lowest cid, zero-norm vectors and centroids
+    // excluded). One visible difference: exact duplicate (id, vec)
+    // corpus ROWS are no longer merged by the old groupBy — each row
+    // keeps its own assignment (ids are unique in every caller).
+    assignWith(corpus, idCol, vecCol, cb)
 
   /** Same assignment as `assignTo`, as a SCAN-LOCAL projection: the
     * codebook collects to the driver (the identical ≤ k·dim doubles a

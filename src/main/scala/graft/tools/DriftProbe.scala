@@ -14,10 +14,17 @@ object DriftProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.Graft.session("drift-probe")
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     def t[T](name: String)(body: => T): T = {
+      org.apache.spark.graft.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+      listener.snapshotAndReset()
       val t0 = System.nanoTime()
       val r = body
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+      val m = listener.snapshotAndReset().toMap
+      println(f"[probe] $name%-28s $wall%8.2f s  cpu=${m("task_cpu_ms")/1000.0}%8.1f s gc=${m("gc_ms")/1000.0}%5.1f spill=${m("spill_mem_b")/1e9}%5.2fG tasks=${m("tasks")}%d")
       r
     }
     val edges = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -70,6 +77,10 @@ object DriftProbe {
       val c = MinHashLSH.candidatePairs(buckets, "__src").persist()
       println(s"[probe] pairs=${c.count()}")
       c
+    }
+    t("FULL sharedNeighborsSketch") {
+      println(s"[probe] sketch rows=${graft.graph.MotifQuery
+        .sharedNeighborsSketch(edges, k = 16, bands = 4, hasher = "md5").count()}")
     }
     t("estimate joins (full j5b tail)") {
       val sz = nbrs.select(col("__src"), size(col("__toks")).cast("long").as("__sz"))
