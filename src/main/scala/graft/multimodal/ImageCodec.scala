@@ -99,4 +99,36 @@ object ImageCodec {
     }
     h
   }
+
+  /** 128-bit difference hash (17×8 grid → 16 diffs × 8 rows) as two
+    * longs — the AT-SCALE perceptual hash: the 64-bit dHash's 5-block
+    * pigeonhole has 13-bit blocks whose random-collision candidate
+    * mass grows as N²/2¹³ (the r9 drift audit measured m10's residual
+    * exp 1.27 from exactly this); 128 bits give 26-bit blocks and
+    * push the crossover past 10⁸ images. Bit b = row·16 + col; bits
+    * land in h(0) for b < 63 and h(1) for 64 ≤ b < 127 (bits 63 and
+    * 127 are dropped so both longs stay non-negative — the same
+    * sign-bit convention as the 64-bit path's `& Long.MaxValue`,
+    * which keeps every value and block extraction bit-identical in
+    * integer SQL). Hamming distance = popcount(h0⊕h0')+popcount(h1⊕h1').
+    */
+  def dHash128(img: BufferedImage): Array[Long] = {
+    val g = grayGrid(img, 17, 8)
+    var h0 = 0L
+    var h1 = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 16) {
+        if (g(r * 17 + c + 1) > g(r * 17 + c)) {
+          val b = r * 16 + c
+          if (b < 63) h0 |= 1L << b
+          else if (b >= 64 && b < 127) h1 |= 1L << (b - 64)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    Array(h0, h1)
+  }
 }

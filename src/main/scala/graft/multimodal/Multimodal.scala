@@ -116,6 +116,44 @@ object Multimodal {
       .distinct()
   }
 
+  /** Near-duplicate pairs on the 128-BIT dHash (`ImageCodec.dHash128`
+    * columns h0/h1) — the scale path past ~10⁶ images: the 64-bit
+    * variant's 13-bit pigeonhole blocks collide randomly at N²/2¹³
+    * pairs (measured residual drift exp 1.27 at sf10); five 26-bit
+    * blocks over the 126 kept bits push that term below any realistic
+    * corpus. Block i covers logical bits [26i, 26i+26) of the (h1:h0)
+    * 63+63-bit vector; block 2 spans the h0/h1 boundary (11 bits of
+    * h0, 15 of h1), block 4 has 22. Any pair within `maxHamming` ≤ 4
+    * bits shares ≥ 1 untouched block (r+1 pigeonhole), so recall is a
+    * guarantee, not a heuristic. Emits (media_a < media_b, hamming).
+    */
+  def imageNearDup128(meta: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      "imageNearDup128 blocks are laid out for the 5-block maxHamming<=4 guarantee")
+    val m = (w: Int) => lit((1L << w) - 1L)
+    val blocks = Seq(
+      expr("h0").bitwiseAND(m(26)),
+      expr("shiftrightunsigned(h0, 26)").bitwiseAND(m(26)),
+      expr("shiftrightunsigned(h0, 52)").bitwiseAND(m(11))
+        .bitwiseOR(shiftleft(col("h1").bitwiseAND(m(15)), 11)),
+      expr("shiftrightunsigned(h1, 15)").bitwiseAND(m(26)),
+      expr("shiftrightunsigned(h1, 41)").bitwiseAND(m(22)))
+    val keyed = meta.where(col("h0").isNotNull && col("h1").isNotNull)
+      .select(col("media_id"), col("h0"), col("h1"),
+        posexplode(array(blocks: _*)).as(Seq("block_no", "block_val")))
+    val a = keyed.select(col("block_no"), col("block_val"),
+      col("media_id").as("media_a"), col("h0").as("a0"), col("h1").as("a1"))
+    val b = keyed.select(col("block_no"), col("block_val"),
+      col("media_id").as("media_b"), col("h0").as("b0"), col("h1").as("b1"))
+    a.join(b, Seq("block_no", "block_val"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+         bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   private val audioMetaSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),

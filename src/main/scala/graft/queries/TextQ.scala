@@ -872,6 +872,47 @@ object TextQ {
         .orderBy("media_a", "media_b")
     },
 
+    // m17: the 128-bit-dHash twin of m10 — the at-scale near-dup path
+    // (26-bit pigeonhole blocks; the 64-bit form's 13-bit blocks grow
+    // an N²/2¹³ random-collision term, DRIFT_r09.md). Same planted
+    // fixture idea on a 17×8 grid so the wider hash has real
+    // differences to measure; real PNG encode→decode→dHash128 per
+    // image, recall and precision both hash-pinned by the oracle.
+    "m17_image_neardup128" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val media = table(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("h0", LongType),
+        StructField("h1", LongType))))
+      val meta = media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def basePix(g: Long, x: Int, y: Int): Int = {
+          md.reset()
+          (md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0)) & 0xff
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id / 5; val rr = (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            17, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 17) {
+            val v = if (x == rr && y == rr) 255 else basePix(g, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val dec = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val h = graft.multimodal.ImageCodec.dHash128(dec)
+          Row(id, h(0), h(1))
+        }
+      }(enc).persist()
+      graft.multimodal.Multimodal.imageNearDup128(meta, maxHamming = 4)
+        .orderBy("media_a", "media_b")
+    },
+
     // m1: multimodal/binary column plumbing — opaque bytes + typed
     // metadata (length, content hash).
     "m1_binary_meta" -> { (s, dir) =>
@@ -2112,6 +2153,45 @@ object TextQ {
         |  FROM bl a JOIN bl b ON a.block_no = b.block_no AND a.bv = b.bv
         |    AND a.media_id < b.media_id
         |  WHERE bit_count(xor(a.dh, b.dh)) <= 4)
+        |SELECT media_a, media_b, CAST(ham AS INT) AS hamming
+        |FROM p ORDER BY media_a, media_b""".stripMargin,
+
+    "m17_image_neardup128" ->
+      // 17×8 grid, bit b = y*16+x; bits 63 and 127 dropped (both
+      // longs non-negative, same convention as m10); 5 blocks over
+      // the logical 126-bit (h1:h0) vector — block 2 spans the
+      // boundary: 11 bits of h0 | 15 bits of h1 shifted up
+      """WITH m AS (SELECT doc_id AS media_id, doc_id // 5 AS g,
+        |  doc_id % 5 AS r FROM documents),
+        |px AS (SELECT media_id, y, x,
+        |  CASE WHEN x = r AND y = r THEN 255
+        |       ELSE ('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+        |         CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        |  FROM m, UNNEST(range(0, 8)) ty(y), UNNEST(range(0, 17)) tx(x)),
+        |h AS (SELECT media_id,
+        |  SUM(CASE WHEN b < 63 AND v1 > v0
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS h0,
+        |  SUM(CASE WHEN b >= 64 AND b < 127 AND v1 > v0
+        |      THEN (CAST(1 AS BIGINT) << CAST(b - 64 AS INT)) ELSE 0 END) AS h1
+        |  FROM (SELECT p0.media_id, p0.y * 16 + p0.x AS b, p0.v AS v0, p1.v AS v1
+        |        FROM px p0 JOIN px p1 ON p0.media_id = p1.media_id
+        |          AND p1.y = p0.y AND p1.x = p0.x + 1
+        |        WHERE p0.x < 16) GROUP BY media_id),
+        |bl AS (SELECT media_id, h0, h1, b AS block_no,
+        |  CASE b
+        |    WHEN 0 THEN h0 & 67108863
+        |    WHEN 1 THEN (h0 >> 26) & 67108863
+        |    WHEN 2 THEN ((h0 >> 52) & 2047) | ((h1 & 32767) << 11)
+        |    WHEN 3 THEN (h1 >> 15) & 67108863
+        |    ELSE (h1 >> 41) & 4194303
+        |  END AS bv
+        |  FROM h, UNNEST(range(0, 5)) tb(b)),
+        |p AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |  bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS ham
+        |  FROM bl a JOIN bl b ON a.block_no = b.block_no AND a.bv = b.bv
+        |    AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 4)
         |SELECT media_a, media_b, CAST(ham AS INT) AS hamming
         |FROM p ORDER BY media_a, media_b""".stripMargin,
 
