@@ -124,7 +124,13 @@ object GraphQ {
         col("l_linenumber").as("ln2"), col("l_partkey").as("p_to"))
       l.join(l2, col("l_orderkey") === col("o2") &&
                col("ln2") === col("l_linenumber") + 1)
-        .groupBy(col("l_partkey").as("p_from"), col("p_to"))
+        .select(col("l_partkey").as("p_from"), col("p_to"))
+        // pair stream is clustered by ORDER, grouped by part-pair:
+        // exchange raw pairs first or every map task's partial-agg map
+        // needs ~|global distinct pairs| entries (the j5 spill cliff,
+        // DRIFT_r09.md)
+        .repartition(col("p_from"), col("p_to"))
+        .groupBy("p_from", "p_to")
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= 3)
         .orderBy("p_from", "p_to")
@@ -242,6 +248,24 @@ object GraphQ {
     "g9_scc" -> { (s, dir) =>
       val e = table(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), (col("l_partkey") % 50L).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      new EdgeGraph(e).stronglyConnected(s, numIter = 20)
+        .orderBy("node")
+    },
+
+    // g9b: SCC on the REPLICA-DISJOINT fold — identical to g9 at the
+    // gate scales (suppkey div 10000 = 0 there), but under the
+    // ScaleData replicas each copy folds into its OWN 50-node kernel
+    // instead of all copies fusing into one ever-denser shared hub set
+    // (partkey % 50 is replica-invariant; that deliberate
+    // densification is g9's named drift residual, DRIFT_r09.md). This
+    // twin pins that the OPERATOR scales linearly when the graph
+    // grows without densifying — the shape a real sharded corpus has.
+    "g9b_scc_disjoint" -> { (s, dir) =>
+      val e = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") % 50L + expr("l_suppkey div 10000") * 10000L).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
       new EdgeGraph(e).stronglyConnected(s, numIter = 20)
@@ -702,6 +726,25 @@ object GraphQ {
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT l_suppkey AS a, l_partkey % 50 AS b
         |  FROM lineitem WHERE l_suppkey <> l_partkey % 50),
+        |nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN e ON e.a = w.b),
+        |mutual AS (SELECT r1.a AS u, r1.b AS v
+        |  FROM walk r1 JOIN walk r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT n.n AS node,
+        |  LEAST(n.n, COALESCE(MIN(m.v), n.n)) AS scc
+        |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
+        |GROUP BY n.n ORDER BY node""".stripMargin,
+
+    // g9b: same closure, replica-local fold target.
+    "g9b_scc_disjoint" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS a,
+        |    l_partkey % 50 + (l_suppkey // 10000) * 10000 AS b
+        |  FROM lineitem
+        |  WHERE l_suppkey <> l_partkey % 50 + (l_suppkey // 10000) * 10000),
         |nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
         |walk(a, b) AS (
         |  SELECT a, b FROM e
