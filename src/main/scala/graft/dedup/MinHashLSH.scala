@@ -107,14 +107,17 @@ object MinHashLSH {
     */
   def signatureExprsU(docs: DataFrame, toksCol: String,
                       k: Int = 8, shingleN: Int = 2): DataFrame = {
-    val sh = TextFunctions.shingles(col(toksCol), shingleN)
-    val hm = transform(sh,
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P)
-    val withH = docs.withColumn("__hm", hm)
-    seedsU(k).zipWithIndex.foldLeft(withH) { case (d, ((a, b), i)) =>
-      d.withColumn(s"sig$i",
-        array_min(transform(col("__hm"), h => (lit(a) * h + lit(b)) % P)))
-    }.drop("__hm")
+    // ONE fused native pass (ngram build + md5 + k affine mins) — the
+    // declarative HOF form ran (k+1) interpreted lambda sweeps per row
+    // and dominated st8's engine CPU (r9: 44 s engine at sf1, ~90% in
+    // lambda interpretation). Values bit-identical (min over the
+    // shingle multiset == min over the distinct set).
+    val sigArr = graft.functions.MinHashU.minhash_u(
+      col(toksCol), shingleN, seedsU(k))
+    val withSig = docs.withColumn("__sigs", sigArr)
+    (0 until k).foldLeft(withSig) { case (d, i) =>
+      d.withColumn(s"sig$i", element_at(col("__sigs"), i + 1))
+    }.drop("__sigs")
   }
 
   /** Band buckets over `signaturesU`/`signatureExprsU` output. With
