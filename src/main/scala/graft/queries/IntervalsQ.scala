@@ -238,6 +238,12 @@ object IntervalsQ {
           count(lit(1)).as("n_members"))
         .select("user_id", "session_start", "session_end", "n_members")
       val name = "st10_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // state partitions pinned at 8: MEASURED at sf10 (10M events,
+      // one batch) — 8 stores: 158 s engine; 200 volume-scaled
+      // stores: 374 s. On one host the per-store fixed cost (RocksDB
+      // instance + commit per batch) dominates long before per-store
+      // sort volume does; scaling store count is a CLUSTER lever
+      // (stores spread across executors), not a single-JVM one.
       graft.streaming.StreamOps.replaySized(s, 8) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
