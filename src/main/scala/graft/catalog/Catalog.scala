@@ -35,14 +35,27 @@ case class Relation(name: String, src: String, srcCol: String,
   * same names. Metadata is tiny (one row per resource/relation); the
   * DATA stays wherever the resource paths point.
   *
-  * Writes are read-modify-swap: the new table lands in a temp dir and
-  * is renamed over the old one, so a failed write leaves the previous
-  * catalog intact (a production multi-writer deployment would put
-  * these two tables in a transactional table format; single-writer
-  * swap is the worldbase `commit()` model, `metabase.py:1040-1075`).
-  * Reads are cached per Catalog instance and refreshed by writes;
-  * construct a fresh Catalog (or call `refresh()`) to observe another
-  * writer's updates.
+  * Writes are read-modify-swap: the new table lands in a temp dir,
+  * the live table is moved aside to `.bak`, the temp is renamed in,
+  * and the backup is dropped — every rename result is checked, so a
+  * failure at any step leaves either the previous catalog live or a
+  * `.bak` that reads recover from automatically; there is no window
+  * where the catalog is silently gone (the worldbase `commit()`
+  * model, `metabase.py:1040-1075`).
+  *
+  * Concurrency: each write RE-READS the on-disk table and merges it
+  * with the instance's pending entry before swapping, so two writers
+  * registering DIFFERENT names both survive (entry-level
+  * last-writer-wins, the shared-zone metabase behavior of
+  * `metabase.py:899-947`). Two drivers racing the swap of the SAME
+  * table within the same instant resolve to whichever rename lands
+  * last — whole-table last-writer-wins, at worst losing the slower
+  * writer's single entry, never corrupting the table (HDFS/posix
+  * rename is atomic). A deployment needing stricter guarantees should
+  * front the catalog with a transactional table format. Reads are
+  * cached per Catalog instance and refreshed by writes; construct a
+  * fresh Catalog (or call `refresh()`) to observe another writer's
+  * updates.
   */
 class Catalog(spark: SparkSession, dir: String) {
   private val resPath = s"$dir/resources"
@@ -54,20 +67,47 @@ class Catalog(spark: SparkSession, dir: String) {
   private def fsFor(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True when the table is readable, first healing a crashed swap:
+    * a missing live dir with a `.bak` present means a writer died
+    * between the two renames — restore the backup. */
   private def exists(path: String): Boolean = {
     val p = new Path(path)
-    fsFor(p).exists(p)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) {
+      val bak = new Path(path + ".bak")
+      if (fs.exists(bak) && !fs.rename(bak, p))
+        throw new java.io.IOException(
+          s"catalog recovery: could not restore $bak to $p")
+    }
+    fs.exists(p)
   }
 
-  /** Temp-and-rename swap so a failed write never truncates the
-    * catalog; metadata is one coalesced file, not a shuffle. */
+  /** Temp → aside → swap, every rename checked: write the new table
+    * to `.tmp`, move the live table to `.bak`, rename `.tmp` in, drop
+    * `.bak`. A false rename throws (restoring the backup when the
+    * forward swap fails), so no failure mode leaves the catalog
+    * absent while the caller sees success. Metadata is one coalesced
+    * file, not a shuffle. */
   private def swapWrite(df: DataFrame, path: String): Unit = {
     val tmp = new Path(path + ".tmp")
     val dst = new Path(path)
+    val bak = new Path(path + ".bak")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val fs = fsFor(dst)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, true) // leftover from a crashed swap
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak))
+      throw new java.io.IOException(
+        s"catalog swap: could not move live table $dst aside; catalog unchanged")
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld && !fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"catalog swap: rename $tmp -> $dst failed AND backup restore failed; " +
+            s"recover manually from $bak")
+      throw new java.io.IOException(
+        s"catalog swap: rename $tmp -> $dst failed; previous catalog restored")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 
   /** Drop the instance cache: next read reloads from the warehouse. */
@@ -101,12 +141,14 @@ class Catalog(spark: SparkSession, dir: String) {
     * paths like `Bio.Seq.Genome.HUMAN.hg18` (`metabase.py:1395+`).
     */
   def register(r: Resource): Unit = {
+    resCache = null // merge against the LIVE table, not a stale cache
     val rows = resources + (r.name -> r)
     swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath)
     resCache = rows
   }
 
   def addRelation(rel: Relation): Unit = {
+    relCache = null
     val rows = relations + (rel.name -> rel)
     swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath)
     relCache = rows

@@ -76,11 +76,17 @@ object MinHashU {
     var i = 0
     while (i <= nTok - n) {
       sb.setLength(0)
+      // concat_ws parity: a null token contributes neither text NOR its
+      // separator — ['a', null, 'b'] joins to "a b", not "a  b".
+      var appended = false
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
         val t = toks.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
+        if (t != null) {
+          if (appended) sb.append(' ')
+          sb.append(t.toString)
+          appended = true
+        }
         j += 1
       }
       md.reset()

@@ -85,6 +85,21 @@ object Fasta {
       }
       .toDF("seq_id", "file", "rec_start", "rec_end")
       .write.mode("overwrite").option("sep", "\t").csv(path + ".gfidx")
+    // Freshness stamp: byte offsets are only valid against the exact
+    // bytes they were computed from, so record each source file's
+    // (length, mtime). Scan planning refuses to prune when the stamp
+    // is absent or disagrees with the live file status — a stale
+    // index silently pointing at wrong offsets would otherwise DROP
+    // rows (pruned splits are never scanned; the residual filter
+    // can't resurrect them).
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(conf)
+    val stamped = fs.globStatus(new Path(path)).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+    }.map(st => s"${st.getPath}\t${st.getLen}\t${st.getModificationTime}")
+    val out = fs.create(new Path(path + ".gfidx/_source_stat"), true)
+    try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Header fields + sequence LENGTH without materializing the joined

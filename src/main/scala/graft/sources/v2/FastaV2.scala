@@ -45,7 +45,9 @@ import graft.seq.Fasta
   *    handful of blocks (pygr's on-disk `.pureseq`+index layout,
   *    `seqdb.py:63-119`, re-expressed as data-source pruning). The
   *    filters are also reported back to Spark as residual, so
-  *    correctness never depends on the index: a missing/stale sidecar
+  *    correctness never depends on the index: the sidecar carries a
+  *    `_source_stat` freshness stamp (source length+mtime) that
+  *    planning validates before pruning, so a missing OR stale index
   *    only costs pruning, never rows.
   *
   * Executors see the DRIVER's filesystem settings (s3a credentials,
@@ -171,14 +173,21 @@ class FastaScan(path: String, required: StructType,
 object FastaScan {
   /** Matching (file, recStart, recEnd) byte ranges from the sidecar
     * index directory `<path>.gfidx` (TSV part files written by
-    * `Fasta.writeIndex`), or None when no index exists. Driver-side;
-    * the index is one small row per SEQUENCE, not per byte.
+    * `Fasta.writeIndex`), or None when no index exists OR the index
+    * is STALE — `_source_stat` records each source file's
+    * (length, mtime) at index-build time, and any absence or mismatch
+    * against the live file status disables pruning (byte offsets from
+    * a rewritten file would prune splits that hold matching records;
+    * the residual filter can't restore rows from splits never
+    * scanned). Driver-side; the index is one small row per SEQUENCE,
+    * not per byte.
     */
   private[v2] def indexRanges(conf: Configuration, path: String,
                               ids: Set[String]): Option[Seq[(String, Long, Long)]] = {
     val idx = new Path(path + ".gfidx")
     val fs = idx.getFileSystem(conf)
     if (!fs.exists(idx)) return None
+    if (!indexFresh(conf, path)) return None
     val parts = fs.listStatus(idx).filter(_.isFile)
       .map(_.getPath).filterNot(_.getName.startsWith("_"))
     val out = Seq.newBuilder[(String, Long, Long)]
@@ -193,6 +202,31 @@ object FastaScan {
       } finally in.close()
     }
     Some(out.result())
+  }
+
+  /** True iff `_source_stat` exists and every recorded
+    * (file, length, mtime) matches the live file status. A legacy
+    * index without the stamp is treated as stale — pruning is a pure
+    * optimization, so the safe answer to "can't prove fresh" is
+    * "scan all splits". */
+  private[v2] def indexFresh(conf: Configuration, path: String): Boolean = {
+    val statP = new Path(path + ".gfidx/_source_stat")
+    val fs = statP.getFileSystem(conf)
+    if (!fs.exists(statP)) return false
+    val in = fs.open(statP)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    lines.filter(_.nonEmpty).forall { line =>
+      val f = line.split('\t')
+      f.length >= 3 && {
+        val p = new Path(f(0))
+        try {
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          st.getLen == f(1).toLong && st.getModificationTime == f(2).toLong
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
+    }
   }
 }
 

@@ -52,6 +52,35 @@ class CatalogSpec extends SparkSuite {
     assert(err.getMessage.contains("cycle"))
   }
 
+  test("two writers registering different names both survive (entry-level merge)") {
+    val dir = Files.createTempDirectory("catalog_mw").toString
+    val a = new Catalog(spark, dir)
+    val b = new Catalog(spark, dir)
+    a.register(Resource("W.one", "table", "parquet", "/tmp/one"))
+    // b's instance cache predates a's write; its register must merge
+    // against the LIVE table, not clobber it with the stale snapshot
+    b.register(Resource("W.two", "table", "parquet", "/tmp/two"))
+    val merged = new Catalog(spark, dir).resources.keySet
+    assert(merged === Set("W.one", "W.two"),
+      s"concurrent writers must not drop entries, got $merged")
+  }
+
+  test("crashed swap (live table gone, .bak present) heals on next read") {
+    val dir = Files.createTempDirectory("catalog_bak").toString
+    val cat = new Catalog(spark, dir)
+    cat.register(Resource("R.x", "table", "parquet", "/tmp/x"))
+    // simulate a writer dying between rename(dst, bak) and
+    // rename(tmp, dst): live dir moved aside, nothing renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/resources")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/resources.bak")
+    assert(fs.rename(live, bak))
+    val healed = new Catalog(spark, dir)
+    assert(healed.resources.keySet === Set("R.x"), "reads must restore .bak")
+    assert(fs.exists(live) && !fs.exists(bak))
+  }
+
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("catalog_mm").toString

@@ -46,4 +46,28 @@ class MinHashUSpec extends SparkSuite {
       .where(col("sig0").isNotNull).count()
     assert(nulls === 0)
   }
+
+  test("null tokens follow concat_ws: no separator for a null element") {
+    import spark.implicits._
+    // ['a', null, 'b'] must shingle as 'a b'-adjacent text, not 'a  b'
+    // (concat_ws skips null elements AND their separators)
+    val docs = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String](null, "a", "b", null)),
+      (3L, Seq[String]("a", "b"))
+    ).toDF("doc_id", "toks")
+    val k = 4; val n = 3
+    val native = MinHashLSH.signatureExprsU(docs.where(col("doc_id") === 1), "toks", k, n)
+      .select((0 until k).map(i => col(s"sig$i")): _*).collect().head
+    val sh = TextFunctions.shingles(col("toks"), n)
+    val hm = transform(sh,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashLSH.P)
+    val ref = MinHashLSH.seedsU(k).zipWithIndex.foldLeft(
+      docs.where(col("doc_id") === 1).withColumn("__hm", hm)) {
+      case (d, ((a, b), i)) =>
+        d.withColumn(s"sig$i",
+          array_min(transform(col("__hm"), h => (lit(a) * h + lit(b)) % MinHashLSH.P)))
+    }.select((0 until k).map(i => col(s"sig$i")): _*).collect().head
+    assert(native === ref, s"null-token shingles diverged: $native vs $ref")
+  }
 }

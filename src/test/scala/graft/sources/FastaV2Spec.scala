@@ -99,6 +99,47 @@ class FastaV2Spec extends SparkSuite {
     } finally spark.sparkContext.hadoopConfiguration.unset(key)
   }
 
+  test("stale sidecar index disables pruning instead of dropping rows") {
+    val recs = (0 until 200).map(i => s">r$i t$i\n${"ACGT" * (10 + i % 7)}")
+    val dir = writeFasta(recs.mkString("\n") + "\n")
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    try {
+      spark.sparkContext.hadoopConfiguration.set(key, "512")
+      Fasta.writeIndex(spark, dir)
+      def partsAndRows(ids: String*): (Int, Seq[String]) = {
+        val df = spark.read.format("fasta").load(dir)
+          .where(col("seq_id").isin(ids: _*)).select("seq_id")
+        val rows = df.orderBy("seq_id").collect().map(_.getString(0)).toSeq
+        val parts = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }.head
+        (parts, rows)
+      }
+      val (freshParts, freshRows) = partsAndRows("r42", "r77")
+      assert(freshRows === Seq("r42", "r77"))
+      // REWRITE the FASTA with records in reverse order: every byte
+      // offset in the sidecar is now wrong. The freshness stamp must
+      // disable pruning (all splits scanned) and the rows must still
+      // be exact — the pre-fix behavior silently LOST rows here.
+      val f = java.nio.file.Paths.get(dir, "x.fasta")
+      java.nio.file.Files.writeString(f, recs.reverse.mkString("\n") + "\n")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+      val (staleParts, staleRows) = partsAndRows("r42", "r77")
+      assert(staleRows === Seq("r42", "r77"), "stale index must not drop rows")
+      assert(staleParts >= freshParts,
+        s"stale index must not prune: $staleParts vs fresh $freshParts")
+      // re-indexing the rewritten file restores pruning
+      Fasta.writeIndex(spark, dir)
+      val (reParts, reRows) = partsAndRows("r42", "r77")
+      assert(reRows === Seq("r42", "r77"))
+      assert(reParts < staleParts,
+        s"fresh re-index should prune again: $reParts vs $staleParts")
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("records survive split boundaries (forced tiny splits)") {
     // many records, then read with a tiny max split size so records
     // straddle split edges; the delimiter contract must keep every
