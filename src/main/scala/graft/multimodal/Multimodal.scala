@@ -87,14 +87,28 @@ object Multimodal {
       }(enc)
   }
 
-  /** Near-duplicate image pairs within `maxHamming` bits of dHash —
-    * the d5 pigeonhole guarantee on the 64-bit perceptual hash:
-    * r+1 blocks mean any pair ≤ r bits apart shares at least one
-    * block untouched by the differing bits, so the banded equi-join
-    * on (block_no, block_value) has GUARANTEED recall; per-block
-    * work is bounded by bucket population, never all-pairs. Emits
+  /** Near-duplicate image pairs — THE API DEFAULT routes to the
+    * 128-bit dHash path ([[imageNearDup128]], columns h0/h1 from
+    * `ImageCodec.dHash128`): at corpus scale the 64-bit variant's
+    * 13-bit pigeonhole blocks admit ≈5·N²/2¹³ random cross-collision
+    * candidates (measured cpu_exp 1.27 at sf10), while the five
+    * 26-bit blocks keep the collision term negligible AND cost less
+    * at sf10. Use [[imageNearDup64]] only for legacy single-LONG
+    * `dhash` metadata. */
+  def imageNearDup(meta: DataFrame, maxHamming: Int = 4): DataFrame =
+    imageNearDup128(meta, maxHamming)
+
+  /** LEGACY 64-bit near-dup within `maxHamming` bits of the single
+    * `dhash` column — the d5 pigeonhole guarantee on the 64-bit
+    * perceptual hash: r+1 blocks mean any pair ≤ r bits apart shares
+    * at least one block untouched by the differing bits, so the
+    * banded equi-join on (block_no, block_value) has GUARANTEED
+    * recall; per-block work is bounded by bucket population, never
+    * all-pairs. Kept for pre-dHash128 metadata: its 13-bit blocks
+    * saturate past ~10⁶ images (quadratic collision term), so new
+    * pipelines should produce h0/h1 and take [[imageNearDup]]. Emits
     * (media_a < media_b, hamming). */
-  def imageNearDup(meta: DataFrame, maxHamming: Int = 4): DataFrame = {
+  def imageNearDup64(meta: DataFrame, maxHamming: Int = 4): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64)
     val nBlocks = maxHamming + 1
     val blockBits = (64 + nBlocks - 1) / nBlocks

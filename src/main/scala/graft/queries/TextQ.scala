@@ -861,14 +861,15 @@ object TextQ {
           Row(id, graft.multimodal.ImageCodec.dHash(dec) & Long.MaxValue)
         }
       }(enc)
-      // imageNearDup SELF-joins its input: without materialization the
+      // imageNearDup64 SELF-joins its input (m10 is the 64-bit legacy twin;
+      // the API default is the 128-bit path, gated as m17): without materialization the
       // whole synthetic encode→decode→dHash fixture pipeline runs once
       // per join side (measured at sf5: ~2× the decode CPU). A real
       // deployment's meta is a scanned table; persisting the (id,
       // long) hash table here — corpus-count rows, 16 bytes each —
       // restores that shape. Bench scrubs persisted frames per query.
       val cached = meta.persist()
-      graft.multimodal.Multimodal.imageNearDup(cached, maxHamming = 4)
+      graft.multimodal.Multimodal.imageNearDup64(cached, maxHamming = 4)
         .orderBy("media_a", "media_b")
     },
 
@@ -909,7 +910,7 @@ object TextQ {
           Row(id, h(0), h(1))
         }
       }(enc).persist()
-      graft.multimodal.Multimodal.imageNearDup128(meta, maxHamming = 4)
+      graft.multimodal.Multimodal.imageNearDup(meta, maxHamming = 4)
         .orderBy("media_a", "media_b")
     },
 

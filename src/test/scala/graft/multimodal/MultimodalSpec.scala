@@ -83,7 +83,7 @@ class MultimodalSpec extends SparkSuite {
       else (id + 1000L, h0, h1 ^ (1L << (b - 63)))
     }
     val meta = (base ++ dups).toDF("media_id", "h0", "h1")
-    val got = Multimodal.imageNearDup128(meta, maxHamming = 4)
+    val got = Multimodal.imageNearDup(meta, maxHamming = 4) // API default IS the 128-bit path
       .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
     val want = base.take(10).map { case (id, _, _) => (id, id + 1000L, 1L) }.toSet
     assert(got.filter(p => p._2 >= 1000L && p._1 == p._2 - 1000L) == want)

@@ -74,12 +74,12 @@ class RealDecodeSpec extends SparkSuite {
     assert(meta(4L).isNullAt(1) && meta(4L).isNullAt(3))
   }
 
-  test("imageNearDup finds exactly the perceptual pair via banded Hamming join") {
+  test("imageNearDup64 finds exactly the perceptual pair via banded Hamming join") {
     import spark.implicits._
     val rows = Seq(
       (1L, encode(base, "png")), (2L, encode(nearDup, "png")),
       (3L, encode(far, "bmp")), (4L, "garbage".getBytes("UTF-8")))
-    val pairs = Multimodal.imageNearDup(
+    val pairs = Multimodal.imageNearDup64(
         Multimodal.imageMeta(rows.toDF("media_id", "content")), maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
