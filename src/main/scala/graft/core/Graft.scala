@@ -5,19 +5,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Session factory + table access for the graft engine.
   *
   * Conventions (see SURVEY.md §7):
-  *  - shuffle partitions sized for the local[32] harness; on a real
-  *    cluster this is overridden by spark.sql.shuffle.partitions /AQE.
+  *  - CLUSTER-SAFE: when a master is already configured (spark-submit
+  *    sets the `spark.master` system property), the factory neither
+  *    overrides it nor touches `spark.sql.shuffle.partitions` — the
+  *    deployment's sizing wins. Only a bare JVM (local dev, the test
+  *    harness) gets a `local[n]` master with shuffle partitions = n,
+  *    n defaulting to the host's core count.
   *  - AQE on: runtime coalescing + skew-join handling is our first
   *    line of defense at 100TB.
   */
 object Graft {
 
-  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
-    val spark = SparkSession
-      .builder()
-      .master(s"local[$cores]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+  def session(appName: String = "graft", cores: Int = 0): SparkSession = {
+    val builder = SparkSession.builder().appName(appName)
+    if (!sys.props.contains("spark.master")) {
+      val n = if (cores > 0) cores else Runtime.getRuntime.availableProcessors()
+      builder.master(s"local[$n]")
+        .config("spark.sql.shuffle.partitions", n.toString)
+    }
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -32,15 +32,21 @@ object PrefixSum {
     * `sortKeys` MUST be a total order (include a unique tiebreaker):
     * each pass re-sorts the shuffle files, and only a total order
     * makes every re-read produce the same row order — and therefore
-    * the same running totals. `numPartitions` is explicit so AQE
-    * cannot re-plan the partitioning between the sum pass and the
-    * row pass. The per-partition sum job runs EAGERLY at call time.
+    * the same running totals. `numPartitions` is pinned (AQE must
+    * not re-plan the partitioning between the sum pass and the row
+    * pass); the default 0 means "the session's
+    * `spark.sql.shuffle.partitions`", so the operator inherits
+    * cluster sizing instead of a harness constant. The per-partition
+    * sum job runs EAGERLY at call time.
     */
   def withRunningTotal(df: DataFrame, sortKeys: Seq[Column],
                        valueCol: String, cumCol: String,
-                       numPartitions: Int = 32): DataFrame = {
+                       numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
-      .repartitionByRange(numPartitions, sortKeys: _*)
+      .repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType,

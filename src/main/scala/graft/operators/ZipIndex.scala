@@ -30,17 +30,22 @@ object ZipIndex {
     * a shuffle-file re-read re-sorts each partition, and only a total
     * order makes every re-read produce the same intra-partition row
     * order — and therefore the same positions. `numPartitions` is
-    * explicit so AQE cannot re-plan the partitioning between the count
-    * pass and the row pass.
+    * pinned (AQE must not re-plan the partitioning between the count
+    * pass and the row pass); the default 0 means "the session's
+    * `spark.sql.shuffle.partitions`", so the operator inherits
+    * cluster sizing instead of a harness constant.
     *
     * Note the count job runs EAGERLY at call time (zipWithIndex
     * semantics); the returned frame's own evaluation then only pays
     * the shuffle re-read.
     */
   def withPosition(df: DataFrame, sortKeys: Seq[Column], posCol: String,
-                   numPartitions: Int = 32): DataFrame = {
+                   numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
-      .repartitionByRange(numPartitions, sortKeys: _*)
+      .repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(posCol, LongType, nullable = false))
