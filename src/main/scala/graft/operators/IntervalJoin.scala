@@ -57,6 +57,71 @@ object IntervalJoin {
       .drop("__bin")
   }
 
+  /** Multi-resolution binned overlap join — the long-interval-safe
+    * form of [[binned]] (the containment case pygr's NCList sublist
+    * hoist exists for, `intervaldb.c:222-306`: a whole-chromosome
+    * annotation must not explode into every fine bin on the axis).
+    *
+    * Levels l = 0..levels-1 carry bin width `binWidth * fanout^l`.
+    * Each interval OWNS the smallest level whose width ≥ its length —
+    * it touches ≤ 2 bins there — and additionally emits its (≤ 2)
+    * covering bins at every COARSER level, so an interval costs at
+    * most `2·levels` exploded rows REGARDLESS of length (only spans
+    * longer than the coarsest width still walk bins, at the coarsest
+    * resolution). Two overlapping intervals always share a bin at the
+    * coarser of their two own levels: the point
+    * `g = greatest(aStart, bStart)` lies inside both (half-open
+    * overlap), so `bin(g)` at that level is emitted by both sides.
+    * The join runs equi on (keys…, level, bin); each matching pair
+    * survives exactly once — at level `max(ownA, ownB)` in `bin(g)` —
+    * no distinct/shuffle needed (same dedup idea as [[binned]], lifted
+    * to two dimensions).
+    *
+    * vs [[binned]]: identical results, identical single-level plan
+    * when every interval is short; choose `binned` only when lengths
+    * are known ≲ binWidth. fanout/levels trade replication (2·levels
+    * rows) against collision (spans ≫ coarsest width): defaults cover
+    * binWidth..4096·binWidth, enough for "whole axis" fixtures and
+    * genome-scale containment alike.
+    */
+  def binnedMulti(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String,
+                  binWidth: Long, fanout: Int = 16, levels: Int = 4): DataFrame = {
+    require(binWidth > 0 && fanout > 1 && levels >= 1)
+    val widths = Array.iterate(binWidth, levels)(w => math.multiplyExact(w, fanout.toLong))
+    val ab = explodeLevels(a, aStart, aEnd, widths, "__la")
+    val bb = explodeLevels(b, bStart, bEnd, widths, "__lb")
+    val wAtLvl = element_at(array(widths.map(lit): _*), col("__lvl") + 1)
+    ab.join(bb, keys ++ Seq("__lvl", "__bin"))
+      .where(Intervals.overlaps(col(aStart), col(aEnd), col(bStart), col(bEnd)))
+      // exactly-once: the coarser of the two own levels…
+      .where(col("__lvl") === greatest(col("__la"), col("__lb")))
+      // …in the bin containing the later start
+      .where(col("__bin") ===
+        floor(greatest(col(aStart), col(bStart)) / wAtLvl).cast("long"))
+      .drop("__lvl", "__bin", "__la", "__lb")
+  }
+
+  /** Per-level bin explosion for [[binnedMulti]]: `ownCol` = smallest
+    * level whose width ≥ the interval's length (capped at the
+    * coarsest); rows exploded for every level ≥ own with the bins the
+    * interval touches at that level's width.
+    */
+  private[operators] def explodeLevels(df: DataFrame, s: String, e: String,
+                            widths: Array[Long], ownCol: String): DataFrame = {
+    val len = col(e) - col(s)
+    val own = widths.indices.init.foldRight(lit(widths.length - 1): Column) {
+      (l, acc) => when(len <= widths(l), lit(l)).otherwise(acc)
+    }
+    val wAtLvl = element_at(array(widths.map(lit): _*), col("__lvl") + 1)
+    df.withColumn(ownCol, own)
+      .withColumn("__lvl", explode(sequence(col(ownCol), lit(widths.length - 1))))
+      .withColumn("__bin",
+        explode(sequence(floor(col(s) / wAtLvl).cast("long"),
+                         floor((col(e) - lit(1L)) / wAtLvl).cast("long"))))
+  }
+
   /** Binned interval×point join: point tables carry one coordinate, so
     * each point lands in exactly one bin and no dedup pass is needed.
     */

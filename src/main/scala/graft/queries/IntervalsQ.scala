@@ -550,6 +550,37 @@ object IntervalsQ {
         .orderBy("click_id")
     },
 
+    // J1 long-interval variant: multi-resolution binned overlap join
+    // on a fixture that MIXES whole-key-axis spans with short windows
+    // (the containment case pygr's NCList sublists exist for,
+    // intervaldb.c:222-306). Per user: the whole activity span, its
+    // first half, and one 10-minute window — joined against the
+    // 2-12-minute error windows. The single-level binned join would
+    // explode each whole-span row into every touched fine bin;
+    // binnedMulti caps replication at 2·levels rows per interval.
+    "j14_multires_overlap" -> { (s, dir) =>
+      val spans = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(sec("ts")).as("umin"), max(sec("ts")).as("umax"))
+        .select(col("user_id"), explode(array(
+          struct(lit(0).as("span_kind"), col("umin").as("ss"),
+            (col("umax") + 1L).as("se")),
+          struct(lit(1).as("span_kind"), col("umin").as("ss"),
+            (col("umin") + expr("(umax - umin) div 2") + 1L).as("se")),
+          struct(lit(2).as("span_kind"),
+            (col("umin") + expr("2 * ((umax - umin) div 3)")).as("ss"),
+            (col("umin") + expr("2 * ((umax - umin) div 3)") + 600L).as("se"))
+        )).as("sp"))
+        .select(col("user_id"), col("sp.span_kind").as("span_kind"),
+          col("sp.ss").as("ss"), col("sp.se").as("se"))
+      IntervalJoin.binnedMulti(errorWindows(s, dir), spans, Seq("user_id"),
+          "ws", "we", "ss", "se", binWidth = 3600L, fanout = 16, levels = 4)
+        .groupBy("user_id", "span_kind")
+        .agg(count(lit(1)).as("n_wnd"),
+          min("ws").as("first_ws"), max("we").as("last_we"))
+        .orderBy("user_id", "span_kind")
+    },
+
     // P5: interval-set mask (SeqFilterDict): keep error windows
     // intersecting the per-user mask window, clipped to it.
     "p5_filter_mask" -> { (s, dir) =>
@@ -649,6 +680,20 @@ object IntervalsQ {
         |SELECT w.user_id, wnd_id, COUNT(*) AS n_clicks, MIN(p) AS first_click
         |FROM w JOIN c ON w.user_id = c.user_id AND p >= ws AND p < we
         |GROUP BY w.user_id, wnd_id ORDER BY w.user_id, wnd_id""".stripMargin,
+
+    "j14_multires_overlap" ->
+      s"""WITH w AS ($wndSql),
+        |u AS (SELECT user_id, MIN(epoch_ms(ts)//1000) AS umin,
+        |             MAX(epoch_ms(ts)//1000) AS umax FROM events GROUP BY user_id),
+        |sp AS (
+        |  SELECT user_id, 0 AS span_kind, umin AS ss, umax + 1 AS se FROM u
+        |  UNION ALL SELECT user_id, 1, umin, umin + (umax - umin)//2 + 1 FROM u
+        |  UNION ALL SELECT user_id, 2, umin + 2*((umax - umin)//3),
+        |                   umin + 2*((umax - umin)//3) + 600 FROM u)
+        |SELECT w.user_id, span_kind, COUNT(*) AS n_wnd,
+        |       MIN(ws) AS first_ws, MAX(we) AS last_we
+        |FROM w JOIN sp ON w.user_id = sp.user_id AND ws < se AND ss < we
+        |GROUP BY w.user_id, span_kind ORDER BY w.user_id, span_kind""".stripMargin,
 
     "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
 
