@@ -402,6 +402,51 @@ object IntervalsQ {
       s.table(name).orderBy("wstart", "event_type")
     },
 
+    // ST13: the STATEFUL production-ingest twin — st3's
+    // flatMapGroupsWithState sessionization fed from a FILE SOURCE
+    // (`readStream.json` drop directory) on the RocksDB state store:
+    // two time-ordered drops prove incremental file discovery feeding
+    // LIVE keyed state (the second lands after the query started, and
+    // sessions straddling the drop boundary must merge through
+    // state), a third drop carries the per-user flush sentinels.
+    // This is the query that retires the driver-side MemoryStream
+    // feeder from the stateful family's production claim. Same oracle
+    // as st3: file-fed and memory-fed executions agree exactly.
+    "st13_file_source_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamOps
+      val drop = java.nio.file.Files.createTempDirectory("graft_st13_drop").toString
+      val clicks = events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id").cast("long").as("user_id"),
+          sec("ts").cast("long").as("sec"))
+      val mm = clicks.agg(min("sec"), max("sec")).head
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      clicks.where(col("sec") <= mid).write.mode("append").json(drop)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sec",
+          org.apache.spark.sql.types.LongType)))
+      val name = "st13_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      StreamOps.replaySized(s, 8) {
+        val stream = s.readStream.schema(sch).json(drop).as[StreamOps.Ev]
+        val q = StreamOps.sessionize(stream, gapSec = 1800L, timeoutMs = 0L)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", StreamOps.scratchCheckpoint("st13"))
+          .start()
+        try {
+          q.processAllAvailable()
+          clicks.where(col("sec") > mid).write.mode("append").json(drop)
+          q.processAllAvailable()
+          clicks.select("user_id").distinct()
+            .select(col("user_id"), lit(StreamOps.FlushAt).as("sec"))
+            .write.mode("append").json(drop)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      s.table(name).orderBy("user_id", "session_start")
+    },
+
     // ST4: the stream-static interval join under the oracle gate —
     // clicks replay as the stream side; the static side is the
     // error-window table; StreamOps.pointInIntervalStream broadcast-
@@ -930,6 +975,20 @@ object IntervalsQ {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c_t >= p_t AND c_t < p_t + 600
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "st13_file_source_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS sec FROM events
+        |  WHERE event_type = 'click'),
+        |x AS (SELECT user_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec > lag(sec) OVER w + 1800
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |g AS (SELECT user_id, sec, SUM(brk) OVER (PARTITION BY user_id
+        |  ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp FROM x)
+        |SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st3_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS sec FROM events
