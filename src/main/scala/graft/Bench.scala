@@ -112,6 +112,13 @@ object Bench {
     def scrub(): Unit = if (doScrub) {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // settle the JVM between queries: a full GC + a beat for async
+      // cleanup threads, so query N's heap debris isn't billed to
+      // query N+1 (the r10 isolated-JVM cross-check measured j5b at
+      // 799 task-CPU s where the co-resident run charged it 3 597 s —
+      // 4.5× pure neighborhood effect at sf10)
+      System.gc()
+      Thread.sleep(200)
     }
     // SPARK_GRAFT_REPEAT=n times each query n times and keeps the last
     // pass — steady-state cost without first-use codegen/footer reads.

@@ -145,21 +145,24 @@ object MotifQuery {
     require(hasher == "xx" || hasher == "md5", s"unknown hasher: $hasher")
     require(k % bands == 0)
     val Array(s, d) = edges.columns.take(2)
-    val nbrs = edges
-      .select(col(s).as("__src"), col(d).cast("string").as("__dst"))
-      .groupBy("__src").agg(collect_set("__dst").as("__toks"))
     // ONE aggregation computes the k minhashes AND the set size
-    // (identical values to MinHashLSH.signatures at shingleN=1:
-    // __toks is already a distinct set, so its 1-shingles are itself),
-    // and the band-bucket rows CARRY sigs + size to the candidate
-    // join. The previous composition re-joined candidates back to the
-    // signature and size tables — FIVE evaluations of the whole
-    // scan→collect_set→minhash subtree in the executed plan (exchange
-    // reuse does not collapse them); the r9 sf5 drift audit measured
-    // it at ~3× the intrinsic one-pass CPU and drifting superlinear
-    // (exp 1.41). This shape evaluates the pipeline once per
-    // self-join side, and nothing else.
-    val sh = nbrs.select(col("__src"), explode(col("__toks")).as("sh"))
+    // (identical values to MinHashLSH.signatures at shingleN=1: the
+    // distinct edge set's 1-shingles are itself), and the band-bucket
+    // rows CARRY sigs + size to the candidate join. Two lessons are
+    // baked into this shape: (a) the previous composition re-joined
+    // candidates back to the signature and size tables — FIVE
+    // evaluations of the whole scan→minhash subtree in the executed
+    // plan (r9 sf5 audit: ~3× the intrinsic one-pass CPU, exp 1.41);
+    // (b) an earlier form built per-node neighbor ARRAYS
+    // (collect_set) only to explode them straight back into rows —
+    // pure waste that turns hazardous under heavy-tailed degrees,
+    // where a hot node's array (774 k elements on the r10 v2sf10
+    // fixture) must be materialized in every partial-agg buffer that
+    // sees the key. `distinct()` on the edge rows gives the same
+    // multiset with bounded buffers.
+    val sh = edges
+      .select(col(s).as("__src"), col(d).cast("string").as("sh"))
+      .distinct()
     val sigAggs = (0 until k).map { i =>
       if (hasher == "xx") min(xxhash64(lit(i), col("sh"))).as(s"sig$i")
       else min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")

@@ -14,6 +14,8 @@ object DriftProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.Graft.session("drift-probe")
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     def t[T](name: String)(body: => T): T = {
