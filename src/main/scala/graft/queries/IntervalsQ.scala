@@ -263,6 +263,45 @@ object IntervalsQ {
         .orderBy("user_id", "session")
     },
 
+    // ST10 A/B TWIN: the identical session result through st3's
+    // flatMapGroupsWithState engine instead of the native
+    // session_window operator — the measured basis for the
+    // production-default choice (BENCH.md "session engines A/B"):
+    // the native operator's per-batch state machinery (sort-merge of
+    // the store's session list) costs 158 s engine at sf10 where the
+    // custom state fold holds single-digit seconds, with identical
+    // output. Same oracle as st10.
+    "st10b_session_fmgws" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamOps
+      implicit val sqlCtx = s.sqlContext
+      val rows = events(s, dir)
+        .select(col("user_id").cast("long"), sec("ts").cast("long"))
+        .as[(Long, Long)].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamOps.Ev]
+      val name = "st10b_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      StreamOps.replaySized(s, 8) {
+        val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", StreamOps.scratchCheckpoint("st10b"))
+          .start()
+        try {
+          in.addData(rows.toSeq.map { case (u, t) => StreamOps.Ev(u, t) })
+          q.processAllAvailable()
+          in.addData(rows.map(_._1).distinct.toSeq
+            .map(u => StreamOps.Ev(u, StreamOps.FlushAt)))
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      s.table(name)
+        .withColumn("session", (row_number().over(w) - 1).cast("long"))
+        .select(col("user_id"), col("session"), col("session_start"),
+          col("session_end"), col("n_events").as("n_members"))
+        .orderBy("user_id", "session")
+    },
+
     // A2 complete: full gap-rule merge over the alignment lanes —
     // maxInsert/minInsert on the dest axis split sessions the wide
     // maxGap alone would merge (cnestedlist.pyx:812-845).
@@ -846,6 +885,22 @@ object IntervalsQ {
 
     // st10: identical session semantics to a2 (same gap rule, same
     // numbering), reached through the native streaming operator.
+    "st10b_session_fmgws" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),
+        |m AS (SELECT user_id, p,
+        |  CASE WHEN MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR p > MAX(p) OVER (PARTITION BY user_id ORDER BY p, p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1800
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |t AS (SELECT user_id, p,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY p, p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session
+        |  FROM m)
+        |SELECT user_id, session, MIN(p) AS session_start, MAX(p) AS session_end,
+        |  COUNT(*) AS n_members
+        |FROM t GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
     "st10_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS p FROM events),
         |m AS (SELECT user_id, p,
