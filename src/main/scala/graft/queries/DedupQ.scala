@@ -102,6 +102,54 @@ object DedupQ {
         .orderBy("i", "j")
     },
 
+    // d14: LSH RECALL AUDIT — the number every production dedup run
+    // needs before trusting its banded index: of the TRUE near-dup
+    // partners (exact shingle-Jaccard ≥ 0.5) of a query sample, what
+    // fraction does the d2 pipeline (k=8, 4 bands, bucket cap 16)
+    // actually surface? Ground truth is exact but affordable because
+    // ONE side is the sample: query shingles join the corpus posting
+    // list (linear in corpus, sample-bounded fan-out) — the only way
+    // to measure recall without an all-pairs join. At this corpus's
+    // dup strength (j ≥ 0.9, where r=2,b=4 theory says ≈100%) any
+    // shortfall is the bucket cap's price, measured instead of
+    // argued; production lowers the sample rate (% 7 here so the
+    // gate-scale sample intersects the dup families) and re-tunes
+    // bands for the j it cares about. Companion of n4_ann_recall
+    // (same audit for the ANN index).
+    "d14_lsh_recall" -> { (s, dir) =>
+      import graft.text.TextFunctions
+      val docs = docToks(s, dir)
+      val sh = docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("toks"), 2)).as("sh"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("q"), col("sh"))
+        .join(sh.select(col("doc_id").as("o"), col("sh")), "sh")
+        .where(col("q") =!= col("o"))
+        .groupBy("q", "o").agg(count(lit(1)).as("ic"))
+      val truth = inter
+        .join(sz.select(col("doc_id").as("q"), col("sz").as("szq")), "q")
+        .join(sz.select(col("doc_id").as("o"), col("sz").as("szo")), "o")
+        .where(TextFunctions.bp(col("ic"),
+          col("szq") + col("szo") - col("ic")) >= 5000)
+        .select("q", "o")
+      val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        maxBucket = 16)
+      val lsh = cand.select(col("i").as("q"), col("j").as("o"))
+        .unionByName(cand.select(col("j").as("q"), col("i").as("o")))
+        .where(col("q") % 7 === 0)
+      val hits = truth.join(lsh, Seq("q", "o"), "left_semi")
+        .groupBy("q").agg(count(lit(1)).as("n_hit"))
+      truth.groupBy("q").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("q"), col("n_true"), col("n_hit"),
+          TextFunctions.bp(col("n_hit"), col("n_true")).as("recall_bp"))
+        .orderBy("q")
+    },
+
     // d13: CONTENT-DEFINED chunking dedup (the LBFS/restic CDC shape):
     // a chunk boundary is declared wherever the Rabin–Karp polynomial
     // of the LOCAL 8-char window lands in the prime-modulus hit band
@@ -710,6 +758,29 @@ object DedupQ {
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    // d14 = exact-Jaccard ground truth on the 1% sample vs the shared
+    // LSH candidate pipeline; recall in integer basis points.
+    "d14_lsh_recall" ->
+      s"""WITH tk AS ($tkSql),
+        |sh AS ($shSql),
+        |$lshCandUSql,
+        |gi AS (SELECT qa.doc_id AS q, s.doc_id AS o, COUNT(*) AS ic
+        |  FROM sh qa JOIN sh s ON qa.sh = s.sh AND qa.doc_id <> s.doc_id
+        |  WHERE qa.doc_id % 7 = 0
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT gi.q, gi.o FROM gi
+        |  JOIN sz za ON za.doc_id = gi.q
+        |  JOIN sz zb ON zb.doc_id = gi.o
+        |  WHERE (10000 * ic) // (za.sz + zb.sz - ic) >= 5000),
+        |lsh AS (SELECT i AS q, j AS o FROM cand WHERE i % 7 = 0
+        |  UNION ALL SELECT j AS q, i AS o FROM cand WHERE j % 7 = 0)
+        |SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |  CAST(SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  (10000 * SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*)
+        |    AS recall_bp
+        |FROM truth t LEFT JOIN lsh l ON l.q = t.q AND l.o = t.o
+        |GROUP BY t.q ORDER BY t.q""".stripMargin,
 
     "d13_cdc_dedup" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
