@@ -1645,6 +1645,44 @@ object TextQ {
       s.table(name).orderBy("band", "bucket", "dup_doc")
     },
 
+    // ST14: st8's stateful near-dup on the PRODUCTION INGEST PATH —
+    // the same minhash→band-bucket→flatMapGroupsWithState operator fed
+    // by `readStream.json` over a drop directory (st13's pattern,
+    // extended from sessionization to the second stateful family).
+    // All files land before the query starts, so the file source's
+    // first micro-batch carries the whole corpus — identical batch
+    // semantics to st8's single-batch MemoryStream replay, hence the
+    // identical oracle: within one batch the operator sorts each
+    // bucket group by (event time, doc_id) and the retained
+    // representative is the window-min doc. RocksDB state store, no
+    // driver-side collect() feeder anywhere in the path.
+    "st14_file_source_neardup" -> { (s, dir) =>
+      import graft.streaming.StreamOps
+      val drop = java.nio.file.Files.createTempDirectory("graft_st14_drop").toString
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .write.mode("append").json(drop)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val name = "st14_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      StreamOps.replaySized(s, 8) {
+        val src = s.readStream.schema(sch).json(drop)
+          .select(col("doc_id"), col("text"),
+            timestamp_seconds(lit(1000000L)).as("ts"))
+        val out = StreamOps.neardupCandidatesStream(src, "ts", "doc_id", "text")
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", StreamOps.scratchCheckpoint("st14"))
+          .start()
+        try q.processAllAvailable()
+        finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      s.table(name).orderBy("band", "bucket", "dup_doc")
+    },
+
     // t9: bigram-surprise quality score — the KenLM-perplexity shape
     // of a pretraining quality filter without the external LM: the
     // corpus's own bigram counts are the model, a doc's mean
@@ -1806,6 +1844,33 @@ object TextQ {
        |  CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS score
        |FROM tk""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  // st8/st14 shared oracle: the U-family CTEs mirror
+  // MinHashLSH.signatureExprsU / bandBucketsU constant-for-constant
+  // (seeds interpolated from MinHashLSH.seedsU, same P, same
+  // injective pair bucket); within a single batch the stream's
+  // retained representative is the window-min doc per (band, bucket)
+  private val neardupStreamSql: String =
+    s"""WITH tk AS ($toksSql),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+      |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh FROM tk),
+      |hs AS (SELECT doc_id,
+      |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${graft.dedup.MinHashLSH.P} AS hm
+      |  FROM sh),
+      |sig AS (SELECT doc_id,
+      |  ${graft.dedup.MinHashLSH.seedsU(8).zipWithIndex.map { case ((a, b), i) =>
+           s"MIN(($a * hm + $b) % ${graft.dedup.MinHashLSH.P}) s$i"
+         }.mkString(",\n      |  ")}
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, s0 * ${graft.dedup.MinHashLSH.P} + s1 AS bucket FROM sig UNION ALL
+      |  SELECT doc_id, 1, s2 * ${graft.dedup.MinHashLSH.P} + s3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, s4 * ${graft.dedup.MinHashLSH.P} + s5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, s6 * ${graft.dedup.MinHashLSH.P} + s7 FROM sig),
+      |w AS (SELECT band, bucket, doc_id AS dup_doc,
+      |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc FROM bands)
+      |SELECT band, bucket, first_doc, dup_doc FROM w
+      |WHERE dup_doc <> first_doc ORDER BY band, bucket, dup_doc""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_langid" ->
@@ -2698,30 +2763,11 @@ object TextQ {
         |  CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM sc ORDER BY doc_id""".stripMargin,
 
-    "st8_stream_neardup" ->
-      // the U-family CTEs mirror MinHashLSH.signatureExprsU /
-      // bandBucketsU constant-for-constant (seeds interpolated from
-      // MinHashLSH.seedsU, same P, same injective pair bucket)
-      s"""WITH tk AS ($toksSql),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
-        |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS sh FROM tk),
-        |hs AS (SELECT doc_id,
-        |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${graft.dedup.MinHashLSH.P} AS hm
-        |  FROM sh),
-        |sig AS (SELECT doc_id,
-        |  ${graft.dedup.MinHashLSH.seedsU(8).zipWithIndex.map { case ((a, b), i) =>
-             s"MIN(($a * hm + $b) % ${graft.dedup.MinHashLSH.P}) s$i"
-           }.mkString(",\n        |  ")}
-        |  FROM hs GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 * ${graft.dedup.MinHashLSH.P} + s1 AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2 * ${graft.dedup.MinHashLSH.P} + s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4 * ${graft.dedup.MinHashLSH.P} + s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6 * ${graft.dedup.MinHashLSH.P} + s7 FROM sig),
-        |w AS (SELECT band, bucket, doc_id AS dup_doc,
-        |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc FROM bands)
-        |SELECT band, bucket, first_doc, dup_doc FROM w
-        |WHERE dup_doc <> first_doc ORDER BY band, bucket, dup_doc""".stripMargin,
+    "st8_stream_neardup" -> neardupStreamSql,
+
+    // st14 = st8 on file-source ingest; single-batch semantics are
+    // identical, so the oracle is shared verbatim
+    "st14_file_source_neardup" -> neardupStreamSql,
 
     "st11_stream_cdc_novelty" ->
       // the batch equivalence: a chunk hash's claimant is its global
