@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft.table
@@ -355,6 +355,53 @@ object DedupQ {
         .join(bench, "h")
         .groupBy("doc_id")
         .agg(countDistinct("h").as("n_contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // d15: BLOOM-FILTER decontamination — d7 at the scale where even
+    // the eval-set n-gram table is too big to broadcast as rows
+    // (URL/doc blocklists run to billions of entries). Build: 3
+    // affine probes (the U-family's seed construction, indices 8-10,
+    // same P) hash every bench 3-gram into a 2^20-bit Bloom filter,
+    // shipped to executors as ONE array literal — the corpus pass is
+    // then map-only (3 O(1) element_at probes per shingle, zero
+    // shuffle, zero join), and the exact semi-join runs only on the
+    // Bloom-flagged residue. Output reports n_flagged vs n_exact per
+    // doc, so the filter's false-positive overhead is measured, not
+    // assumed. (The literal is a boolean array — 8× the bits of a
+    // packed long-word set, still 1 MB vs the hash table's tens of
+    // MB; a packed-word native kernel is the next constant if it ever
+    // matters.) Everything integer → fully oracle-gated.
+    "d15_bloom_decontam" -> { (s, dir) =>
+      import graft.text.TextFunctions.shingles
+      val P = MinHashLSH.P
+      val m = 1 << 20
+      val seeds = MinHashLSH.seedsU(11).drop(8)
+      def probe(h: Column, i: Int): Column =
+        (lit(seeds(i)._1) * h + lit(seeds(i)._2)) % lit(P) % lit(m.toLong)
+      val sh = docToks(s, dir)
+        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh3"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("sh3")), 1, 15), 16, 10).cast("long") % lit(P))
+            .as("h"))
+      val bench = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
+      // bench-set-sized driver collect (like IvfFlat's codebook): the
+      // positions, not the corpus
+      val bits = new Array[Boolean](m)
+      (0 until 3).foreach { i =>
+        bench.select(probe(col("h"), i).as("p")).distinct()
+          .collect().foreach(r => bits(r.getLong(0).toInt) = true)
+      }
+      val bs = typedlit(bits)
+      def hit(i: Int): Column =
+        element_at(bs, (probe(col("h"), i) + 1L).cast("int"))
+      val flagged = sh.where(col("doc_id") % 97 =!= 0)
+        .where(hit(0) && hit(1) && hit(2))
+      flagged
+        .join(bench.select(col("h"), lit(1L).as("ex")), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(countDistinct("h").as("n_flagged"),
+          countDistinct(when(col("ex").isNotNull, col("h"))).as("n_exact"))
         .orderBy("doc_id")
     },
 
@@ -758,6 +805,36 @@ object DedupQ {
         |JOIN sz za ON za.doc_id = c.i
         |JOIN sz zb ON zb.doc_id = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    // d15 = Bloom membership restated as position-set joins: the
+    // occupied-bit set is the union of the 3 probe positions over
+    // bench hashes, and a hash is flagged iff all 3 of its positions
+    // are occupied — identical math, no bitset needed SQL-side.
+    "d15_bloom_decontam" -> {
+      val P = MinHashLSH.P
+      val ss = MinHashLSH.seedsU(11).drop(8)
+      def p(i: Int) = s"((${ss(i)._1} * h + ${ss(i)._2}) % $P) % 1048576"
+      s"""WITH tk AS ($tkSql),
+        |sh3 AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS h FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+        |  FROM tk)),
+        |bench AS (SELECT DISTINCT h FROM sh3 WHERE doc_id % 97 = 0),
+        |pos AS (SELECT ${p(0)} AS p FROM bench
+        |  UNION SELECT ${p(1)} FROM bench
+        |  UNION SELECT ${p(2)} FROM bench),
+        |flag AS (SELECT doc_id, h FROM sh3
+        |  WHERE doc_id % 97 <> 0
+        |    AND ${p(0)} IN (SELECT p FROM pos)
+        |    AND ${p(1)} IN (SELECT p FROM pos)
+        |    AND ${p(2)} IN (SELECT p FROM pos))
+        |SELECT f.doc_id, CAST(COUNT(DISTINCT f.h) AS BIGINT) AS n_flagged,
+        |  CAST(COUNT(DISTINCT CASE WHEN b.h IS NOT NULL THEN f.h END) AS BIGINT)
+        |    AS n_exact
+        |FROM flag f LEFT JOIN bench b ON f.h = b.h
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+    },
 
     // d14 = exact-Jaccard ground truth on the 1% sample vs the shared
     // LSH candidate pipeline; recall in integer basis points.
