@@ -57,6 +57,18 @@ case class Relation(name: String, src: String, srcCol: String,
   * fresh Catalog (or call `refresh()`) to observe another writer's
   * updates.
   */
+object Catalog {
+  /** One lock per table path: swaps STAGE through a shared `.tmp`, so two
+    * same-process writers must not interleave the write+rename sequence
+    * (they would clobber each other's staging dir mid-write). In-process
+    * writers are fully serialized here; cross-process concurrency remains
+    * best-effort via the rename protocol (see class doc). */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def lockFor(path: String): Object =
+    swapLocks.computeIfAbsent(path, _ => new Object)
+}
+
 class Catalog(spark: SparkSession, dir: String) {
   private val resPath = s"$dir/resources"
   private val relPath = s"$dir/relations"
@@ -69,38 +81,73 @@ class Catalog(spark: SparkSession, dir: String) {
 
   /** True when the table is readable, first healing a crashed swap:
     * a missing live dir with a `.bak` present means a writer died
-    * between the two renames — restore the backup. */
+    * between the two renames — restore the backup. But that same
+    * on-disk state is also what a LIVE writer looks like between its
+    * rename(dst→bak) and rename(tmp→dst); healing then would
+    * re-install the old table under the writer's feet. A live writer
+    * has its `.tmp` present for that whole window, so heal only when
+    * no `.tmp` exists; with a `.tmp`, wait a beat for the in-flight
+    * swap to land and report the then-current state (cross-process
+    * concurrency is best-effort — see the class doc). */
   private def exists(path: String): Boolean = {
     val p = new Path(path)
     val fs = fsFor(p)
     if (!fs.exists(p)) {
       val bak = new Path(path + ".bak")
-      if (fs.exists(bak) && !fs.rename(bak, p))
-        throw new java.io.IOException(
-          s"catalog recovery: could not restore $bak to $p")
+      val tmp = new Path(path + ".tmp")
+      if (fs.exists(bak)) {
+        if (fs.exists(tmp)) { Thread.sleep(100); return fs.exists(p) }
+        if (!fs.rename(bak, p) && !fs.exists(p))
+          throw new java.io.IOException(
+            s"catalog recovery: could not restore $bak to $p")
+      }
     }
     fs.exists(p)
   }
 
   /** Temp → aside → swap, every rename checked: write the new table
     * to `.tmp`, move the live table to `.bak`, rename `.tmp` in, drop
-    * `.bak`. A false rename throws (restoring the backup when the
-    * forward swap fails), so no failure mode leaves the catalog
-    * absent while the caller sees success. Metadata is one coalesced
-    * file, not a shuffle. */
-  private def swapWrite(df: DataFrame, path: String): Unit = {
+    * `.bak`. A false rename either throws (restoring the backup when
+    * the forward swap genuinely failed) or returns false when the
+    * failure is explained by a CONCURRENT writer's swap landing in
+    * our window — the caller re-reads, re-merges, and retries, so no
+    * failure mode leaves the catalog absent while the caller sees
+    * success. A `.bak` found with the live table MISSING is a crashed
+    * swap's only copy: restored, never deleted. Metadata is one
+    * coalesced file, not a shuffle.
+    * @return true when this writer's table is live; false = lost a
+    *         race, retry the merge+swap. */
+  private def swapWrite(df: DataFrame, path: String): Boolean =
+    Catalog.lockFor(path).synchronized { swapWriteLocked(df, path) }
+
+  private def swapWriteLocked(df: DataFrame, path: String): Boolean = {
     val tmp = new Path(path + ".tmp")
     val dst = new Path(path)
     val bak = new Path(path + ".bak")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val fs = fsFor(dst)
-    if (fs.exists(bak)) fs.delete(bak, true) // leftover from a crashed swap
+    if (fs.exists(bak)) {
+      if (fs.exists(dst)) fs.delete(bak, true) // leftover post-swap debris
+      else if (!fs.rename(bak, dst) && !fs.exists(dst))
+        throw new java.io.IOException(
+          s"catalog recovery: could not restore $bak to $dst")
+    }
     val hadOld = fs.exists(dst)
-    if (hadOld && !fs.rename(dst, bak))
-      throw new java.io.IOException(
-        s"catalog swap: could not move live table $dst aside; catalog unchanged")
+    if (hadOld && !fs.rename(dst, bak)) {
+      // a concurrent writer moved the live table aside in our window
+      fs.delete(tmp, true)
+      return false
+    }
     if (!fs.rename(tmp, dst)) {
-      if (hadOld && !fs.rename(bak, dst))
+      if (fs.exists(dst)) {
+        // a concurrent writer's forward rename landed first: its table
+        // (merged from the same on-disk state) is live — no recovery
+        // needed; drop our tmp/bak and let the caller re-merge + retry.
+        fs.delete(tmp, true)
+        if (hadOld) fs.delete(bak, true)
+        return false
+      }
+      if (hadOld && !fs.rename(bak, dst) && !fs.exists(dst))
         throw new java.io.IOException(
           s"catalog swap: rename $tmp -> $dst failed AND backup restore failed; " +
             s"recover manually from $bak")
@@ -108,6 +155,7 @@ class Catalog(spark: SparkSession, dir: String) {
         s"catalog swap: rename $tmp -> $dst failed; previous catalog restored")
     }
     if (hadOld) fs.delete(bak, true)
+    true
   }
 
   /** Drop the instance cache: next read reloads from the warehouse. */
@@ -140,18 +188,37 @@ class Catalog(spark: SparkSession, dir: String) {
   /** Register (or replace) a resource; names are hierarchical dotted
     * paths like `Bio.Seq.Genome.HUMAN.hg18` (`metabase.py:1395+`).
     */
-  def register(r: Resource): Unit = {
-    resCache = null // merge against the LIVE table, not a stale cache
-    val rows = resources + (r.name -> r)
-    swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath)
-    resCache = rows
+  // the read-merge-swap sequence must be atomic against same-process
+  // writers (else two merges from the same base lose one entry — the
+  // classic lost update); synchronized is reentrant with swapWrite's lock
+  def register(r: Resource): Unit = Catalog.lockFor(resPath).synchronized {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (attempts > 5) throw new java.io.IOException(
+        s"catalog register($resPath): lost the swap race 5 times; giving up")
+      resCache = null // merge against the LIVE table, not a stale cache
+      val rows = resources + (r.name -> r)
+      done = swapWrite(
+        spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath)
+      if (done) resCache = rows
+    }
   }
 
-  def addRelation(rel: Relation): Unit = {
-    relCache = null
-    val rows = relations + (rel.name -> rel)
-    swapWrite(spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath)
-    relCache = rows
+  def addRelation(rel: Relation): Unit = Catalog.lockFor(relPath).synchronized {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (attempts > 5) throw new java.io.IOException(
+        s"catalog addRelation($relPath): lost the swap race 5 times; giving up")
+      relCache = null
+      val rows = relations + (rel.name -> rel)
+      done = swapWrite(
+        spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath)
+      if (done) relCache = rows
+    }
   }
 
   /** worldbase.Bio.X.Y → DataFrame. `ref` resources resolve

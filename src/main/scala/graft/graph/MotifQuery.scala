@@ -160,8 +160,12 @@ object MotifQuery {
     // fixture) must be materialized in every partial-agg buffer that
     // sees the key. `distinct()` on the edge rows gives the same
     // multiset with bounded buffers.
+    // null dst must be dropped BEFORE distinct: the collect_set form this
+    // replaced silently dropped nulls, and keeping (src, null) rows would
+    // add a minhash element (xxhash64 of null = seed) and inflate __sz.
     val sh = edges
       .select(col(s).as("__src"), col(d).cast("string").as("sh"))
+      .where(col("sh").isNotNull)
       .distinct()
     val sigAggs = (0 until k).map { i =>
       if (hasher == "xx") min(xxhash64(lit(i), col("sh"))).as(s"sig$i")

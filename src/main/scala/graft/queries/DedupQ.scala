@@ -854,8 +854,8 @@ object DedupQ {
         |  UNION ALL SELECT j AS q, i AS o FROM cand WHERE j % 7 = 0)
         |SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n_true,
         |  CAST(SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  (10000 * SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*)
-        |    AS recall_bp
+        |  CAST((10000 * SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*)
+        |    AS BIGINT) AS recall_bp
         |FROM truth t LEFT JOIN lsh l ON l.q = t.q AND l.o = t.o
         |GROUP BY t.q ORDER BY t.q""".stripMargin,
 

@@ -204,9 +204,14 @@ object FastaScan {
     Some(out.result())
   }
 
-  /** True iff `_source_stat` exists and every recorded
-    * (file, length, mtime) matches the live file status. A legacy
-    * index without the stamp is treated as stale — pruning is a pure
+  /** True iff `_source_stat` exists and the LIVE file set — enumerated
+    * exactly the way `Fasta.writeIndex` enumerates it (globStatus, dirs
+    * expanded one level to their files) — EQUALS the stamped set on
+    * (path, length, mtime). Set equality, not per-stamp lookup: a file
+    * ADDED after writeIndex has no index rows, so a pruned scan would
+    * silently drop its records; the added file makes the live set a
+    * strict superset of the stamp → stale → full scan. A legacy index
+    * without the stamp is likewise stale — pruning is a pure
     * optimization, so the safe answer to "can't prove fresh" is
     * "scan all splits". */
   private[v2] def indexFresh(conf: Configuration, path: String): Boolean = {
@@ -217,16 +222,21 @@ object FastaScan {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
       finally in.close()
-    lines.filter(_.nonEmpty).forall { line =>
+    val stamped = lines.filter(_.nonEmpty).flatMap { line =>
       val f = line.split('\t')
-      f.length >= 3 && {
-        val p = new Path(f(0))
-        try {
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          st.getLen == f(1).toLong && st.getModificationTime == f(2).toLong
-        } catch { case _: java.io.FileNotFoundException => false }
-      }
-    }
+      if (f.length >= 3) Some((f(0), f(1).toLong, f(2).toLong)) else None
+    }.toSet
+    val srcP = new Path(path)
+    val srcFs = srcP.getFileSystem(conf)
+    val live =
+      try {
+        Option(srcFs.globStatus(srcP)).getOrElse(Array.empty).flatMap { st =>
+          if (st.isDirectory) srcFs.listStatus(st.getPath).filter(_.isFile)
+          else Array(st)
+        }.map(st =>
+          (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+      } catch { case _: java.io.FileNotFoundException => return false }
+    live == stamped && live.nonEmpty
   }
 }
 

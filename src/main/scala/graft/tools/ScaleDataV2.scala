@@ -91,7 +91,12 @@ object ScaleDataV2 {
       .withColumn("l_orderkey", off("l_orderkey", S("orderkey")))
       .withColumn("__us", u(col("l_orderkey"), col("l_linenumber"), lit("hs")))
       .withColumn("__up", u(col("l_orderkey"), col("l_linenumber"), lit("hp")))
-      // hot suppliers: log-uniform rank → per-supplier degree ~ 1/rank
+      // hot suppliers: log-uniform rank → per-supplier degree ~ 1/rank.
+      // Keys here are 0-based (driver fixtures: s_suppkey 0..max, p_partkey
+      // 0..max — verified, NOT 1-based TPC-H), so floor(pow(N,u))-1 ∈
+      // [0, N-2] ⊆ [0, max] with N = min(max+1, …): every hot key,
+      // including the hottest (0), has a matching dimension row and the
+      // FK joins stay valid. Same bound for pmod(…, hotPart) ∈ [0, N-1].
       .withColumn("l_suppkey",
         when(col("__us") < 0.15,
           floor(pow(lit(hotSupp.toDouble), u(col("l_orderkey"), col("l_linenumber"), lit("hsr"))))

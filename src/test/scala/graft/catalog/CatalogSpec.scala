@@ -65,6 +65,70 @@ class CatalogSpec extends SparkSuite {
       s"concurrent writers must not drop entries, got $merged")
   }
 
+  test("interleaved same-name writers: last-writer-wins, no table loss") {
+    val dir = Files.createTempDirectory("catalog_race").toString
+    val a = new Catalog(spark, dir)
+    val b = new Catalog(spark, dir)
+    a.register(Resource("R.shared", "table", "parquet", "/tmp/from_a"))
+    a.register(Resource("R.only_a", "table", "parquet", "/tmp/only_a"))
+    // b rewrites the SAME entry from a stale cache; the merge-before-swap
+    // must keep a's other entry and the final value of the contested name
+    // must be the last writer's (documented whole-entry last-writer-wins)
+    b.register(Resource("R.shared", "table", "parquet", "/tmp/from_b"))
+    a.register(Resource("R.shared", "table", "parquet", "/tmp/from_a2"))
+    val fin = new Catalog(spark, dir).resources
+    assert(fin.keySet === Set("R.shared", "R.only_a"),
+      s"interleaved writers must not drop entries, got ${fin.keySet}")
+    assert(fin("R.shared").path === "/tmp/from_a2", "last writer wins")
+  }
+
+  test("concurrent threaded writers all survive (retry on lost swap race)") {
+    val dir = Files.createTempDirectory("catalog_thr").toString
+    new Catalog(spark, dir).register(
+      Resource("T.seed", "table", "parquet", "/tmp/seed"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          val c = new Catalog(spark, dir)
+          (0 until 3).foreach { i =>
+            c.register(Resource(s"T.w$t.e$i", "table", "parquet", s"/tmp/$t/$i"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer threads failed: ${errs.peek()}")
+    val names = new Catalog(spark, dir).resources.keySet
+    val want = Set("T.seed") ++
+      (for (t <- 0 until 2; i <- 0 until 3) yield s"T.w$t.e$i")
+    assert(names === want, s"lost entries under concurrency: ${want -- names}")
+  }
+
+  test("reader does not heal through an IN-FLIGHT swap (.tmp present)") {
+    val dir = Files.createTempDirectory("catalog_inflight").toString
+    val cat = new Catalog(spark, dir)
+    cat.register(Resource("R.old", "table", "parquet", "/tmp/old"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/resources")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/resources.bak")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/resources.tmp")
+    // freeze a writer mid-swap: new table staged at .tmp, live moved aside
+    spark.createDataFrame(Seq(
+      Resource("R.new", "table", "parquet", "/tmp/new"))).coalesce(1)
+      .write.parquet(tmp.toString)
+    assert(fs.rename(live, bak))
+    // a concurrent reader must NOT rename .bak back (that would make the
+    // frozen writer's forward rename fail spuriously); it reports absent
+    assert(new Catalog(spark, dir).resources === Map.empty)
+    assert(fs.exists(bak) && fs.exists(tmp) && !fs.exists(live),
+      "reader healed through an in-flight swap")
+    // the writer lands its rename; the next read sees the NEW table
+    assert(fs.rename(tmp, live)); fs.delete(bak, true)
+    assert(new Catalog(spark, dir).resources.keySet === Set("R.new"))
+  }
+
   test("crashed swap (live table gone, .bak present) heals on next read") {
     val dir = Files.createTempDirectory("catalog_bak").toString
     val cat = new Catalog(spark, dir)

@@ -140,6 +140,35 @@ class FastaV2Spec extends SparkSuite {
     } finally spark.sparkContext.hadoopConfiguration.unset(key)
   }
 
+  test("file ADDED after writeIndex marks the index stale (no silent row loss)") {
+    val recs = (0 until 100).map(i => s">a$i t$i\n${"ACGT" * (10 + i % 7)}")
+    val dir = writeFasta(recs.mkString("\n") + "\n")
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    try {
+      spark.sparkContext.hadoopConfiguration.set(key, "512")
+      Fasta.writeIndex(spark, dir)
+      // a NEW file appears after indexing: its records have no index rows,
+      // so a pruned scan would silently drop them. indexFresh must compare
+      // the LIVE file set against the stamp (set equality), not just
+      // verify the stamped files are unchanged.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "y.fasta"),
+        (0 until 50).map(i => s">b$i u$i\n${"TTTT" * (5 + i % 3)}")
+          .mkString("\n") + "\n")
+      val rows = spark.read.format("fasta").load(dir)
+        .where(col("seq_id").isin("a42", "b17")).select("seq_id")
+        .orderBy("seq_id").collect().map(_.getString(0)).toSeq
+      assert(rows === Seq("a42", "b17"),
+        "added-after-index file's rows must survive a pushed filter")
+      // re-indexing covers both files and restores pruning with all rows
+      Fasta.writeIndex(spark, dir)
+      val rows2 = spark.read.format("fasta").load(dir)
+        .where(col("seq_id").isin("a42", "b17")).select("seq_id")
+        .orderBy("seq_id").collect().map(_.getString(0)).toSeq
+      assert(rows2 === Seq("a42", "b17"))
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("records survive split boundaries (forced tiny splits)") {
     // many records, then read with a tiny max split size so records
     // straddle split edges; the delimiter contract must keep every

@@ -85,6 +85,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1
             continue
+        # The driver's hash gate is dtype-sensitive: DuckDB HUGEINT (e.g. an
+        # uncast SUM-derived column) lands in pandas as float64 while Spark
+        # writes int64 — equal values, mismatched hash. Mirror that here.
+        dtype_bad = [
+            c
+            for c in spark_df.columns
+            if spark_df[c].dtype.kind != duck_df[c].dtype.kind
+            and {spark_df[c].dtype.kind, duck_df[c].dtype.kind} <= {"i", "u", "f"}
+        ]
+        if dtype_bad:
+            details = ", ".join(
+                f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}" for c in dtype_bad
+            )
+            print(f"FAIL {name}: dtype mismatch ({details}) — driver hash gate would flag")
+            n_fail += 1
+            continue
         exact = True
         close = True
         first_diff = None
