@@ -35,38 +35,53 @@ case class Relation(name: String, src: String, srcCol: String,
   * same names. Metadata is tiny (one row per resource/relation); the
   * DATA stays wherever the resource paths point.
   *
-  * Writes are read-modify-swap: the new table lands in a temp dir,
-  * the live table is moved aside to `.bak`, the temp is renamed in,
-  * and the backup is dropped — every rename result is checked, so a
-  * failure at any step leaves either the previous catalog live or a
-  * `.bak` that reads recover from automatically; there is no window
-  * where the catalog is silently gone (the worldbase `commit()`
-  * model, `metabase.py:1040-1075`).
+  * Durability is a GENERATION-MARKER POINTER protocol (the worldbase
+  * `commit()` model, `metabase.py:1040-1075`, without its in-place
+  * overwrite): each committed table is an immutable version directory
+  * `<table>.v<id>`, and an empty marker file `<table>.ptr.<gen>.<id>`
+  * IS the pointer — the filename carries the generation number and
+  * the version id, so a marker is meaningful the instant it exists
+  * (no partial-content reads, no rename-with-overwrite primitive
+  * needed on any filesystem). Readers list the markers and follow the
+  * maximum (gen, id); writers stage the new version directory FIRST,
+  * then create the next-generation marker, then garbage-collect
+  * superseded markers and their version directories. The live table
+  * is therefore never absent mid-write: until the new marker exists
+  * the old one still points at an intact version, and a superseded
+  * version is deleted only after its marker. A writer that crashes
+  * mid-commit leaves at worst an unreferenced version directory —
+  * invisible to readers, never a lost catalog.
   *
-  * Concurrency: each write RE-READS the on-disk table and merges it
-  * with the instance's pending entry before swapping, so two writers
+  * Concurrency: each write RE-READS the live table and merges it with
+  * the instance's pending entry before committing, so two writers
   * registering DIFFERENT names both survive (entry-level
   * last-writer-wins, the shared-zone metabase behavior of
-  * `metabase.py:899-947`). Two drivers racing the swap of the SAME
-  * table within the same instant resolve to whichever rename lands
-  * last — whole-table last-writer-wins, at worst losing the slower
-  * writer's single entry, never corrupting the table (HDFS/posix
-  * rename is atomic). A deployment needing stricter guarantees should
-  * front the catalog with a transactional table format. Reads are
-  * cached per Catalog instance and refreshed by writes; construct a
-  * fresh Catalog (or call `refresh()`) to observe another writer's
+  * `metabase.py:899-947`). Same-process writers are fully serialized
+  * by a per-table lock; a cross-process race on the same generation
+  * is detected by a post-commit re-list (the smaller version id backs
+  * out, re-merges, and retries), degrading at worst to whole-table
+  * last-writer-wins within one instant — never a corrupted or missing
+  * table. A deployment needing strict cross-process transactions
+  * should front the catalog with a transactional table format. Reads
+  * are cached per Catalog instance and refreshed by writes; construct
+  * a fresh Catalog (or call `refresh()`) to observe another writer's
   * updates.
+  *
+  * Pre-pointer warehouses (a plain `<table>` directory, possibly with
+  * the old protocol's crash debris `<table>.bak`) are read as
+  * generation 0 and migrated to the marker layout by the next write.
   */
 object Catalog {
-  /** One lock per table path: swaps STAGE through a shared `.tmp`, so two
-    * same-process writers must not interleave the write+rename sequence
-    * (they would clobber each other's staging dir mid-write). In-process
-    * writers are fully serialized here; cross-process concurrency remains
-    * best-effort via the rename protocol (see class doc). */
+  /** One lock per table path: same-process writers serialize the whole
+    * read-merge-commit sequence here (else two merges from the same
+    * base lose an entry — the classic lost update). The key is the
+    * NORMALIZED path: two instances built with `wh` vs `wh/` must
+    * share a lock. Cross-process concurrency is handled by the
+    * generation protocol (see class doc). */
   private val swapLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[catalog] def lockFor(path: String): Object =
-    swapLocks.computeIfAbsent(path, _ => new Object)
+    swapLocks.computeIfAbsent(new Path(path).toUri.toString, _ => new Object)
 }
 
 class Catalog(spark: SparkSession, dir: String) {
@@ -79,82 +94,97 @@ class Catalog(spark: SparkSession, dir: String) {
   private def fsFor(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** True when the table is readable, first healing a crashed swap:
-    * a missing live dir with a `.bak` present means a writer died
-    * between the two renames — restore the backup. But that same
-    * on-disk state is also what a LIVE writer looks like between its
-    * rename(dst→bak) and rename(tmp→dst); healing then would
-    * re-install the old table under the writer's feet. A live writer
-    * has its `.tmp` present for that whole window, so heal only when
-    * no `.tmp` exists; with a `.tmp`, wait a beat for the in-flight
-    * swap to land and report the then-current state (cross-process
-    * concurrency is best-effort — see the class doc). */
-  private def exists(path: String): Boolean = {
+  /** A parsed `<table>.ptr.<gen>.<id>` marker filename. Ordering is
+    * (generation, id): generations advance per commit; the id breaks
+    * a same-generation cross-process tie deterministically. */
+  private case class Marker(gen: Long, id: String)
+  private implicit val markerOrd: Ordering[Marker] =
+    Ordering.by(m => (m.gen, m.id))
+
+  private def versionDir(path: String, id: String) = s"$path.v$id"
+
+  private def markersOf(path: String): Seq[Marker] = {
     val p = new Path(path)
-    val fs = fsFor(p)
-    if (!fs.exists(p)) {
-      val bak = new Path(path + ".bak")
-      val tmp = new Path(path + ".tmp")
-      if (fs.exists(bak)) {
-        if (fs.exists(tmp)) { Thread.sleep(100); return fs.exists(p) }
-        if (!fs.rename(bak, p) && !fs.exists(p))
-          throw new java.io.IOException(
-            s"catalog recovery: could not restore $bak to $p")
-      }
+    val sts =
+      try fsFor(p).globStatus(new Path(path + ".ptr.*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    if (sts == null) Seq.empty
+    else sts.toSeq.flatMap { st =>
+      val rest = st.getPath.getName.stripPrefix(p.getName + ".ptr.")
+      val dot = rest.indexOf('.')
+      if (dot <= 0) None
+      else scala.util.Try(Marker(rest.take(dot).toLong, rest.drop(dot + 1)))
+        .toOption
     }
-    fs.exists(p)
   }
 
-  /** Temp → aside → swap, every rename checked: write the new table
-    * to `.tmp`, move the live table to `.bak`, rename `.tmp` in, drop
-    * `.bak`. A false rename either throws (restoring the backup when
-    * the forward swap genuinely failed) or returns false when the
-    * failure is explained by a CONCURRENT writer's swap landing in
-    * our window — the caller re-reads, re-merges, and retries, so no
-    * failure mode leaves the catalog absent while the caller sees
-    * success. A `.bak` found with the live table MISSING is a crashed
-    * swap's only copy: restored, never deleted. Metadata is one
+  /** Read the live version of a catalog table through `read`, or None
+    * when the table has never been written. Retries when a concurrent
+    * writer garbage-collects the version we resolved between the
+    * marker listing and the parquet read — the re-list finds the
+    * writer's newer marker, so readers NEVER observe a missing table
+    * and never sleep waiting for one (a crashed writer leaves the old
+    * marker + version intact; only a COMMITTED new version retires
+    * them). Falls back to the pre-pointer layout — the plain table
+    * dir, healing the old protocol's crashed-swap state (live dir
+    * missing, `.bak` present) by restoring the backup. */
+  private def readLive[A](path: String)(read: String => A): Option[A] = {
+    var last: Exception = null
+    for (attempt <- 1 to 6) {
+      markersOf(path).sorted.lastOption match {
+        case Some(m) =>
+          try return Some(read(versionDir(path, m.id)))
+          catch { case e: Exception => last = e } // GC race: re-list, retry
+        case None =>
+          val p = new Path(path)
+          val fs = fsFor(p)
+          if (fs.exists(p)) return Some(read(path))
+          val bak = new Path(path + ".bak")
+          if (!fs.exists(bak)) return None
+          if (!fs.rename(bak, p) && !fs.exists(p))
+            throw new java.io.IOException(
+              s"catalog recovery: could not restore $bak to $p")
+          return Some(read(path))
+      }
+    }
+    throw new java.io.IOException(
+      s"catalog read($path): live version swapped out 6 times", last)
+  }
+
+  /** Commit `df` as the next generation of `path`: stage the version
+    * directory, create its marker, then re-list — if a cross-process
+    * writer won the same generation with a greater id, back our copy
+    * out and return false (the caller re-merges and retries).
+    * On success, garbage-collect superseded markers, their version
+    * directories, and any pre-pointer layout. Metadata is one
     * coalesced file, not a shuffle.
     * @return true when this writer's table is live; false = lost a
-    *         race, retry the merge+swap. */
+    *         race, retry the merge+commit. */
   private def swapWrite(df: DataFrame, path: String): Boolean =
     Catalog.lockFor(path).synchronized { swapWriteLocked(df, path) }
 
   private def swapWriteLocked(df: DataFrame, path: String): Boolean = {
-    val tmp = new Path(path + ".tmp")
-    val dst = new Path(path)
-    val bak = new Path(path + ".bak")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val fs = fsFor(dst)
-    if (fs.exists(bak)) {
-      if (fs.exists(dst)) fs.delete(bak, true) // leftover post-swap debris
-      else if (!fs.rename(bak, dst) && !fs.exists(dst))
-        throw new java.io.IOException(
-          s"catalog recovery: could not restore $bak to $dst")
-    }
-    val hadOld = fs.exists(dst)
-    if (hadOld && !fs.rename(dst, bak)) {
-      // a concurrent writer moved the live table aside in our window
-      fs.delete(tmp, true)
+    val fs = fsFor(new Path(path))
+    val gen = markersOf(path).sorted.lastOption.map(_.gen).getOrElse(0L) + 1
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    df.coalesce(1).write.mode("overwrite").parquet(versionDir(path, id))
+    fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
+    val mine = Marker(gen, id)
+    if (markersOf(path).sorted.last != mine) {
+      fs.delete(new Path(s"$path.ptr.$gen.$id"), false)
+      fs.delete(new Path(versionDir(path, id)), true)
       return false
     }
-    if (!fs.rename(tmp, dst)) {
-      if (fs.exists(dst)) {
-        // a concurrent writer's forward rename landed first: its table
-        // (merged from the same on-disk state) is live — no recovery
-        // needed; drop our tmp/bak and let the caller re-merge + retry.
-        fs.delete(tmp, true)
-        if (hadOld) fs.delete(bak, true)
-        return false
-      }
-      if (hadOld && !fs.rename(bak, dst) && !fs.exists(dst))
-        throw new java.io.IOException(
-          s"catalog swap: rename $tmp -> $dst failed AND backup restore failed; " +
-            s"recover manually from $bak")
-      throw new java.io.IOException(
-        s"catalog swap: rename $tmp -> $dst failed; previous catalog restored")
+    // superseded markers first, THEIR versions second: a reader that
+    // already resolved an old marker may still be mid-read (it retries
+    // through the new marker); a version with no marker is unreachable.
+    markersOf(path).filter(_ != mine).foreach { m =>
+      fs.delete(new Path(s"$path.ptr.${m.gen}.${m.id}"), false)
+      fs.delete(new Path(versionDir(path, m.id)), true)
     }
-    if (hadOld) fs.delete(bak, true)
+    // pre-pointer layout (plain dir + old-protocol debris), now migrated
+    Seq(path, path + ".bak", path + ".tmp")
+      .foreach(s => fs.delete(new Path(s), true))
     true
   }
 
@@ -162,42 +192,37 @@ class Catalog(spark: SparkSession, dir: String) {
   def refresh(): Unit = { resCache = null; relCache = null }
 
   def resources: Map[String, Resource] = {
-    if (resCache == null)
-      resCache =
-        if (!exists(resPath)) Map.empty
-        else {
-          import spark.implicits._
-          spark.read.parquet(resPath).as[Resource].collect()
-            .map(r => r.name -> r).toMap
-        }
+    if (resCache == null) {
+      import spark.implicits._
+      resCache = readLive(resPath) { p =>
+        spark.read.parquet(p).as[Resource].collect().map(r => r.name -> r).toMap
+      }.getOrElse(Map.empty)
+    }
     resCache
   }
 
   def relations: Map[String, Relation] = {
-    if (relCache == null)
-      relCache =
-        if (!exists(relPath)) Map.empty
-        else {
-          import spark.implicits._
-          spark.read.parquet(relPath).as[Relation].collect()
-            .map(r => r.name -> r).toMap
-        }
+    if (relCache == null) {
+      import spark.implicits._
+      relCache = readLive(relPath) { p =>
+        spark.read.parquet(p).as[Relation].collect().map(r => r.name -> r).toMap
+      }.getOrElse(Map.empty)
+    }
     relCache
   }
 
   /** Register (or replace) a resource; names are hierarchical dotted
     * paths like `Bio.Seq.Genome.HUMAN.hg18` (`metabase.py:1395+`).
     */
-  // the read-merge-swap sequence must be atomic against same-process
-  // writers (else two merges from the same base lose one entry — the
-  // classic lost update); synchronized is reentrant with swapWrite's lock
+  // the read-merge-commit sequence must be atomic against same-process
+  // writers; synchronized is reentrant with swapWrite's lock
   def register(r: Resource): Unit = Catalog.lockFor(resPath).synchronized {
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
       if (attempts > 5) throw new java.io.IOException(
-        s"catalog register($resPath): lost the swap race 5 times; giving up")
+        s"catalog register($resPath): lost the commit race 5 times; giving up")
       resCache = null // merge against the LIVE table, not a stale cache
       val rows = resources + (r.name -> r)
       done = swapWrite(
@@ -212,7 +237,7 @@ class Catalog(spark: SparkSession, dir: String) {
     while (!done) {
       attempts += 1
       if (attempts > 5) throw new java.io.IOException(
-        s"catalog addRelation($relPath): lost the swap race 5 times; giving up")
+        s"catalog addRelation($relPath): lost the commit race 5 times; giving up")
       relCache = null
       val rows = relations + (rel.name -> rel)
       done = swapWrite(

@@ -161,7 +161,9 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       table(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
+        // bigint rk: DuckDB ROW_NUMBER is BIGINT and the driver gate is
+        // dtype-sensitive; Spark's row_number is int
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")

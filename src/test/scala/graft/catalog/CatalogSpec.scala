@@ -105,44 +105,77 @@ class CatalogSpec extends SparkSuite {
     assert(names === want, s"lost entries under concurrency: ${want -- names}")
   }
 
-  test("reader does not heal through an IN-FLIGHT swap (.tmp present)") {
-    val dir = Files.createTempDirectory("catalog_inflight").toString
-    val cat = new Catalog(spark, dir)
-    cat.register(Resource("R.old", "table", "parquet", "/tmp/old"))
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/resources")
-    val bak = new org.apache.hadoop.fs.Path(s"$dir/resources.bak")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/resources.tmp")
-    // freeze a writer mid-swap: new table staged at .tmp, live moved aside
-    spark.createDataFrame(Seq(
-      Resource("R.new", "table", "parquet", "/tmp/new"))).coalesce(1)
-      .write.parquet(tmp.toString)
-    assert(fs.rename(live, bak))
-    // a concurrent reader must NOT rename .bak back (that would make the
-    // frozen writer's forward rename fail spuriously); it reports absent
-    assert(new Catalog(spark, dir).resources === Map.empty)
-    assert(fs.exists(bak) && fs.exists(tmp) && !fs.exists(live),
-      "reader healed through an in-flight swap")
-    // the writer lands its rename; the next read sees the NEW table
-    assert(fs.rename(tmp, live)); fs.delete(bak, true)
-    assert(new Catalog(spark, dir).resources.keySet === Set("R.new"))
+  test("reader polling through a slow writer's commits never sees empty, no sleeps") {
+    val dir = Files.createTempDirectory("catalog_poll").toString
+    new Catalog(spark, dir).register(
+      Resource("P.seed", "table", "parquet", "/tmp/seed"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        val c = new Catalog(spark, dir)
+        (0 until 6).foreach { i =>
+          c.register(Resource(s"P.w$i", "table", "parquet", s"/tmp/$i"))
+        }
+      } catch { case e: Throwable => errs.add(e) }
+      finally stop.set(true)
+    })
+    writer.start()
+    // fresh-instance reads race every phase of the writer's commit
+    // (stage, marker create, GC of the superseded version): the marker
+    // protocol must keep a live version resolvable at every instant
+    var polls = 0
+    while (!stop.get()) {
+      val seen = new Catalog(spark, dir).resources.keySet
+      assert(seen.contains("P.seed"),
+        s"reader observed a catalog without the seed entry: $seen")
+      polls += 1
+    }
+    writer.join()
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    assert(polls > 0, "reader never overlapped the writer")
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("P.seed") ++ (0 until 6).map(i => s"P.w$i"))
   }
 
-  test("crashed swap (live table gone, .bak present) heals on next read") {
-    val dir = Files.createTempDirectory("catalog_bak").toString
+  test("crashed writer (staged version without marker) is invisible; no data loss") {
+    val dir = Files.createTempDirectory("catalog_crash").toString
     val cat = new Catalog(spark, dir)
     cat.register(Resource("R.x", "table", "parquet", "/tmp/x"))
-    // simulate a writer dying between rename(dst, bak) and
-    // rename(tmp, dst): live dir moved aside, nothing renamed in
+    // simulate a writer dying after staging its version directory but
+    // before creating the marker: the orphan must be unreachable
+    spark.createDataFrame(Seq(
+      Resource("R.ghost", "table", "parquet", "/tmp/ghost"))).coalesce(1)
+      .write.parquet(s"$dir/resources.vdeadbeef00000000")
+    assert(new Catalog(spark, dir).resources.keySet === Set("R.x"),
+      "an unmarked staged version must not be visible to readers")
+    // and the next writer merges from the LIVE table, not the orphan
+    val c2 = new Catalog(spark, dir)
+    c2.register(Resource("R.y", "table", "parquet", "/tmp/y"))
+    assert(new Catalog(spark, dir).resources.keySet === Set("R.x", "R.y"))
+  }
+
+  test("pre-pointer layout reads (incl. crashed .bak state) and migrates on write") {
+    val dir = Files.createTempDirectory("catalog_legacy").toString
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/resources")
     val bak = new org.apache.hadoop.fs.Path(s"$dir/resources.bak")
+    // a warehouse written by the old rename protocol: plain table dir
+    spark.createDataFrame(Seq(
+      Resource("L.old", "table", "parquet", "/tmp/old"))).coalesce(1)
+      .write.parquet(live.toString)
+    assert(new Catalog(spark, dir).resources.keySet === Set("L.old"))
+    // old protocol's crashed-swap state: live gone, .bak is the only copy
     assert(fs.rename(live, bak))
-    val healed = new Catalog(spark, dir)
-    assert(healed.resources.keySet === Set("R.x"), "reads must restore .bak")
+    assert(new Catalog(spark, dir).resources.keySet === Set("L.old"),
+      "reads must restore the legacy .bak")
     assert(fs.exists(live) && !fs.exists(bak))
+    // a write merges the legacy entries and migrates to the marker layout
+    val c = new Catalog(spark, dir)
+    c.register(Resource("L.new", "table", "parquet", "/tmp/new"))
+    assert(!fs.exists(live) && !fs.exists(bak), "legacy layout not migrated")
+    assert(new Catalog(spark, dir).resources.keySet === Set("L.old", "L.new"))
   }
 
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {

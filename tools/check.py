@@ -91,8 +91,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         dtype_bad = [
             c
             for c in spark_df.columns
-            if spark_df[c].dtype.kind != duck_df[c].dtype.kind
-            and {spark_df[c].dtype.kind, duck_df[c].dtype.kind} <= {"i", "u", "f"}
+            if spark_df[c].dtype != duck_df[c].dtype
+            and spark_df[c].dtype.kind in "iuf"
+            and duck_df[c].dtype.kind in "iuf"
         ]
         if dtype_bad:
             details = ", ".join(
