@@ -665,6 +665,47 @@ object IntervalsQ {
         .orderBy("user_id", "span_kind")
     },
 
+    // J14b: the containment fixture ENTERING THROUGH THE RULE — a
+    // naive overlap join with NO equi conjunct, written exactly as a
+    // SQL user would. BinnedIntervalJoinRule (registered in
+    // extraOptimizations, as GraftExtensions would) must rewrite it to
+    // the multi-resolution binned form; the previous single-level
+    // rewrite exploded each whole-activity span (~30 days) into every
+    // fine bin on the time axis. Span side restricted to user_id%97
+    // and window side to user_id%7 so the cross-user pair count stays
+    // oracle-friendly while spans still dwarf the coarsest bin width.
+    "j14b_rule_multires" -> { (s, dir) =>
+      if (!s.experimental.extraOptimizations.contains(
+          graft.plans.BinnedIntervalJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedIntervalJoinRule
+      s.conf.set("spark.graft.intervalJoin.binWidth", "3600")
+      s.conf.set("spark.graft.intervalJoin.fanout", "16")
+      s.conf.set("spark.graft.intervalJoin.levels", "4")
+      val spans = events(s, dir)
+        .filter(col("user_id") % 97 === 0)
+        .groupBy("user_id")
+        .agg(min(sec("ts")).as("umin"), max(sec("ts")).as("umax"))
+        .select(col("user_id").as("span_user"), explode(array(
+          struct(lit(0).as("span_kind"), col("umin").as("ss"),
+            (col("umax") + 1L).as("se")),
+          struct(lit(1).as("span_kind"), col("umin").as("ss"),
+            (col("umin") + expr("(umax - umin) div 2") + 1L).as("se")),
+          struct(lit(2).as("span_kind"),
+            (col("umin") + expr("2 * ((umax - umin) div 3)")).as("ss"),
+            (col("umin") + expr("2 * ((umax - umin) div 3)") + 600L).as("se"))
+        )).as("sp"))
+        .select(col("span_user"), col("sp.span_kind").as("span_kind"),
+          col("sp.ss").as("ss"), col("sp.se").as("se"))
+      val w = errorWindows(s, dir).filter(col("user_id") % 7 === 0)
+      // pure range predicate: without the rule this is a nested loop
+      w.join(spans, w("ws") < spans("se") && spans("ss") < w("we"))
+        .groupBy("span_user", "span_kind")
+        .agg(count(lit(1)).as("n_wnd"),
+          min("ws").as("first_ws"), max("we").as("last_we"))
+        .orderBy("span_user", "span_kind")
+    },
+
     // P5: interval-set mask (SeqFilterDict): keep error windows
     // intersecting the per-user mask window, clipped to it.
     "p5_filter_mask" -> { (s, dir) =>
@@ -778,6 +819,22 @@ object IntervalsQ {
         |       MIN(ws) AS first_ws, MAX(we) AS last_we
         |FROM w JOIN sp ON w.user_id = sp.user_id AND ws < se AND ss < we
         |GROUP BY w.user_id, span_kind ORDER BY w.user_id, span_kind""".stripMargin,
+
+    "j14b_rule_multires" ->
+      s"""WITH w AS ($wndSql),
+        |u AS (SELECT user_id, MIN(epoch_ms(ts)//1000) AS umin,
+        |             MAX(epoch_ms(ts)//1000) AS umax FROM events
+        |      WHERE user_id % 97 = 0 GROUP BY user_id),
+        |sp AS (
+        |  SELECT user_id AS span_user, 0 AS span_kind, umin AS ss, umax + 1 AS se FROM u
+        |  UNION ALL SELECT user_id, 1, umin, umin + (umax - umin)//2 + 1 FROM u
+        |  UNION ALL SELECT user_id, 2, umin + 2*((umax - umin)//3),
+        |                   umin + 2*((umax - umin)//3) + 600 FROM u),
+        |wf AS (SELECT * FROM w WHERE user_id % 7 = 0)
+        |SELECT span_user, span_kind, COUNT(*) AS n_wnd,
+        |       MIN(ws) AS first_ws, MAX(we) AS last_we
+        |FROM wf JOIN sp ON ws < se AND ss < we
+        |GROUP BY span_user, span_kind ORDER BY span_user, span_kind""".stripMargin,
 
     "j2_slice_clip" -> (sliceSql + "\nSELECT * FROM sl ORDER BY q_id, block_id"),
 
