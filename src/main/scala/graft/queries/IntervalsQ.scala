@@ -558,6 +558,77 @@ object IntervalsQ {
       s.table(name).orderBy("click_id", "purchase_id")
     },
 
+    // ST5b: st5's PRODUCTION-INGEST twin — both join sides fed from
+    // FILE SOURCES (two `readStream.json` drop directories) on the
+    // RocksDB state store, each side's second drop landing AFTER the
+    // query started. Drops are time-ordered at the global midpoint,
+    // so cross-boundary matches (a drop-2 click attributing to a
+    // drop-1 purchase ≤ 600 s earlier) must flow through buffered
+    // join state, and watermark eviction of pre-boundary rows runs
+    // without losing a match: a purchase old enough to evict after
+    // drop 1 (p_t + 600 < watermark) can only match clicks already
+    // processed in drop 1. The boundary is derived from the WIDEST
+    // matched pair (mid = p_t + gap/2, so p_t ≤ mid < c_t), which
+    // guarantees at least one match straddles the drops at every SF —
+    // a global-midpoint split produced zero straddles on this data
+    // and would have proven nothing about cross-drop state. (The
+    // batch pre-join is fixture plumbing to place the boundary, not
+    // part of the streaming operator.) Same oracle as st5 — file-fed
+    // and memory-fed executions agree exactly; retires MemoryStream
+    // from the stream-stream join's production claim.
+    "st5b_file_stream_join" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      def side(t: String, idName: String, tName: String) =
+        events(s, dir).where(col("event_type") === t)
+          .select(col("event_id").cast("long").as(idName),
+            col("user_id").cast("long").as("user_id"),
+            sec("ts").cast("long").as(tName))
+      val clicksAll = side("click", "click_id", "c_t")
+      val purchAll = side("purchase", "purchase_id", "p_t")
+      val best = clicksAll.join(purchAll, "user_id")
+        .where(col("c_t") > col("p_t") && col("c_t") < col("p_t") + 600L)
+        .orderBy((col("c_t") - col("p_t")).desc, col("click_id"),
+          col("purchase_id"))
+        .select("c_t", "p_t").head(1)
+      val mid =
+        if (best.nonEmpty)
+          best(0).getLong(1) + (best(0).getLong(0) - best(0).getLong(1)) / 2
+        else {
+          val mm = events(s, dir).agg(min(sec("ts")), max(sec("ts"))).head
+          mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        }
+      val cDrop = java.nio.file.Files.createTempDirectory("graft_st5b_c").toString
+      val pDrop = java.nio.file.Files.createTempDirectory("graft_st5b_p").toString
+      clicksAll.where(col("c_t") <= mid).write.mode("append").json(cDrop)
+      purchAll.where(col("p_t") <= mid).write.mode("append").json(pDrop)
+      def sch(idName: String, tName: String) = StructType(Seq(
+        StructField(idName, LongType), StructField("user_id", LongType),
+        StructField(tName, LongType)))
+      val name = "st5b_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val clicks = s.readStream.schema(sch("click_id", "c_t")).json(cDrop)
+          .withColumn("c_ts", col("c_t").cast("timestamp"))
+        val purchases = s.readStream.schema(sch("purchase_id", "p_t")).json(pDrop)
+          .withColumn("p_ts", col("p_t").cast("timestamp"))
+        val joined = graft.streaming.StreamOps.intervalJoinStreams(
+            clicks, purchases, "user_id", "c_ts", "p_ts",
+            horizon = "30 minutes", windowSec = 600L)
+          .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint("st5b"))
+          .start()
+        try {
+          q.processAllAvailable()
+          clicksAll.where(col("c_t") > mid).write.mode("append").json(cDrop)
+          purchAll.where(col("p_t") > mid).write.mode("append").json(pDrop)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      s.table(name).orderBy("click_id", "purchase_id")
+    },
+
     // ST6: watermark LATE-DATA accounting under the oracle gate —
     // the semantics every streaming pipeline must get right: the
     // on-time wave advances the watermark to max(on-time ts)−7201 s,
@@ -1079,6 +1150,16 @@ object IntervalsQ {
         |ORDER BY wstart, event_type""".stripMargin,
 
     "st5_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts)//1000 AS c_t
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts)//1000 AS p_t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, c.user_id, c_t, p_t
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c_t >= p_t AND c_t < p_t + 600
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "st5b_file_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts)//1000 AS c_t
         |  FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts)//1000 AS p_t

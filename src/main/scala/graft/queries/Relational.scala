@@ -572,6 +572,55 @@ object Relational {
         .orderBy("custkey")
     },
 
+    // ST9b: st9's PRODUCTION-INGEST twin — the CDC-apply sink fed
+    // from a FILE SOURCE (`readStream.json` drop directory) on the
+    // RocksDB state store, the second wave landing AFTER the query
+    // started so incremental file discovery drives the foreachBatch
+    // merge (same upsertAggregate state table, idempotent per
+    // batchId). Same oracle as st9/m7: the converged state must equal
+    // the from-scratch batch aggregate. Retires MemoryStream from the
+    // upsert shape's production claim.
+    "st9b_file_upsert" -> { (s, dir) =>
+      val rows = table(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"),
+          col("o_totalprice").as("price"))
+      val statePath = tmpPath(s, "st9b_state")
+      val sp = new org.apache.hadoop.fs.Path(statePath)
+      val fs = sp.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(sp, true) // stale versions from a prior run would win the latest-version race
+      val drop = java.nio.file.Files.createTempDirectory("graft_st9b_drop").toString
+      rows.where(col("custkey") % 2 === 0).write.mode("append").json(drop)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.streaming.StreamOps.replaySized(s, 8) {
+        val src = s.readStream.schema(sch).json(drop)
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            graft.streaming.StreamOps.scratchCheckpoint("st9b"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.StreamOps.upsertAggregate(
+              batch, id, "custkey", "price", statePath)
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          rows.where(col("custkey") % 2 =!= 0).write.mode("append").json(drop)
+          q.processAllAvailable()
+        } finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      }
+      val latest = graft.streaming.StreamOps
+        .latestStateVersion(s, statePath, Long.MaxValue)
+        .getOrElse(sys.error("st9b: no state version written"))
+      s.read.parquet(latest)
+        .select(col("custkey"), col("n").as("n_orders"),
+          col("total_d").cast("double").as("total"))
+        .orderBy("custkey")
+    },
+
     // X8: PIVOT — long→wide reshape as conditional aggregation over a
     // FIXED column list (the only scalable form: a dynamic pivot
     // needs a driver-side distinct first; with the list pinned the
@@ -1086,6 +1135,11 @@ object Relational {
         |SELECT * FROM d WHERE status IS NOT NULL ORDER BY custkey""".stripMargin,
 
     "st9_stream_upsert" ->
+      """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st9b_file_upsert" ->
       """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
