@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Membership probe of a PACKED broadcast bitset: `child` is a bit
+  * position, the filter is `m/64` long words shipped once per
+  * executor via `SparkContext.broadcast` — NOT a plan literal. The
+  * Bloom-decontamination hot path (`d15`) previously embedded a
+  * 2^20-element boolean-array literal in the plan: ~1 MiB serialized
+  * into every task closure, 8 bits per bit, resent with every job the
+  * plan participates in. The packed broadcast form is 16× smaller
+  * (128 KiB at m=2^20), fetched once per executor and cached by the
+  * block manager, and the probe codegens to two shifts and a mask —
+  * the shape that stays polite when m grows with a
+  * billions-of-entries blocklist (m=2^33 is a 1 GiB broadcast, vs an
+  * un-shippable 8 GiB boolean literal).
+  *
+  * Null in → null out (the filter drops it, matching the semi-join
+  * the Bloom pass fronts). Positions must lie in [0, 64·words.length).
+  */
+case class BloomBitsetProbe(child: Expression, bits: Broadcast[Array[Long]])
+    extends UnaryExpression with Predicate {
+
+  override def prettyName: String = "bloom_bitset_probe"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bitset_probe requires BIGINT position, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(pos: Any): Any = {
+    val p = pos.asInstanceOf[Long]
+    ((bits.value((p >>> 6).toInt) >>> (p & 63L)) & 1L) == 1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bits,
+      classOf[Broadcast[_]].getName)
+    // one broadcast fetch per operator instance, not per row
+    val arr = ctx.addMutableState("long[]", "bloomBits",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = (($arr[(int)($p >>> 6)] >>> ($p & 63L)) & 1L) == 1L;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBitsetProbe =
+    copy(child = newChild)
+}
+
+object BloomBitsetProbe {
+  /** Column-API entry: probe `pos` against the packed broadcast set. */
+  def probe(pos: Column, bits: Broadcast[Array[Long]]): Column =
+    ColumnBridge.column(BloomBitsetProbe(ColumnBridge.expression(pos), bits))
+
+  /** Pack bit positions into the m/64-word set (m must be a multiple
+    * of 64). */
+  def pack(m: Int, positions: Iterator[Long]): Array[Long] = {
+    require(m > 0 && m % 64 == 0, s"bitset size $m not a multiple of 64")
+    val words = new Array[Long](m >>> 6)
+    positions.foreach { p =>
+      require(p >= 0 && p < m, s"bit position $p outside [0, $m)")
+      words((p >>> 6).toInt) |= 1L << (p & 63L)
+    }
+    words
+  }
+}

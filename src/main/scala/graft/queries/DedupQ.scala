@@ -363,15 +363,15 @@ object DedupQ {
     // (URL/doc blocklists run to billions of entries). Build: 3
     // affine probes (the U-family's seed construction, indices 8-10,
     // same P) hash every bench 3-gram into a 2^20-bit Bloom filter,
-    // shipped to executors as ONE array literal — the corpus pass is
-    // then map-only (3 O(1) element_at probes per shingle, zero
-    // shuffle, zero join), and the exact semi-join runs only on the
-    // Bloom-flagged residue. Output reports n_flagged vs n_exact per
-    // doc, so the filter's false-positive overhead is measured, not
-    // assumed. (The literal is a boolean array — 8× the bits of a
-    // packed long-word set, still 1 MB vs the hash table's tens of
-    // MB; a packed-word native kernel is the next constant if it ever
-    // matters.) Everything integer → fully oracle-gated.
+    // PACKED into m/64 long words and shipped via
+    // `sparkContext.broadcast` (128 KiB, fetched once per executor —
+    // not a plan literal resent with every task closure). The corpus
+    // pass is then map-only (3 codegen'd shift-and-mask probes per
+    // shingle via the native BloomBitsetProbe, zero shuffle, zero
+    // join), and the exact semi-join runs only on the Bloom-flagged
+    // residue. Output reports n_flagged vs n_exact per doc, so the
+    // filter's false-positive overhead is measured, not assumed.
+    // Everything integer → fully oracle-gated.
     "d15_bloom_decontam" -> { (s, dir) =>
       import graft.text.TextFunctions.shingles
       val P = MinHashLSH.P
@@ -387,14 +387,14 @@ object DedupQ {
       val bench = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
       // bench-set-sized driver collect (like IvfFlat's codebook): the
       // positions, not the corpus
-      val bits = new Array[Boolean](m)
-      (0 until 3).foreach { i =>
-        bench.select(probe(col("h"), i).as("p")).distinct()
-          .collect().foreach(r => bits(r.getLong(0).toInt) = true)
-      }
-      val bs = typedlit(bits)
+      val words = graft.functions.BloomBitsetProbe.pack(m,
+        (0 until 3).iterator.flatMap { i =>
+          bench.select(probe(col("h"), i).as("p")).distinct()
+            .collect().iterator.map(_.getLong(0))
+        })
+      val bc = s.sparkContext.broadcast(words)
       def hit(i: Int): Column =
-        element_at(bs, (probe(col("h"), i) + 1L).cast("int"))
+        graft.functions.BloomBitsetProbe.probe(probe(col("h"), i), bc)
       val flagged = sh.where(col("doc_id") % 97 =!= 0)
         .where(hit(0) && hit(1) && hit(2))
       flagged
