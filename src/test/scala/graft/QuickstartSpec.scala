@@ -86,6 +86,29 @@ class QuickstartSpec extends SparkSuite {
       "doc_id")
     assert(pairs.where(col("i") === 1L && col("j") === 100L).count() === 1)
 
+    // §5 streaming sessionization: the documented production default
+    // (StreamOps.sessionize, NOT session_window — see BENCH.md A/B)
+    {
+      import graft.streaming.StreamOps
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamOps.Ev]
+      val events = in.toDS()
+      val sessions = StreamOps.sessionize(events, gapSec = 1800L, timeoutMs = 0L)
+      val qn = "quickstart_sessions"
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation", StreamOps.scratchCheckpoint("qs"))
+        .start()
+      try {
+        in.addData(StreamOps.Ev(1L, 100L), StreamOps.Ev(1L, 200L),
+          StreamOps.Ev(1L, 5000L), // > gap: second session
+          StreamOps.Ev(1L, StreamOps.FlushAt))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table(qn).count() === 2)
+    }
+
     // §6 catalog
     val wh = Files.createTempDirectory("quickstart_cat").toString
     blocks.write.mode("overwrite").parquet(s"$dir/genes")
