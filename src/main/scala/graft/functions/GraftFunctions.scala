@@ -44,5 +44,6 @@ object GraftFunctions {
     DotProduct.register(spark)
     CdcBoundaries.register(spark)
     LetterMatches.register(spark)
+    SortedIntersectCount.register(spark)
   }
 }

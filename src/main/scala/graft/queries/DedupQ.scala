@@ -107,9 +107,12 @@ object DedupQ {
     // partners (exact shingle-Jaccard ≥ 0.5) of a query sample, what
     // fraction does the d2 pipeline (k=8, 4 bands, bucket cap 16)
     // actually surface? Ground truth is exact but affordable because
-    // ONE side is the sample: query shingles join the corpus posting
-    // list (linear in corpus, sample-bounded fan-out) — the only way
-    // to measure recall without an all-pairs join. At this corpus's
+    // ONE side is the sample AND candidate generation is
+    // prefix-filtered (SetSimJoin): a raw sample⋈corpus posting-list
+    // join is Θ(n²) through the stop-shingle lists (measured 21 GB
+    // shuffle / 5 055 s CPU at v2sf5 — DRIFT_r12.md) while the
+    // frequency-ordered prefix join generates only pairs that can
+    // clear the threshold, losslessly. At this corpus's
     // dup strength (j ≥ 0.9, where r=2,b=4 theory says ≈100%) any
     // shortfall is the bucket cap's price, measured instead of
     // argued; production lowers the sample rate (% 7 here so the
@@ -119,20 +122,16 @@ object DedupQ {
     "d14_lsh_recall" -> { (s, dir) =>
       import graft.text.TextFunctions
       val docs = docToks(s, dir)
-      val sh = docs.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("toks"), 2)).as("sh"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.where(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("q"), col("sh"))
-        .join(sh.select(col("doc_id").as("o"), col("sh")), "sh")
-        .where(col("q") =!= col("o"))
-        .groupBy("q", "o").agg(count(lit(1)).as("ic"))
-      val truth = inter
-        .join(sz.select(col("doc_id").as("q"), col("sz").as("szq")), "q")
-        .join(sz.select(col("doc_id").as("o"), col("sz").as("szo")), "o")
-        .where(TextFunctions.bp(col("ic"),
-          col("szq") + col("szo") - col("ic")) >= 5000)
+      // truth feeds BOTH the recall semi-join and the per-probe
+      // totals; it is pair-count-sized (≈ the near-dup pair list), so
+      // pin it once instead of re-running candidate generation per
+      // consumer
+      val truth = graft.dedup.SetSimJoin.jaccardPairsBp(
+          docs.select(col("doc_id"),
+            TextFunctions.shingles(col("toks"), 2).as("shs")),
+          "doc_id", "shs", minBp = 5000, probePred = _ % 7 === 0)
         .select("q", "o")
+        .localCheckpoint()
       val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
       val cand = MinHashLSH.candidatePairs(
         MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
