@@ -54,10 +54,77 @@ case class BloomBitsetProbe(child: Expression, bits: Broadcast[Array[Long]])
     copy(child = newChild)
 }
 
+/** All-k Bloom membership in ONE predicate: `child` is the element
+  * HASH (not a position); the k affine probe positions
+  * `((a_i·h + b_i) mod p) mod m` are derived inside the expression and
+  * tested against the packed broadcast bitset with short-circuit AND.
+  *
+  * Why not `probe(p0) && probe(p1) && probe(p2)` over a projected
+  * hash column: Catalyst pushes the conjunction through the
+  * projection that computes `h`, substituting the hash expression
+  * into EVERY conjunct — a corpus-scan filter whose hash is an
+  * md5+conv chain then pays the chain 3× per row (plus once more
+  * above the filter for survivors). One fused predicate references
+  * `h` once, so the pushed-down filter evaluates the chain once per
+  * row, and misses short-circuit on the first clear bit.
+  */
+case class BloomBitsetProbeK(child: Expression, seeds: Seq[(Long, Long)],
+    p: Long, m: Long, bits: Broadcast[Array[Long]])
+    extends UnaryExpression with Predicate {
+
+  override def prettyName: String = "bloom_bitset_probe_k"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if seeds.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case LongType => TypeCheckResult.TypeCheckFailure(
+      "bloom_bitset_probe_k requires at least one probe seed")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bitset_probe_k requires BIGINT hash, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(hash: Any): Any = {
+    val h = hash.asInstanceOf[Long]
+    val w = bits.value
+    seeds.forall { case (a, b) =>
+      val pos = (a * h + b) % p % m
+      ((w((pos >>> 6).toInt) >>> (pos & 63L)) & 1L) == 1L
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bits,
+      classOf[Broadcast[_]].getName)
+    val arr = ctx.addMutableState("long[]", "bloomBitsK",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, h => {
+      val pos = ctx.freshName("pos")
+      val tests = seeds.zipWithIndex.map { case ((a, b), i) =>
+        val pv = s"${pos}_$i"
+        s"""long $pv = (${a}L * $h + ${b}L) % ${p}L % ${m}L;
+           |if (${ev.value} && ((($arr[(int)($pv >>> 6)]) >>> ($pv & 63L)) & 1L) != 1L) {
+           |  ${ev.value} = false;
+           |}""".stripMargin
+      }.mkString("\n")
+      s"""${ev.value} = true;
+         |$tests""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBitsetProbeK =
+    copy(child = newChild)
+}
+
 object BloomBitsetProbe {
   /** Column-API entry: probe `pos` against the packed broadcast set. */
   def probe(pos: Column, bits: Broadcast[Array[Long]]): Column =
     ColumnBridge.column(BloomBitsetProbe(ColumnBridge.expression(pos), bits))
+
+  /** Fused k-probe membership of hash column `h` (see
+    * [[BloomBitsetProbeK]]). */
+  def probeK(h: Column, seeds: Seq[(Long, Long)], p: Long, m: Long,
+      bits: Broadcast[Array[Long]]): Column =
+    ColumnBridge.column(
+      BloomBitsetProbeK(ColumnBridge.expression(h), seeds, p, m, bits))
 
   /** Pack bit positions into the m/64-word set (m must be a multiple
     * of 64). */

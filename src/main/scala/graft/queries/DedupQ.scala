@@ -361,41 +361,56 @@ object DedupQ {
     // the eval-set n-gram table is too big to broadcast as rows
     // (URL/doc blocklists run to billions of entries). Build: 3
     // affine probes (the U-family's seed construction, indices 8-10,
-    // same P) hash every bench 3-gram into a 2^20-bit Bloom filter,
-    // PACKED into m/64 long words and shipped via
-    // `sparkContext.broadcast` (128 KiB, fetched once per executor —
-    // not a plan literal resent with every task closure). The corpus
-    // pass is then map-only (3 codegen'd shift-and-mask probes per
-    // shingle via the native BloomBitsetProbe, zero shuffle, zero
-    // join), and the exact semi-join runs only on the Bloom-flagged
-    // residue. Output reports n_flagged vs n_exact per doc, so the
-    // filter's false-positive overhead is measured, not assumed.
-    // Everything integer → fully oracle-gated.
+    // same P) hash every bench 3-gram into a Bloom filter PACKED into
+    // m/64 long words and shipped via `sparkContext.broadcast`
+    // (fetched once per executor — not a plan literal resent with
+    // every task closure). m SCALES with the eval set: 16 bits per
+    // distinct bench shingle (fill ≤ 1−e^(−3/16) ≈ 0.17, 3-probe fpp
+    // ≤ 0.5%), floor 2^20, rounded to a word multiple in exact
+    // integer math the oracle reproduces. A FIXED m saturates as the
+    // eval suite grows — the isolated r12 sweep measured fill 15% →
+    // 80% and fpp 0.3% → 51% from v2sf1 → v2sf10 at m=2^20, turning
+    // the flagged-residue join superlinear (cpu_exp 1.35,
+    // DRIFT_r12.md §6); fpp-targeted sizing is how production
+    // blocklist filters are provisioned. The corpus pass is map-only
+    // (3 codegen'd shift-and-mask probes per shingle via the native
+    // BloomBitsetProbe, zero shuffle, zero join), and the exact
+    // semi-join runs only on the Bloom-flagged residue. Output
+    // reports n_flagged vs n_exact per doc, so the filter's
+    // false-positive overhead is measured, not assumed. Everything
+    // integer → fully oracle-gated.
     "d15_bloom_decontam" -> { (s, dir) =>
       import graft.text.TextFunctions.shingles
       val P = MinHashLSH.P
-      val m = 1 << 20
       val seeds = MinHashLSH.seedsU(11).drop(8)
-      def probe(h: Column, i: Int): Column =
-        (lit(seeds(i)._1) * h + lit(seeds(i)._2)) % lit(P) % lit(m.toLong)
       val sh = docToks(s, dir)
         .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh3"))
         .select(col("doc_id"),
           (conv(substring(md5(col("sh3")), 1, 15), 16, 10).cast("long") % lit(P))
             .as("h"))
+      // bench is eval-set-sized (distinct 3-gram hashes of the n/97
+      // held-out docs); pin it once — its count sizes the filter, its
+      // probe positions fill it, and the exactness join reads it again
       val bench = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
+        .localCheckpoint()
+      val nb = bench.count()
+      val m = math.max(1L << 20, 64L * ((16L * nb + 63L) / 64L))
+      def probe(h: Column, i: Int): Column =
+        (lit(seeds(i)._1) * h + lit(seeds(i)._2)) % lit(P) % lit(m)
       // bench-set-sized driver collect (like IvfFlat's codebook): the
-      // positions, not the corpus
-      val words = graft.functions.BloomBitsetProbe.pack(m,
-        (0 until 3).iterator.flatMap { i =>
-          bench.select(probe(col("h"), i).as("p")).distinct()
-            .collect().iterator.map(_.getLong(0))
-        })
+      // positions, not the corpus — all 3 probe families in one job
+      // over the pinned bench table
+      val words = graft.functions.BloomBitsetProbe.pack(m.toInt,
+        bench.select(explode(array(
+            probe(col("h"), 0), probe(col("h"), 1), probe(col("h"), 2))).as("p"))
+          .distinct().collect().iterator.map(_.getLong(0)))
       val bc = s.sparkContext.broadcast(words)
-      def hit(i: Int): Column =
-        graft.functions.BloomBitsetProbe.probe(probe(col("h"), i), bc)
+      // fused k-probe: ONE predicate referencing h once, so the
+      // pushed-down corpus filter evaluates the md5+conv hash chain
+      // once per shingle instead of once per conjunct
       val flagged = sh.where(col("doc_id") % 97 =!= 0)
-        .where(hit(0) && hit(1) && hit(2))
+        .where(graft.functions.BloomBitsetProbe.probeK(
+          col("h"), seeds.take(3), P, m, bc))
       flagged
         .join(bench.select(col("h"), lit(1L).as("ex")), Seq("h"), "left")
         .groupBy("doc_id")
@@ -808,11 +823,15 @@ object DedupQ {
     // d15 = Bloom membership restated as position-set joins: the
     // occupied-bit set is the union of the 3 probe positions over
     // bench hashes, and a hash is flagged iff all 3 of its positions
-    // are occupied — identical math, no bitset needed SQL-side.
+    // are occupied — identical math, no bitset needed SQL-side. The
+    // filter size m is data-dependent (16 bits per distinct bench
+    // hash, floor 2^20, word-aligned) in the same exact integer
+    // arithmetic as the Spark side, via a scalar subquery.
     "d15_bloom_decontam" -> {
       val P = MinHashLSH.P
       val ss = MinHashLSH.seedsU(11).drop(8)
-      def p(i: Int) = s"((${ss(i)._1} * h + ${ss(i)._2}) % $P) % 1048576"
+      def p(i: Int) =
+        s"((${ss(i)._1} * h + ${ss(i)._2}) % $P) % (SELECT m FROM msel)"
       s"""WITH tk AS ($tkSql),
         |sh3 AS (SELECT DISTINCT doc_id,
         |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS h FROM (
@@ -820,6 +839,8 @@ object DedupQ {
         |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
         |  FROM tk)),
         |bench AS (SELECT DISTINCT h FROM sh3 WHERE doc_id % 97 = 0),
+        |msel AS (SELECT GREATEST(1048576, 64 * ((16 * COUNT(*) + 63) // 64)) AS m
+        |  FROM bench),
         |pos AS (SELECT ${p(0)} AS p FROM bench
         |  UNION SELECT ${p(1)} FROM bench
         |  UNION SELECT ${p(2)} FROM bench),

@@ -44,6 +44,45 @@ class BloomProbeSpec extends SparkSuite {
     }
   }
 
+  test("fused k-probe matches the per-position conjunction, codegen and interpreted") {
+    import spark.implicits._
+    val p = 1000000007L
+    val m = 1L << 12
+    val seeds = Seq((13L, 7L), (29L, 3L), (101L, 57L))
+    val rnd = new scala.util.Random(11)
+    val members = Seq.fill(200)(math.abs(rnd.nextLong()) % p).distinct
+    val bc = spark.sparkContext.broadcast(BloomBitsetProbe.pack(m.toInt,
+      members.iterator.flatMap(h => seeds.map { case (a, b) => a * h + b }
+        .map(_ % p % m))))
+    val probes = (members.take(50) ++ Seq.fill(500)(math.abs(rnd.nextLong()) % p))
+      .map(Option(_)) :+ None
+    // columnar path: fused == conjunction of single probes, null in → null out
+    val got = probes.toDF("h")
+      .withColumn("fused", BloomBitsetProbe.probeK(col("h"), seeds, p, m, bc))
+      .withColumn("each", seeds.map { case (a, b) =>
+        BloomBitsetProbe.probe((lit(a) * col("h") + lit(b)) % lit(p) % lit(m), bc)
+      }.reduce(_ && _))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2))
+      else assert(r.getBoolean(1) === r.getBoolean(2), s"h=${r.getLong(0)}")
+    }
+    // every inserted member must hit (no false negatives)
+    val hits = members.toDF("h")
+      .where(BloomBitsetProbe.probeK(col("h"), seeds, p, m, bc)).count()
+    assert(hits === members.size.toLong)
+    // interpreted eval agrees with the columnar (codegen) result
+    probes.flatten.take(100).foreach { h =>
+      val e = BloomBitsetProbeK(
+        org.apache.spark.sql.catalyst.expressions.Literal(h), seeds, p, m, bc)
+      val exp = seeds.forall { case (a, b) =>
+        val pos = a * h + b; val q = pos % p % m
+        ((bc.value((q >>> 6).toInt) >>> (q & 63L)) & 1L) == 1L
+      }
+      assert(e.eval(null) === exp, s"interpreted h=$h")
+    }
+  }
+
   test("pack rejects out-of-range positions and non-word sizes") {
     intercept[IllegalArgumentException](
       BloomBitsetProbe.pack(100, Iterator.empty))
