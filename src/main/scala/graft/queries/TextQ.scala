@@ -1416,24 +1416,34 @@ object TextQ {
     // pays ONE keyed join from word to its encoded form: the
     // per-word-cache shape every production tokenizer uses, which is
     // the only shape that tokenizes 100 TB. Output per doc: word and
-    // subword counts plus an order-sensitive hash of the full
-    // encoded stream (so the gate pins every subword boundary).
+    // subword counts plus a POSITIONAL hash of the encoded stream —
+    // sum over tokens of md5(wpos ':' encoded) mod P. The positions
+    // are distinct per doc, so the (wpos → encoding) multiset the sum
+    // pins IS the full ordered stream (same gate strength as hashing
+    // the concatenation), but the sum is commutative: the per-doc
+    // aggregate is three codegen'd SUM/COUNT columns — no
+    // collect_list, so no ObjectHashAggregate 128-key sort fallback
+    // (the r12 isolated sweep measured that fallback at 25% of t14's
+    // sf10 CPU) and, decisively at scale, the shuffle carries one
+    // partial-agg triple per doc instead of every token's encoded
+    // string (532 MB → ~2 MB at v2sf10). The vocab table broadcasts
+    // explicitly — a tokenizer's per-word cache lives on every
+    // worker — so the corpus-sized side is never shuffled at all:
+    // one vocab-sized distinct is the query's only exchange.
     "t14_bpe_encode" -> { (s, dir) =>
       val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+      val P = graft.dedup.MinHashLSH.P
       val d = docToks(s, dir)
       val enc = graft.text.Bpe.encodeWords(
         d.select(explode(col("toks")).as("word")).distinct(), merges)
-      // enc is vocab-sized: small enough to broadcast at any SF that
-      // fits one executor's memory; plain keyed join otherwise (AQE
-      // picks broadcast here on its own at these sizes)
       d.select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
-        .join(enc, "word")
+        .join(broadcast(enc), "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum("n_subwords").as("n_subwords"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(wpos, encoded))), x -> x.encoded)")))
-            .as("encoded_hash"))
+          sum(conv(substring(md5(concat_ws(":", col("wpos"), col("encoded"))),
+              1, 15), 16, 10).cast("long") % lit(P))
+            .cast("long").as("encoded_hash"))
         .orderBy("doc_id")
     },
 
@@ -2698,7 +2708,11 @@ object TextQ {
     "t14_bpe_encode" ->
       // four unrolled merge applications (t11's window shape: mark the
       // pair, drop the absorbed successor; ma ≠ mb so matches never
-      // overlap), then the word→encoded join and per-doc ordered hash
+      // overlap), then the word→encoded join and the per-doc
+      // positional hash: SUM over tokens of md5(wpos ':' encoded)
+      // mod P — commutative, so no ORDER BY inside the aggregate;
+      // positions are distinct per doc so the sum still pins the
+      // full ordered stream
       s"""WITH tk AS ($toksSql),
         |dw AS (SELECT DISTINCT unnest(toks) AS word FROM tk),
         |sy AS (SELECT word, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS s
@@ -2728,7 +2742,8 @@ object TextQ {
         |j AS (SELECT doc_id, wpos, encoded, n_subwords FROM dp JOIN enc USING (word))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
-        |  md5(string_agg(encoded, ' ' ORDER BY wpos)) AS encoded_hash
+        |  CAST(SUM(('0x' || substr(md5(wpos || ':' || encoded), 1, 15))::BIGINT
+        |    % ${graft.dedup.MinHashLSH.P}) AS BIGINT) AS encoded_hash
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t15_kn_bigram" ->
