@@ -115,13 +115,25 @@ object DedupQ {
     // clear the threshold, losslessly. At this corpus's
     // dup strength (j ≥ 0.9, where r=2,b=4 theory says ≈100%) any
     // shortfall is the bucket cap's price, measured instead of
-    // argued; production lowers the sample rate (% 7 here so the
-    // gate-scale sample intersects the dup families) and re-tunes
-    // bands for the j it cares about. Companion of n4_ann_recall
-    // (same audit for the ANN index).
+    // argued; production re-tunes bands for the j it cares about.
+    // The probe panel is SIZE-BOUNDED, not fraction-bounded: doc_id %
+    // k = 0 with k = max(7, n/8192), so the panel saturates at ~8 200
+    // probes as the corpus grows (k = 7 at every gate SF and at
+    // v2sf1). A fixed FRACTION is output-bound quadratic on this (and
+    // any crawl-shaped) corpus: dup-cluster sizes are power-law with
+    // the head cluster Θ(n/log n), so true pairs grow Θ(n²/log²n) and
+    // a 1/7 panel's truth list grows with them (measured: the truth
+    // side's candidate mass ×21 from v2sf1→v2sf5, DRIFT_r12.md §3) —
+    // no exact algorithm can beat its own output size. A bounded
+    // panel keeps the audit's expected truth mass linear in n while
+    // still sampling clusters size-proportionally. Companion of
+    // n4_ann_recall (same audit for the ANN index).
     "d14_lsh_recall" -> { (s, dir) =>
       import graft.text.TextFunctions
       val docs = docToks(s, dir)
+      // parquet-metadata count (no scan); the SAME integer math runs
+      // in the oracle's ksel scalar subquery
+      val k = math.max(7L, table(s, dir, "documents").count() / 8192L)
       // truth feeds BOTH the recall semi-join and the per-probe
       // totals; it is pair-count-sized (≈ the near-dup pair list), so
       // pin it once instead of re-running candidate generation per
@@ -129,7 +141,7 @@ object DedupQ {
       val truth = graft.dedup.SetSimJoin.jaccardPairsBp(
           docs.select(col("doc_id"),
             TextFunctions.shingles(col("toks"), 2).as("shs")),
-          "doc_id", "shs", minBp = 5000, probePred = _ % 7 === 0)
+          "doc_id", "shs", minBp = 5000, probePred = _ % k === 0)
         .select("q", "o")
         .localCheckpoint()
       val sigs = MinHashLSH.signaturesU(docs, "doc_id", "toks", k = 8, shingleN = 2)
@@ -138,7 +150,7 @@ object DedupQ {
         maxBucket = 16)
       val lsh = cand.select(col("i").as("q"), col("j").as("o"))
         .unionByName(cand.select(col("j").as("q"), col("i").as("o")))
-        .where(col("q") % 7 === 0)
+        .where(col("q") % k === 0)
       val hits = truth.join(lsh, Seq("q", "o"), "left_semi")
         .groupBy("q").agg(count(lit(1)).as("n_hit"))
       truth.groupBy("q").agg(count(lit(1)).as("n_true"))
@@ -380,14 +392,19 @@ object DedupQ {
     // false-positive overhead is measured, not assumed. Everything
     // integer → fully oracle-gated.
     "d15_bloom_decontam" -> { (s, dir) =>
-      import graft.text.TextFunctions.shingles
       val P = MinHashLSH.P
       val seeds = MinHashLSH.seedsU(11).drop(8)
-      val sh = docToks(s, dir)
-        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh3"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("sh3")), 1, 15), 16, 10).cast("long") % lit(P))
-            .as("h"))
+      // Fused native shingle→hash generator: the declarative
+      // explode(transform(shingles…md5…)) chain is interpreted per
+      // element AND re-evaluated by the inferred explode guard —
+      // measured not just ~2× slower but UNSTABLE (341 vs 1075 CPU s
+      // across identical v2sf10 runs; the JIT's treatment of the
+      // megamorphic interpreted eval loop is a per-run lottery, see
+      // functions/ShingleHash.scala). Same hash arithmetic, so the
+      // oracle SQL is untouched.
+      val sh = docToks(s, dir).select(col("doc_id"),
+        graft.functions.ShingleHashExplode
+          .shingle_hash_explode(col("toks"), 3, P).as("h"))
       // bench is eval-set-sized (distinct 3-gram hashes of the n/97
       // held-out docs); pin it once — its count sizes the filter, its
       // probe positions fill it, and the exactness join reads it again
@@ -862,16 +879,18 @@ object DedupQ {
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
         |$lshCandUSql,
+        |ksel AS (SELECT GREATEST(7, COUNT(*) // 8192) AS k FROM documents),
         |gi AS (SELECT qa.doc_id AS q, s.doc_id AS o, COUNT(*) AS ic
         |  FROM sh qa JOIN sh s ON qa.sh = s.sh AND qa.doc_id <> s.doc_id
-        |  WHERE qa.doc_id % 7 = 0
+        |  WHERE qa.doc_id % (SELECT k FROM ksel) = 0
         |  GROUP BY 1, 2),
         |truth AS (SELECT gi.q, gi.o FROM gi
         |  JOIN sz za ON za.doc_id = gi.q
         |  JOIN sz zb ON zb.doc_id = gi.o
         |  WHERE (10000 * ic) // (za.sz + zb.sz - ic) >= 5000),
-        |lsh AS (SELECT i AS q, j AS o FROM cand WHERE i % 7 = 0
-        |  UNION ALL SELECT j AS q, i AS o FROM cand WHERE j % 7 = 0)
+        |lsh AS (SELECT i AS q, j AS o FROM cand WHERE i % (SELECT k FROM ksel) = 0
+        |  UNION ALL SELECT j AS q, i AS o FROM cand
+        |  WHERE j % (SELECT k FROM ksel) = 0)
         |SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n_true,
         |  CAST(SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST((10000 * SUM(CASE WHEN l.q IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*)
