@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -17,7 +18,7 @@ import graft.text.TextFunctions
   * list is Θ(n) on both join sides and the join output — pairs that
   * share only stopwords and verify at Jaccard ≈ 0 — grows Θ(n²).
   * Measured on the cardinality-faithful fixtures: 21 GB of shuffle and
-  * 5 055 s of task CPU at v2sf5 for d14's 1/7-sample probe
+  * 5 055 s of task CPU at v2sf5 for d14's probe
   * (DRIFT_r12.md), 94% of it pairs the threshold then discards.
   *
   * The prefix filter removes exactly that term and NOTHING else
@@ -32,8 +33,22 @@ import graft.text.TextFunctions
   * and is generated. A stop-shingle, by contrast, lands in a set's
   * prefix only when the set has almost no rarer element, so frequent
   * elements stop driving the join. Candidates are then verified
-  * exactly (`array_intersect` on the full sets), keeping the output
-  * bit-identical to the naive join.
+  * exactly (a sorted-merge intersection count on the full sets),
+  * keeping the output bit-identical to the naive join.
+  *
+  * PHYSICAL SHAPE (round 12): prefix positions come from
+  * `row_number() OVER (PARTITION BY id ORDER BY df, el)` — one
+  * exchange on id and a codegen'd sort — instead of assembling
+  * freq-ordered ARRAYS per doc and re-exploding their slices. The
+  * array form paid `collect_list(struct)` per doc, which
+  * ObjectHashAggregate demotes to its sort-based fallback at 128
+  * groups per task (every task, at corpus scale) plus an interpreted
+  * struct comparator inside `sort_array`; stage attribution at v2sf5
+  * put ~70% of d14's task-CPU and nearly all its GC inside exactly
+  * that machinery (DRIFT_r12.md §3). Only the verification arrays
+  * (value-sorted, primitive when elements are hashed longs) are still
+  * materialized, grouped directly from the id-clustered element
+  * stream so the partial aggregation never leaves its hash map.
   *
   * All-pairs scope within a corpus is the reference's similarity-join
   * shape (pygr `blast.py:86-413` finds neighbors for every query
@@ -42,42 +57,12 @@ import graft.text.TextFunctions
   */
 object SetSimJoin {
 
-  /** Per-set elements sorted by ascending global document frequency
-    * (ties by element value): `(id, els: array, sz: int)`. The shared
-    * total order that makes per-record prefixes comparable.
-    * Linear: one vocab-sized count, one fact-sized join, one
-    * id-partitioned re-assembly.
-    */
-  def freqSortedSets(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
-    // Pin the caller's set expression BEFORE exploding it. Two
-    // reasons, both measured at v2sf1 (370 CPU s per scan vs 15.7 for
-    // one clean evaluation): the element and document-frequency
-    // branches below each re-scan the input, and Catalyst's
-    // infer-filters-from-generate rewrite guards the explode with
-    // `size(e) > 0 AND isnotnull(e)` — re-evaluating the generator
-    // INPUT expression per conjunct. When that input is an interpreted
-    // higher-order-function chain (tokenize → shingle), the duplicated
-    // evaluation dominates the whole join.
-    val pinned = sets.select(col(idCol), col(setCol)).localCheckpoint()
-    val el = pinned.select(col(idCol), explode(col(setCol)).as("_el"))
-    val df = el.groupBy("_el").agg(count(lit(1)).as("_df"))
-    el.join(df, "_el")
-      .select(col(idCol), struct(col("_df"), col("_el")).as("_e"))
-      // pre-partition by id so the collect_list agg sees bounded,
-      // colocated groups instead of partial-aggregating a map keyed
-      // by every id in the corpus per input chunk
-      .repartition(col(idCol))
-      .groupBy(col(idCol)).agg(sort_array(collect_list(col("_e"))).as("_es"))
-      .select(col(idCol),
-        expr("transform(_es, x -> x._el)").as("els"),
-        size(col("_es")).as("sz"))
-  }
-
   /** Pairs `(q, o, ic, szq, szo, jac_bp)` with exact set Jaccard
     * ≥ `minBp`/10000, `q` drawn from rows where `probePred(id)` holds,
     * `o` from the whole frame, `q ≠ o`. `sets` rows are
-    * `(idCol, setCol: array)` with DISTINCT elements (e.g.
-    * [[TextFunctions.shingles]] output). `jac_bp` is
+    * `(idCol, setCol: array)` with DISTINCT elements — hashed longs
+    * ([[graft.functions.ShingleHashes]]) for the scale path, strings
+    * accepted for readability at small scale. `jac_bp` is
     * floor(10000·|∩|/|∪|) — integer bp, engine-portable — and the
     * ≥ `minBp` gate equals J ≥ minBp/10000 exactly on integers.
     */
@@ -86,22 +71,30 @@ object SetSimJoin {
                      probePred: Column => Column = _ => lit(true)): DataFrame = {
     require(minBp > 0 && minBp <= 10000, s"minBp must be in (0,10000], got $minBp")
     val t = minBp.toLong
-    // Materialize the sorted sets once: the frame feeds the probe
-    // explode, the index explode, AND the verification joins — left as
-    // lineage, the tokenize/shingle/df subtree re-evaluates per
-    // consumer (measured 4× at sf0.1; ReuseExchange does not collapse
-    // the differently-filtered branches).
-    val sorted = freqSortedSets(sets, idCol, setCol).localCheckpoint()
-    // prefix length |x| − ⌈t·|x|⌉ + 1, integer ceil
+    // Materialize the id→set pairs once: the element stream feeds the
+    // document-frequency count, the prefix window, AND the
+    // verification arrays — left as lineage, the caller's set
+    // expression re-evaluates per consumer (measured 4× at sf0.1;
+    // ReuseExchange does not collapse the differently-filtered
+    // branches).
+    val pinned = sets.select(col(idCol), col(setCol)).localCheckpoint()
+    val el = pinned.select(col(idCol), explode(col(setCol)).as("_el"))
+    val df = el.groupBy("_el").agg(count(lit(1)).as("_df"))
+    // Per-element prefix position = rank in the doc's (df, el) order;
+    // sz rides the same exchange as an unordered window over id.
+    val byId = Window.partitionBy(col(idCol))
+    val pre = el.join(df, "_el")
+      .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("_el"))))
+      .withColumn("sz", count(lit(1)).over(byId))
+    // prefix length |x| − ⌈t·|x|⌉ + 1, integer ceil; _pos is 1-based
     val preLen = (col("sz")
       - floor((lit(t) * col("sz") + lit(9999L)) / lit(10000L)) + lit(1)).cast("int")
-    val pre = sorted.select(col(idCol).as("_id"), col("sz"),
-      posexplode(slice(col("els"), lit(1), preLen)))
-    val qSide = pre.where(probePred(col("_id")))
-      .select(col("_id").as("q"), col("sz").as("szq"),
-        col("pos").as("_pq"), col("col").as("_el"))
-    val oSide = pre.select(col("_id").as("o"), col("sz").as("szo"),
-      col("pos").as("_po"), col("col").as("_el"))
+    val prefix = pre.where(col("_pos") <= preLen)
+    val qSide = prefix.where(probePred(col(idCol)))
+      .select(col(idCol).as("q"), col("sz").as("szq"),
+        col("_pos").as("_pq"), col("_el"))
+    val oSide = prefix.select(col(idCol).as("o"), col("sz").as("szo"),
+      col("_pos").as("_po"), col("_el"))
     val cand = qSide.join(oSide, "_el")
       .where(col("q") =!= col("o"))
       // J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|) — prune before the
@@ -112,25 +105,29 @@ object SetSimJoin {
       .agg(min("_pq").as("_pqm"), min("_po").as("_pom"))
       // positional filter (PPJoin): the globally-smallest common
       // element minimizes BOTH prefix positions, and every other
-      // common element sits after it in both freq-ordered arrays, so
-      // ic ≤ min(szq − pqm, szo − pom); J ≥ t needs
-      // ic ≥ ⌈t·(szq+szo)/(1+t)⌉ — drop pairs whose bound can't reach
-      // it before they touch the verify join
-      .where(least(col("szq") - col("_pqm"), col("szo") - col("_pom"))
+      // common element sits after it in both freq-ordered sets, so
+      // ic ≤ min(szq − pqm + 1, szo − pom + 1) (1-based positions);
+      // J ≥ t needs ic ≥ ⌈t·(szq+szo)/(1+t)⌉ — drop pairs whose bound
+      // can't reach it before they touch the verify join
+      .where(least(col("szq") - col("_pqm") + lit(1L),
+                   col("szo") - col("_pom") + lit(1L))
         * lit(10000L + t) >= lit(t) * (col("szq") + col("szo")))
       .select("q", "szq", "o", "szo")
-    // Verification is compute-bound (one hash-set intersection per
-    // pair), but the candidate table is BYTE-small — AQE coalesces it
-    // to a handful of partitions and, when the set table fits the
-    // broadcast threshold, the whole verify stage inherits that
-    // near-serial layout (measured 8.2 s on one task at sf0.1). An
-    // explicit partition count pins compute parallelism to the
-    // session's shuffle width; AQE honors user-numbered repartitions.
+    // Verification is compute-bound (one sorted-merge per pair), but
+    // the candidate table is BYTE-small — AQE coalesces it to a
+    // handful of partitions and, when the set table fits the broadcast
+    // threshold, the whole verify stage inherits that near-serial
+    // layout (measured 8.2 s on one task at sf0.1). An explicit
+    // partition count pins compute parallelism to the session's
+    // shuffle width; AQE honors user-numbered repartitions.
     val parts = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // Verify on LEX-sorted copies of the same sets (one sort_array per
-    // doc) with the fused merge kernel — no per-pair hash set, no
-    // intersection array materialized just to take its size.
-    val arrs = sorted.select(col(idCol), sort_array(col("els")).as("_lex"))
+    // Verify on VALUE-sorted copies of the same sets with the fused
+    // merge kernel — no per-pair hash set, no intersection array
+    // materialized just to take its size. `el` is clustered by id (it
+    // is exploded per row), so the partial collect_list never exceeds
+    // its task's doc count — no repartition, no fallback cliff.
+    val arrs = el.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_el"))).as("_lex"))
     cand.repartition(parts, col("q"))
       .join(arrs.select(col(idCol).as("q"), col("_lex").as("_aq")), "q")
       .join(arrs.select(col(idCol).as("o"), col("_lex").as("_ao")), "o")

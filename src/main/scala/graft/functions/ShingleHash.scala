@@ -78,6 +78,65 @@ case class ShingleHashExplode(child: Expression, n: Int, p: Long)
     copy(child = newChild)
 }
 
+/** Array-returning twin of [[ShingleHashExplode]] — the distinct
+  * n-gram hashes of a token array as a sorted `array<long>`, for
+  * consumers that need the whole per-row SET (e.g.
+  * [[graft.dedup.SetSimJoin]], whose pipeline pins, re-groups and
+  * verifies sets rather than streaming elements). Same kernel, same
+  * oracle arithmetic. Rows with fewer than `n` tokens return an EMPTY
+  * array (mirroring `TextFunctions.shingles`' guard), so downstream
+  * explodes drop them identically.
+  */
+case class ShingleHashes(child: Expression, n: Int, p: Long)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  require(p > 0, s"modulus must be positive, got $p")
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = ShingleHashExplode.distinctHashes(input.asInstanceOf[ArrayData], n, p)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (hs == null) Array.emptyLongArray else hs)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.computeArray($c, $n, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Shared eval/codegen kernel (array form; never null). */
+  def computeArray(toks: ArrayData, n: Int, p: Long)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val hs = ShingleHashExplode.distinctHashes(toks, n, p)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (hs == null) Array.emptyLongArray else hs)
+  }
+
+  /** `toks: array<string>` → sorted distinct n-gram hashes. */
+  def shingle_hashes(toks: Column, n: Int, p: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(toks), n, p))
+  }
+}
+
 object ShingleHashExplode {
 
   /** Sorted distinct n-gram hashes of `toks`; null when the row has no

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** |a ∩ b| for two lexicographically-sorted string arrays as ONE fused
-  * merge loop — the verification kernel of the exact set-similarity
+/** |a ∩ b| for two ascending-sorted arrays (string or bigint) as ONE
+  * fused merge loop — the verification kernel of the exact set-similarity
   * join ([[graft.dedup.SetSimJoin]]). `array_intersect` answers the
   * same question by building a per-row hash set (allocation + string
   * hashing per element, then `size()` discards the array it built);
@@ -29,17 +29,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires (ARRAY<STRING>, ARRAY<STRING>), got (${a.sql}, ${b.sql})")
+        "sorted_intersect_count requires two ARRAY<STRING> or two " +
+          s"ARRAY<BIGINT> inputs, got (${a.sql}, ${b.sql})")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectCount.count(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isLong)
+      SortedIntersectCount.countLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectCount.count(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isLong) "countLong" else "count"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+      s"${ev.value} = graft.functions.SortedIntersectCount.$kernel($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
@@ -64,6 +78,28 @@ object SortedIntersectCount {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Long-array kernel: same two-pointer merge over sorted distinct
+    * BIGINT sets — the element type [[graft.dedup.SetSimJoin]] uses
+    * once sets are hashed ([[ShingleHashes]]); primitive comparisons,
+    * no per-element string materialization. */
+  def countLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     c

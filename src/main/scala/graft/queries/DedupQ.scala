@@ -138,9 +138,18 @@ object DedupQ {
       // totals; it is pair-count-sized (≈ the near-dup pair list), so
       // pin it once instead of re-running candidate generation per
       // consumer
+      // Hashed element sets (sorted distinct 2-gram hashes, the native
+      // ShingleHashes kernel): the string-set form spent ~70% of the
+      // query's task-CPU at v2sf5 on corpus-wide string machinery —
+      // exploding every shingle STRING through the df-count join, the
+      // struct sort, and two set-array shuffles (stage-attributed in
+      // DRIFT_r12.md §3). Long elements make every one of those
+      // primitive. The ORACLE hashes identically (shh/szh CTEs), so
+      // the comparison is collision-exact, the d15 precedent.
       val truth = graft.dedup.SetSimJoin.jaccardPairsBp(
           docs.select(col("doc_id"),
-            TextFunctions.shingles(col("toks"), 2).as("shs")),
+            graft.functions.ShingleHashes
+              .shingle_hashes(col("toks"), 2, MinHashLSH.P).as("shs")),
           "doc_id", "shs", minBp = 5000, probePred = _ % k === 0)
         .select("q", "o")
         .localCheckpoint()
@@ -873,20 +882,26 @@ object DedupQ {
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
     },
 
-    // d14 = exact-Jaccard ground truth on the 1% sample vs the shared
-    // LSH candidate pipeline; recall in integer basis points.
+    // d14 = exact-Jaccard ground truth on the bounded probe panel vs
+    // the shared LSH candidate pipeline; recall in integer basis
+    // points. The truth side works on HASHED shingle sets (shh/szh:
+    // distinct per-doc hm, reusing the hs CTE's md5-mod-P arithmetic)
+    // because the Spark side does (ShingleHashes) — same function in
+    // both engines, so the compare is collision-exact.
     "d14_lsh_recall" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
         |$lshCandUSql,
         |ksel AS (SELECT GREATEST(7, COUNT(*) // 8192) AS k FROM documents),
+        |shh AS (SELECT DISTINCT doc_id, hm FROM hs),
+        |szh AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
         |gi AS (SELECT qa.doc_id AS q, s.doc_id AS o, COUNT(*) AS ic
-        |  FROM sh qa JOIN sh s ON qa.sh = s.sh AND qa.doc_id <> s.doc_id
+        |  FROM shh qa JOIN shh s ON qa.hm = s.hm AND qa.doc_id <> s.doc_id
         |  WHERE qa.doc_id % (SELECT k FROM ksel) = 0
         |  GROUP BY 1, 2),
         |truth AS (SELECT gi.q, gi.o FROM gi
-        |  JOIN sz za ON za.doc_id = gi.q
-        |  JOIN sz zb ON zb.doc_id = gi.o
+        |  JOIN szh za ON za.doc_id = gi.q
+        |  JOIN szh zb ON zb.doc_id = gi.o
         |  WHERE (10000 * ic) // (za.sz + zb.sz - ic) >= 5000),
         |lsh AS (SELECT i AS q, j AS o FROM cand WHERE i % (SELECT k FROM ksel) = 0
         |  UNION ALL SELECT j AS q, i AS o FROM cand
