@@ -78,18 +78,30 @@ object SetSimJoin {
     // ReuseExchange does not collapse the differently-filtered
     // branches).
     val pinned = sets.select(col(idCol), col(setCol)).localCheckpoint()
-    val el = pinned.select(col(idCol), explode(col(setCol)).as("_el"))
+    // sz travels WITH each exploded element (one array-length eval per
+    // input row) — cheaper than a second window pass over the element
+    // stream. (An alternative shape — df as a COUNT window over the
+    // _el partition instead of the aggregate+join — measured ×2.8
+    // WORSE at v2sf1: the window ships the full element stream through
+    // its exchange in every consumer branch, where the aggregate
+    // shrinks map-side before shuffling.)
+    val el = pinned.select(col(idCol), size(col(setCol)).cast("long").as("sz"),
+      explode(col(setCol)).as("_el"))
     val df = el.groupBy("_el").agg(count(lit(1)).as("_df"))
-    // Per-element prefix position = rank in the doc's (df, el) order;
-    // sz rides the same exchange as an unordered window over id.
+    // Per-element prefix position = rank in the doc's (df, el) order.
     val byId = Window.partitionBy(col(idCol))
     val pre = el.join(df, "_el")
       .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("_el"))))
-      .withColumn("sz", count(lit(1)).over(byId))
     // prefix length |x| − ⌈t·|x|⌉ + 1, integer ceil; _pos is 1-based
     val preLen = (col("sz")
       - floor((lit(t) * col("sz") + lit(9999L)) / lit(10000L)) + lit(1)).cast("int")
-    val prefix = pre.where(col("_pos") <= preLen)
+    // df = 1 elements can never be SHARED (their posting list is one
+    // doc), so they drive no candidates — and as the globally rarest
+    // they head every frequency-ordered prefix. Dropping them from
+    // both join sides is lossless (positions were assigned over the
+    // full set first) and removes most prefix rows on a Heaps-law
+    // vocabulary (~2/3 at v2sf10).
+    val prefix = pre.where(col("_pos") <= preLen && col("_df") > 1L)
     val qSide = prefix.where(probePred(col(idCol)))
       .select(col(idCol).as("q"), col("sz").as("szq"),
         col("_pos").as("_pq"), col("_el"))
