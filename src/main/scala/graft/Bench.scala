@@ -120,8 +120,13 @@ object Bench {
       System.gc()
       Thread.sleep(200)
     }
-    // SPARK_GRAFT_REPEAT=n times each query n times and keeps the last
-    // pass — steady-state cost without first-use codegen/footer reads.
+    // SPARK_GRAFT_REPEAT=n runs each query n times in THIS JVM and
+    // keeps the MINIMUM-task-CPU pass: pass 1 pays first-use
+    // codegen/footer reads, and any pass can draw the slow JIT mode
+    // (DRIFT_r12.md §7 — identical passes differ up to ~3× when a
+    // stage's code lands badly in the compile lottery; CPU-time noise
+    // is one-sided, so min estimates steady state). A long-lived
+    // cluster executor sits at this floor permanently.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     // (wall seconds, streaming-engine seconds if the query ran a
     // streaming replay — wall − engine is MemoryStream harness time,
@@ -131,7 +136,8 @@ object Bench {
         // stderr progress marker so a crashed run (OOM, kill) names
         // the query it died in — the artifact only writes at the end
         System.err.println(s"[bench] running $name")
-        var last = 0.0
+        var best = Double.MaxValue // task-CPU ms of the kept pass
+        var kept = 0.0
         var engine = Option.empty[Double]
         var metr: Seq[(String, String)] = Nil
         for (_ <- 1 to repeat) {
@@ -140,25 +146,31 @@ object Bench {
           val j0 = HostStats.cpuJiffies()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          last = (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
           drain()
           val snap = listener.snapshotAndReset()
           val j1 = HostStats.cpuJiffies()
           val iow = if (j1._2 > j0._2)
             100.0 * (j1._1 - j0._1) / (j1._2 - j0._2) else -1.0
           val e = graft.streaming.StreamMeter.engineSeconds
-          engine = if (e > 0.0) Some(e) else None
-          metr = snap.map { case (k, v) => k -> v.toString } ++ Seq(
-            "iowait_pct" -> fmt(iow),
-            "load1" -> fmt(HostStats.load1()),
-            "mem_avail_mb" -> HostStats.memAvailMb().toString) ++
-            (if (engine.isDefined) Seq(
-              "state_rows" -> graft.streaming.StreamMeter.stateRowsTotal.toString,
-              "state_bytes" -> graft.streaming.StreamMeter.stateBytesTotal.toString)
-             else Nil)
+          val cpuMs = snap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }
+            .getOrElse(wall * 1000.0)
+          if (cpuMs < best) {
+            best = cpuMs
+            kept = wall
+            engine = if (e > 0.0) Some(e) else None
+            metr = snap.map { case (k, v) => k -> v.toString } ++ Seq(
+              "iowait_pct" -> fmt(iow),
+              "load1" -> fmt(HostStats.load1()),
+              "mem_avail_mb" -> HostStats.memAvailMb().toString) ++
+              (if (e > 0.0) Seq(
+                "state_rows" -> graft.streaming.StreamMeter.stateRowsTotal.toString,
+                "state_bytes" -> graft.streaming.StreamMeter.stateBytesTotal.toString)
+               else Nil)
+          }
           scrub()
         }
-        name -> ((last, engine, metr))
+        name -> ((kept, engine, metr))
       }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
