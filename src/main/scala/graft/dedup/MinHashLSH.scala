@@ -89,11 +89,18 @@ object MinHashLSH {
     */
   def signaturesU(docs: DataFrame, idCol: String, toksCol: String,
                   k: Int = 8, shingleN: Int = 2): DataFrame = {
+    // Native generator: one compiled pass builds, hashes, and dedups
+    // the n-grams (exactly conv(substr(md5(sh),1,15),16,10) % P over
+    // the distinct shingles, so every oracle stays valid). The
+    // declarative explode(shingles)+md5 chain paid interpreted HOF
+    // lambdas per element plus the InferFiltersFromGenerate guard
+    // re-evaluation — the suite's single largest repeated cost, and a
+    // per-run JIT-stability hazard (DRIFT_r12.md §6–§7).
     val sh = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(toksCol), shingleN)).as("sh"))
-    val hm = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % P
+      graft.functions.ShingleHashExplode
+        .shingle_hash_explode(col(toksCol), shingleN, P).as("hm"))
     val aggs = seedsU(k).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * hm + lit(b)) % P).as(s"sig$i")
+      min((lit(a) * col("hm") + lit(b)) % P).as(s"sig$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -324,18 +331,25 @@ object MinHashLSH {
         pairs.select(col("i").as(idCol))
           .unionByName(pairs.select(col("j").as(idCol))).distinct(),
         Seq(idCol), "left_semi")
-    // shingles() is NULL for docs shorter than shingleN tokens; drop
-    // those docs so a pair referencing one is dropped (matching the
-    // previous exploded-join implementation and the oracle's inner
-    // join against per-doc sizes) instead of emitting NULL metrics
+    // HASHED shingle sets (sorted distinct 60-bit md5 hashes, the
+    // native ShingleHashes kernel — same arithmetic the oracles'
+    // hs/hsv CTEs restate, so the compare is collision-exact) and the
+    // fused sorted-merge intersect: `array_intersect` built a per-pair
+    // hash set of STRINGS and then discarded it for its size — the
+    // dominant cost of every verify at corpus scale (d2 at v2sf5
+    // spent ~2/3 of its task-CPU here). Docs with no shingles emit
+    // empty sets and can never appear in candidates (no signature);
+    // the size guard just keeps them out of the keyed joins.
     val sha = base.select(col(idCol),
-      TextFunctions.shingles(col(toksCol), shingleN).as("shs"))
-      .where(col("shs").isNotNull)
+      graft.functions.ShingleHashes
+        .shingle_hashes(col(toksCol), shingleN, P).as("shs"))
+      .where(size(col("shs")) > 0)
     pairs
       .join(sha.select(col(idCol).as("i"), col("shs").as("shi")), "i")
       .join(sha.select(col(idCol).as("j"), col("shs").as("shj")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("shi"), col("shj"))).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("shi"), col("shj")).as("inter"),
         size(col("shi")).cast("long").as("szi"),
         size(col("shj")).cast("long").as("szj"))
   }

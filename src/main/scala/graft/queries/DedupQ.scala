@@ -779,9 +779,11 @@ object DedupQ {
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.doc_id < b.doc_id),
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |hsv AS (SELECT DISTINCT doc_id,
+      |  ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1000000007 AS hm FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hsv GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM hsv a JOIN hsv b ON a.hm = b.hm AND a.doc_id < b.doc_id
       |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
@@ -813,9 +815,10 @@ object DedupQ {
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.doc_id < b.doc_id),
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |shh AS (SELECT DISTINCT doc_id, hm FROM hs),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS ic
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM shh a JOIN shh b ON a.hm = b.hm AND a.doc_id < b.doc_id
       |  JOIN cand ON cand.i = a.doc_id AND cand.j = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
   }
@@ -884,24 +887,22 @@ object DedupQ {
 
     // d14 = exact-Jaccard ground truth on the bounded probe panel vs
     // the shared LSH candidate pipeline; recall in integer basis
-    // points. The truth side works on HASHED shingle sets (shh/szh:
-    // distinct per-doc hm, reusing the hs CTE's md5-mod-P arithmetic)
-    // because the Spark side does (ShingleHashes) — same function in
-    // both engines, so the compare is collision-exact.
+    // points. The truth side works on HASHED shingle sets (the shared
+    // shh/sz CTEs — distinct per-doc hm, the hs CTE's md5-mod-P
+    // arithmetic) because the Spark side does (ShingleHashes) — same
+    // function in both engines, so the compare is collision-exact.
     "d14_lsh_recall" ->
       s"""WITH tk AS ($tkSql),
         |sh AS ($shSql),
         |$lshCandUSql,
         |ksel AS (SELECT GREATEST(7, COUNT(*) // 8192) AS k FROM documents),
-        |shh AS (SELECT DISTINCT doc_id, hm FROM hs),
-        |szh AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
         |gi AS (SELECT qa.doc_id AS q, s.doc_id AS o, COUNT(*) AS ic
         |  FROM shh qa JOIN shh s ON qa.hm = s.hm AND qa.doc_id <> s.doc_id
         |  WHERE qa.doc_id % (SELECT k FROM ksel) = 0
         |  GROUP BY 1, 2),
         |truth AS (SELECT gi.q, gi.o FROM gi
-        |  JOIN szh za ON za.doc_id = gi.q
-        |  JOIN szh zb ON zb.doc_id = gi.o
+        |  JOIN sz za ON za.doc_id = gi.q
+        |  JOIN sz zb ON zb.doc_id = gi.o
         |  WHERE (10000 * ic) // (za.sz + zb.sz - ic) >= 5000),
         |lsh AS (SELECT i AS q, j AS o FROM cand WHERE i % (SELECT k FROM ksel) = 0
         |  UNION ALL SELECT j AS q, i AS o FROM cand
