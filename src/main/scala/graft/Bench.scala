@@ -123,7 +123,7 @@ object Bench {
     // SPARK_GRAFT_REPEAT=n runs each query n times in THIS JVM and
     // keeps the MINIMUM-task-CPU pass: pass 1 pays first-use
     // codegen/footer reads, and any pass can draw the slow JIT mode
-    // (DRIFT_r12.md §7 — identical passes differ up to ~3× when a
+    // (DRIFT_r12.md §8 — identical passes differ up to ~3× when a
     // stage's code lands badly in the compile lottery; CPU-time noise
     // is one-sided, so min estimates steady state). A long-lived
     // cluster executor sits at this floor permanently.

@@ -95,7 +95,7 @@ object MinHashLSH {
     // declarative explode(shingles)+md5 chain paid interpreted HOF
     // lambdas per element plus the InferFiltersFromGenerate guard
     // re-evaluation — the suite's single largest repeated cost, and a
-    // per-run JIT-stability hazard (DRIFT_r12.md §6–§7).
+    // per-run JIT-stability hazard (DRIFT_r12.md §6–§8).
     val sh = docs.select(col(idCol),
       graft.functions.ShingleHashExplode
         .shingle_hash_explode(col(toksCol), shingleN, P).as("hm"))

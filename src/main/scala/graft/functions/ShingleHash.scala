@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
   *
   * Why a generator and not an array-returning expression + `explode`:
   * two measured taxes on the declarative chain, both per corpus row
-  * (DRIFT_r12.md §3 and §7):
+  * (DRIFT_r12.md §3 and §8):
   *
   *  1. The HOF lambdas (`transform`, `filter`) are INTERPRETED per
   *     element — and, worse, per-element interpreted dispatch is
