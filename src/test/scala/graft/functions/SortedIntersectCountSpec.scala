@@ -37,6 +37,29 @@ class SortedIntersectCountSpec extends SparkSuite {
     assert(rows === Map(1 -> 0L, 2 -> 0L, 3 -> 3L, 4 -> 2L))
   }
 
+  test("long kernel equals size(array_intersect) on random sorted long sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong).distinct.sorted
+      val b = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val out = rows.toDF("i", "a", "b")
+      .select(col("i"),
+        SortedIntersectCount.sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getInt(0)}"))
+    // negative values and Long extremes keep the (x < y) branch honest
+    val edge = Seq((Seq(Long.MinValue, -7L, 0L, Long.MaxValue),
+                    Seq(-7L, Long.MaxValue)))
+      .toDF("a", "b")
+      .select(SortedIntersectCount.sorted_intersect_count(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(edge === 2L)
+  }
+
   test("SQL registration works") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
