@@ -59,9 +59,12 @@ case class Relation(name: String, src: String, srcCol: String,
   * `metabase.py:899-947`). Same-process writers are fully serialized
   * by a per-table lock; a cross-process race on the same generation
   * is detected by a post-commit re-list (the smaller version id backs
-  * out, re-merges, and retries), degrading at worst to whole-table
-  * last-writer-wins within one instant — never a corrupted or missing
-  * table. A deployment needing strict cross-process transactions
+  * out, re-merges, and retries), and garbage collection touches only
+  * markers STRICTLY OLDER than the writer's own — a newer generation
+  * landing mid-commit is detected by a post-GC re-check and the older
+  * writer re-merges through the winner's table. The race degrades at
+  * worst to whole-table last-writer-wins within one instant — never a
+  * corrupted or missing table. A deployment needing strict cross-process transactions
   * should front the catalog with a transactional table format. Reads
   * are cached per Catalog instance and refreshed by writes; construct
   * a fresh Catalog (or call `refresh()`) to observe another writer's
@@ -97,7 +100,7 @@ class Catalog(spark: SparkSession, dir: String) {
   /** A parsed `<table>.ptr.<gen>.<id>` marker filename. Ordering is
     * (generation, id): generations advance per commit; the id breaks
     * a same-generation cross-process tie deterministically. */
-  private case class Marker(gen: Long, id: String)
+  private[catalog] case class Marker(gen: Long, id: String)
   private implicit val markerOrd: Ordering[Marker] =
     Ordering.by(m => (m.gen, m.id))
 
@@ -163,6 +166,15 @@ class Catalog(spark: SparkSession, dir: String) {
   private def swapWrite(df: DataFrame, path: String): Boolean =
     Catalog.lockFor(path).synchronized { swapWriteLocked(df, path) }
 
+  /** Test seams: fired inside `swapWriteLocked` so a spec can play a
+    * CROSS-PROCESS writer (raw FS ops, bypassing the per-JVM lock) in
+    * the two race windows the protocol must survive — between marker
+    * creation and the winner check (same-generation tie), and between
+    * the winner check and GC (a newer generation landing mid-commit).
+    * No-ops in production. */
+  private[catalog] var onMarkerCreated: Marker => Unit = _ => ()
+  private[catalog] var onWinnerChecked: Marker => Unit = _ => ()
+
   private def swapWriteLocked(df: DataFrame, path: String): Boolean = {
     val fs = fsFor(new Path(path))
     val gen = markersOf(path).sorted.lastOption.map(_.gen).getOrElse(0L) + 1
@@ -170,18 +182,31 @@ class Catalog(spark: SparkSession, dir: String) {
     df.coalesce(1).write.mode("overwrite").parquet(versionDir(path, id))
     fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
     val mine = Marker(gen, id)
-    if (markersOf(path).sorted.last != mine) {
+    onMarkerCreated(mine)
+    // a concurrent winner's GC may already have retired our marker, so
+    // the re-list can even be EMPTY from our point of view — any list
+    // whose maximum is not ours means we lost: back our copy out.
+    if (!markersOf(path).sorted.lastOption.contains(mine)) {
       fs.delete(new Path(s"$path.ptr.$gen.$id"), false)
       fs.delete(new Path(versionDir(path, id)), true)
       return false
     }
-    // superseded markers first, THEIR versions second: a reader that
-    // already resolved an old marker may still be mid-read (it retries
-    // through the new marker); a version with no marker is unreachable.
-    markersOf(path).filter(_ != mine).foreach { m =>
+    onWinnerChecked(mine)
+    // GC strictly OLDER markers only — never one with (gen, id) above
+    // ours: a writer that committed a later generation while we ran owns
+    // the live table now, and ITS GC retires us. Superseded markers
+    // first, THEIR versions second: a reader that already resolved an
+    // old marker may still be mid-read (it retries through the new
+    // marker); a version with no marker is unreachable.
+    markersOf(path).filter(m => markerOrd.lt(m, mine)).foreach { m =>
       fs.delete(new Path(s"$path.ptr.${m.gen}.${m.id}"), false)
       fs.delete(new Path(versionDir(path, m.id)), true)
     }
+    // re-check: if a newer generation appeared during our GC we lost
+    // after all — report it so the caller re-merges through the winner's
+    // table. Our marker/version are strictly older from the winner's
+    // view, so the winner's GC retires them (or the next commit does).
+    if (!markersOf(path).sorted.lastOption.contains(mine)) return false
     // pre-pointer layout (plain dir + old-protocol debris), now migrated
     Seq(path, path + ".bak", path + ".tmp")
       .foreach(s => fs.delete(new Path(s), true))

@@ -178,6 +178,99 @@ class CatalogSpec extends SparkSuite {
     assert(new Catalog(spark, dir).resources.keySet === Set("L.old", "L.new"))
   }
 
+  /** Plays a CROSS-PROCESS writer with raw FS ops (bypassing the
+    * per-JVM lock), executing the full commit protocol: read live
+    * through the max marker, merge, stage, mark, GC strictly older.
+    * `ignoreId` simulates this writer having LISTED before a marker
+    * with that version id existed (the same-generation race: both
+    * writers list the same base and both claim generation base+1). */
+  private def rawCommit(dir: String, id: String, extra: Seq[Resource],
+                        ignoreId: Option[String] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val table = s"$dir/resources"
+    def markers(): Seq[(Long, String)] = {
+      val sts = fs.globStatus(new org.apache.hadoop.fs.Path(table + ".ptr.*"))
+      if (sts == null) Seq.empty
+      else sts.toSeq.map { st =>
+        val rest = st.getPath.getName.stripPrefix("resources.ptr.")
+        val dot = rest.indexOf('.')
+        (rest.take(dot).toLong, rest.drop(dot + 1))
+      }
+    }
+    // the base this writer listed: ignoreId simulates listing BEFORE
+    // that marker existed; the GC re-list below sees everything (as
+    // the real protocol's post-commit re-list does)
+    val (liveGen, liveId) =
+      markers().filterNot(m => ignoreId.contains(m._2)).max
+    val live = spark.read.parquet(s"$table.v$liveId")
+      .as[Resource](org.apache.spark.sql.Encoders.product[Resource])
+      .collect().map(r => r.name -> r).toMap
+    val merged = (live ++ extra.map(r => r.name -> r)).values.toSeq.sortBy(_.name)
+    spark.createDataFrame(merged).coalesce(1).write.parquet(s"$table.v$id")
+    fs.create(new org.apache.hadoop.fs.Path(s"$table.ptr.${liveGen + 1}.$id"),
+      false).close()
+    val ord = Ordering.Tuple2[Long, String]
+    markers().filter(m => ord.lt(m, (liveGen + 1, id))).foreach {
+      case (g, i) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$table.ptr.$g.$i"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$table.v$i"), true)
+    }
+  }
+
+  test("cross-process same-generation tie: smaller id backs out, no entry lost") {
+    val dir = Files.createTempDirectory("catalog_xgen").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("X.seed", "table", "parquet", "/tmp/seed"))
+    // writer B (a 'foreign process') commits the SAME generation with a
+    // lexicographically larger id in the window between A's marker
+    // creation and A's winner check; B's own GC retires A's marker
+    var fired = false
+    a.onMarkerCreated = m => if (!fired) {
+      fired = true
+      rawCommit(dir, "z" * 16, Seq(
+        Resource("X.from_b", "table", "parquet", "/tmp/b")),
+        ignoreId = Some(m.id)) // B listed before A's marker: same gen
+    }
+    a.register(Resource("X.from_a", "table", "parquet", "/tmp/a"))
+    a.onMarkerCreated = _ => ()
+    assert(fired, "the race window hook never fired")
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("X.seed", "X.from_a", "X.from_b"),
+      "losing the same-generation tie must re-merge through the winner")
+  }
+
+  test("newer generation landing mid-commit: GC never touches it, no catalog loss") {
+    val dir = Files.createTempDirectory("catalog_xgc").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("G.seed", "table", "parquet", "/tmp/seed"))
+    // writer B commits generation N+1 AFTER A's winner check for gen N
+    // passed but BEFORE A's GC runs: A's GC must only touch strictly
+    // older markers (deleting B's here left ZERO markers and version
+    // dirs — total silent catalog loss, the r12 ADVICE-high)
+    var fired = false
+    a.onWinnerChecked = m => if (!fired) {
+      fired = true
+      rawCommit(dir, "z" * 16, Seq(
+        Resource("G.from_b", "table", "parquet", "/tmp/b")))
+    }
+    a.register(Resource("G.from_a", "table", "parquet", "/tmp/a"))
+    a.onWinnerChecked = _ => ()
+    assert(fired, "the race window hook never fired")
+    val fin = new Catalog(spark, dir).resources.keySet
+    assert(fin === Set("G.seed", "G.from_a", "G.from_b"),
+      s"mid-commit newer generation must survive the loser's GC, got $fin")
+    // the warehouse converged: exactly one marker, its version dir present
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ms = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*"))
+    assert(ms != null && ms.length === 1,
+      s"expected one live marker, got ${Option(ms).map(_.length)}")
+    val vid = ms.head.getPath.getName.split('.').last
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/resources.v$vid")),
+      "the live marker must point at an existing version directory")
+  }
+
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("catalog_mm").toString
