@@ -155,6 +155,11 @@ object Bench {
           val e = graft.streaming.StreamMeter.engineSeconds
           val cpuMs = snap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }
             .getOrElse(wall * 1000.0)
+          // per-pass CPU on stderr: the DRIFT stability evidence (reps
+          // within ~5% ⇒ the stage is compiled and steady; a 2-3×
+          // outlier pass = the interpreted/JIT lottery of DRIFT_r12 §8)
+          if (repeat > 1)
+            System.err.println(s"[bench] $name pass cpu_ms=${fmt(cpuMs)} wall_s=${fmt(wall)}")
           if (cpuMs < best) {
             best = cpuMs
             kept = wall

@@ -127,14 +127,55 @@ object BloomBitsetProbe {
       BloomBitsetProbeK(ColumnBridge.expression(h), seeds, p, m, bits))
 
   /** Pack bit positions into the m/64-word set (m must be a multiple
-    * of 64). */
-  def pack(m: Int, positions: Iterator[Long]): Array[Long] = {
-    require(m > 0 && m % 64 == 0, s"bitset size $m not a multiple of 64")
-    val words = new Array[Long](m >>> 6)
+    * of 64; the word array is JVM-bounded at m ≤ 2^37, i.e. a 16 GiB
+    * bitset — the broadcast layer gives out long before that). */
+  def pack(m: Long, positions: Iterator[Long]): Array[Long] = {
+    val words = allocWords(m)
     positions.foreach { p =>
       require(p >= 0 && p < m, s"bit position $p outside [0, $m)")
       words((p >>> 6).toInt) |= 1L << (p & 63L)
     }
     words
+  }
+
+  private def allocWords(m: Long): Array[Long] = {
+    require(m > 0 && m % 64 == 0, s"bitset size $m not a multiple of 64")
+    require((m >> 6) <= Int.MaxValue.toLong,
+      s"bitset size $m exceeds the JVM array bound (max 2^37 bits)")
+    new Array[Long]((m >> 6).toInt)
+  }
+
+  /** DISTRIBUTED fill: OR-fold a DataFrame of bit positions (one
+    * BIGINT column) into the packed word array, executor-side. Each
+    * partition packs its own words and the partials merge up a
+    * 2-level tree — no position row ever reaches the driver, which is
+    * what the billions-of-entries blocklist case needs (a driver
+    * collect of ~k·|blocklist| positions breaks long before the
+    * packed broadcast does; the only driver-sized object here is the
+    * final m/8-byte array itself, the same thing being broadcast).
+    * Duplicate positions are free (OR is idempotent), so callers skip
+    * the distinct-shuffle a row-collect needed. Partials are
+    * allocated lazily per partition (the zero is null), so the job
+    * ships no m-sized closure. */
+  def packDistributed(m: Long, positions: org.apache.spark.sql.DataFrame)
+      : Array[Long] = {
+    val mb = m // avoid capturing `this` in the task closure
+    val words = positions.queryExecution.toRdd.treeAggregate(null: Array[Long])(
+      (acc, row) => {
+        val w = if (acc == null) allocWords(mb) else acc
+        val p = row.getLong(0)
+        require(p >= 0 && p < mb, s"bit position $p outside [0, $mb)")
+        w((p >>> 6).toInt) |= 1L << (p & 63L)
+        w
+      },
+      (a, b) =>
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+    if (words == null) allocWords(m) else words
   }
 }

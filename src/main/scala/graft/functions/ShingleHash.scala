@@ -78,6 +78,71 @@ case class ShingleHashExplode(child: Expression, n: Int, p: Long)
     copy(child = newChild)
 }
 
+/** POSITIONAL twin of [[ShingleHashExplode]] — one row per n-gram
+  * WINDOW in token order, `(pos, h)` with `pos` 1-based and
+  * multiplicity kept (no distinct, no sort): the window-hash shape of
+  * exact-substring span dedup (Lee et al. 2022), where a hash
+  * occurring twice anywhere in the corpus marks BOTH positions and
+  * overlapping positions merge into spans. Replaces the interpreted
+  * `explode(transform(sequence(1, len-W+1), i -> struct(i,
+  * md5(concat_ws(slice(toks, i, W))))))` chain — the same per-element
+  * HOF tax (and per-run JIT lottery) documented on
+  * [[ShingleHashExplode]], paid on every corpus token. Hash parity:
+  * the shared 60-bit-of-md5 kernel; with `p = 2^60` the modulus is
+  * the identity and the DuckDB oracle restates the value exactly as
+  * `('0x' || substr(md5(w), 1, 15))::BIGINT`.
+  */
+case class ShingleHashPosExplode(child: Expression, n: Int, p: Long)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  require(p > 0, s"modulus must be positive, got $p")
+
+  override def elementSchema: StructType =
+    new StructType()
+      .add("pos", LongType, nullable = false)
+      .add("h", LongType, nullable = false)
+
+  override def prettyName: String = "shingle_hash_pos_explode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_pos_explode requires ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val toks = child.eval(input).asInstanceOf[ArrayData]
+    if (toks == null) return Iterator.empty
+    val hs = ShingleHashExplode.positionalHashes(toks, n, p)
+    if (hs == null) Iterator.empty
+    else new Iterator[InternalRow] {
+      private[this] var i = 0
+      private[this] val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      override def hasNext: Boolean = i < hs.length
+      override def next(): InternalRow = {
+        row.update(0, (i + 1).toLong); row.update(1, hs(i)); i += 1; row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashPosExplode =
+    copy(child = newChild)
+}
+
+object ShingleHashPosExplode {
+  /** With this modulus the 60-bit kernel value passes through
+    * unchanged — the oracle form needs no `%` at all. */
+  val P60: Long = 1L << 60
+
+  /** `toks: array<string>` → one row per window, columns
+    * `(pos: long, h: long)`, pos 1-based, multiplicity kept. */
+  def shingle_hash_pos_explode(toks: Column, n: Int, p: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleHashPosExplode(ColumnBridge.expression(toks), n, p))
+  }
+}
+
 /** Array-returning twin of [[ShingleHashExplode]] — the distinct
   * n-gram hashes of a token array as a sorted `array<long>`, for
   * consumers that need the whole per-row SET (e.g.
@@ -139,11 +204,11 @@ object ShingleHashes {
 
 object ShingleHashExplode {
 
-  /** Sorted distinct n-gram hashes of `toks`; null when the row has no
-    * shingles. Shared with [[ShingleHashes]] (the array-returning
-    * twin) and tested against the declarative chain in
-    * `ShingleHashSpec`. */
-  def distinctHashes(toks: ArrayData, n: Int, p: Long): Array[Long] = {
+  /** Per-window hashes of `toks` in POSITION order (index i → the
+    * window starting at token i, 0-based; multiplicity kept); null
+    * when the row has no windows. The one md5 kernel every shingle
+    * consumer shares. */
+  def positionalHashes(toks: ArrayData, n: Int, p: Long): Array[Long] = {
     val nTok = toks.numElements()
     if (nTok < n) return null
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -174,6 +239,16 @@ object ShingleHashExplode {
       out(i) = (v >>> 4) % p
       i += 1
     }
+    out
+  }
+
+  /** Sorted distinct n-gram hashes of `toks`; null when the row has no
+    * shingles. Shared with [[ShingleHashes]] (the array-returning
+    * twin) and tested against the declarative chain in
+    * `ShingleHashSpec`. */
+  def distinctHashes(toks: ArrayData, n: Int, p: Long): Array[Long] = {
+    val out = positionalHashes(toks, n, p)
+    if (out == null) return null
     java.util.Arrays.sort(out)
     // in-place unique
     var w = 0

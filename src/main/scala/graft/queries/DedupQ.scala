@@ -423,13 +423,15 @@ object DedupQ {
       val m = math.max(1L << 20, 64L * ((16L * nb + 63L) / 64L))
       def probe(h: Column, i: Int): Column =
         (lit(seeds(i)._1) * h + lit(seeds(i)._2)) % lit(P) % lit(m)
-      // bench-set-sized driver collect (like IvfFlat's codebook): the
-      // positions, not the corpus — all 3 probe families in one job
-      // over the pinned bench table
-      val words = graft.functions.BloomBitsetProbe.pack(m.toInt,
+      // DISTRIBUTED fill: each partition packs its probe positions
+      // into its own word array and the partials OR-merge up a tree —
+      // no position row on the driver (at the billions-of-entries
+      // blocklist scale a position collect breaks long before the
+      // packed broadcast does), and no distinct-shuffle either: the
+      // bitset OR absorbs duplicates for free.
+      val words = graft.functions.BloomBitsetProbe.packDistributed(m,
         bench.select(explode(array(
-            probe(col("h"), 0), probe(col("h"), 1), probe(col("h"), 2))).as("p"))
-          .distinct().collect().iterator.map(_.getLong(0)))
+          probe(col("h"), 0), probe(col("h"), 1), probe(col("h"), 2))).as("p")))
       val bc = s.sparkContext.broadcast(words)
       // fused k-probe: ONE predicate referencing h once, so the
       // pushed-down corpus filter evaluates the md5+conv hash chain

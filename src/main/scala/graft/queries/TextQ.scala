@@ -1035,16 +1035,21 @@ object TextQ {
     // back, one doc-keyed window scan for the merge — everything
     // linear in corpus token count. (At 100 TB the window hash is
     // strided: stride S still catches any duplicate run >= W+S-1
-    // tokens; stride 1 here = full sensitivity at W.)
+    // tokens; stride 1 here = full sensitivity at W.) The window
+    // hashes come from the native positional generator — the
+    // interpreted transform(sequence…md5(slice…)) chain it replaces
+    // was the suite's 3rd most expensive scan (DRIFT_r12 §8's JIT
+    // lottery runs per element on exactly this shape); the 60-bit
+    // md5 prefix is restated exactly by the oracle, so collisions
+    // (negligible at 2^60) are engine-identical.
     "d8_substring_dedup" -> { (s, dir) =>
       val W = 10
       val wins = docToks(s, dir)
         .where(size(col("toks")) >= W)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1L), size(col("toks")).cast("long") - (W - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("toks"), i.cast("int"), lit(W)))).as("h")))).as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        .select(col("doc_id"),
+          graft.functions.ShingleHashPosExplode.shingle_hash_pos_explode(
+            col("toks"), W, graft.functions.ShingleHashPosExplode.P60)
+            .as(Seq("pos", "h")))
       val dup = wins.groupBy("h").agg(count(lit(1)).as("occ"))
         .where(col("occ") > 1).select("h")
       val hits = wins.join(dup, "h")
@@ -1074,12 +1079,12 @@ object TextQ {
     "c6_window_dedup" -> { (s, dir) =>
       val W = 10
       val d = docToks(s, dir)
+      // same native positional window-hash generator as d8 (see there)
       val wins = d.where(size(col("toks")) >= W)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1L), size(col("toks")).cast("long") - (W - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("toks"), i.cast("int"), lit(W)))).as("h")))).as("w"))
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        .select(col("doc_id"),
+          graft.functions.ShingleHashPosExplode.shingle_hash_pos_explode(
+            col("toks"), W, graft.functions.ShingleHashPosExplode.P60)
+            .as(Seq("pos", "h")))
       val wk = Window.partitionBy("h").orderBy("doc_id", "pos")
       val nonKeeper = wins
         .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
@@ -2481,7 +2486,8 @@ object TextQ {
     "d8_substring_dedup" ->
       s"""WITH tk AS ($toksSql),
         |w AS (SELECT doc_id, i AS pos,
-        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+        |  ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 9), ' ')),
+        |    1, 15))::BIGINT AS h
         |  FROM tk, UNNEST(range(1, len(toks) - 8)) AS t(i)),
         |occ AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
         |hits AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (h)),
@@ -2498,7 +2504,8 @@ object TextQ {
     "c6_window_dedup" ->
       s"""WITH tk AS ($toksSql),
         |w AS (SELECT doc_id, i AS pos,
-        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+        |  ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 9), ' ')),
+        |    1, 15))::BIGINT AS h
         |  FROM tk, UNNEST(range(1, len(toks) - 8)) AS t(i)),
         |r AS (SELECT doc_id, pos,
         |  COUNT(*) OVER (PARTITION BY h) AS occ,

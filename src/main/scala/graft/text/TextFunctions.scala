@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens, empties dropped. */
+  /** Lowercased whitespace tokens, empties dropped. `array_remove`
+    * rather than a `filter` lambda: HOF lambdas run INTERPRETED per
+    * element (DRIFT_r12 §8 — and unstably so, a per-run JIT lottery),
+    * and this expression sits under every tokenizing query in the
+    * suite; the builtin is whole-stage-codegen'd and identical in
+    * semantics (split yields no nulls, so "remove all empties" is
+    * exactly the old predicate). */
   def tokens(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+    array_remove(split(trim(lower(text)), "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -83,6 +83,28 @@ class BloomProbeSpec extends SparkSuite {
     }
   }
 
+  test("distributed fill == driver pack; duplicates free; empty set safe") {
+    import spark.implicits._
+    val m = 1L << 12
+    val rnd = new scala.util.Random(17)
+    val positions = Seq.fill(3000)(math.abs(rnd.nextLong()) % m)
+    // dupes on purpose (the whole point of skipping distinct) and
+    // enough partitions that the tree actually merges partials
+    val df = (positions ++ positions.take(500)).toDF("p").repartition(8)
+    val dist = BloomBitsetProbe.packDistributed(m, df)
+    val driver = BloomBitsetProbe.pack(m, positions.distinct.iterator)
+    assert(dist.toSeq === driver.toSeq,
+      "executor-side OR-fold must produce the identical word array")
+    // no position on the driver: the result is the only driver object,
+    // and an empty input still yields a well-formed all-clear set
+    val empty = BloomBitsetProbe.packDistributed(m,
+      spark.emptyDataset[Long].toDF("p"))
+    assert(empty.length === (m >> 6).toInt && empty.forall(_ == 0L))
+    // an out-of-range position fails the job loudly, not silently
+    intercept[org.apache.spark.SparkException](
+      BloomBitsetProbe.packDistributed(64L, Seq(64L).toDF("p")))
+  }
+
   test("pack rejects out-of-range positions and non-word sizes") {
     intercept[IllegalArgumentException](
       BloomBitsetProbe.pack(100, Iterator.empty))

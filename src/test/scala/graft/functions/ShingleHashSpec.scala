@@ -53,6 +53,42 @@ class ShingleHashSpec extends SparkSuite {
     assert(many.toSeq === many.sorted.distinct.toSeq, "ascending distinct")
   }
 
+  test("positional generator parity with transform(sequence…md5(slice…)) chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val W = 4
+    val docs = (0 until 150).map { i =>
+      val n = rnd.nextInt(25)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(8)}"))
+    } :+ (900L, Seq.empty[String]) :+ (901L, Seq("a", "b", "c")) // < W
+    val df = docs.toDF("id", "toks")
+    val fused = df.select(col("id"),
+        ShingleHashPosExplode.shingle_hash_pos_explode(col("toks"), W,
+          ShingleHashPosExplode.P60).as(Seq("pos", "h")))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // the interpreted chain it replaces (d8/c6's old shape), hash
+    // restated as the 60-bit md5 prefix the kernel computes
+    val decl = df.where(size(col("toks")) >= W)
+      .select(col("id"), explode(transform(
+        sequence(lit(1L), size(col("toks")).cast("long") - (W - 1)),
+        i => struct(i.as("pos"),
+          (conv(substring(md5(concat_ws(" ",
+            slice(col("toks"), i.cast("int"), lit(W)))), 1, 15), 16, 10)
+            .cast("long")).as("h")))).as("w"))
+      .select(col("id"), col("w.pos"), col("w.h"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(fused === decl,
+      "positional windows must keep multiplicity and 1-based order")
+    // multiplicity really is kept: a doc of identical tokens emits
+    // len-W+1 rows of the SAME hash
+    val rep = Seq((1L, Seq.fill(10)("x"))).toDF("id", "toks")
+      .select(ShingleHashPosExplode.shingle_hash_pos_explode(col("toks"), W,
+        ShingleHashPosExplode.P60).as(Seq("pos", "h")))
+      .as[(Long, Long)].collect()
+    assert(rep.map(_._1).sorted.toSeq === (1L to 7L))
+    assert(rep.map(_._2).distinct.length === 1)
+  }
+
   test("null tokens join with concat_ws semantics") {
     import spark.implicits._
     val df = Seq((1L, Seq[String]("a", null, "b", "c"))).toDF("id", "toks")
