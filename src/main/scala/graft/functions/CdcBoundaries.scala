@@ -54,10 +54,14 @@ object CdcBoundaries {
   private val P7 = 27512614111L // 31^7, the leading coefficient rolled out
 
   /** Shared eval/codegen kernel. */
-  def boundaries(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
+  def boundaries(s: UTF8String): ArrayData =
+    new GenericArrayData(boundaryPositions(s.getBytes))
+
+  /** Raw 1-based boundary positions of a byte string — shared with
+    * [[CdcChunksExplode]], which slices chunks from them directly. */
+  def boundaryPositions(bytes: Array[Byte]): Array[Int] = {
     val n = bytes.length
-    if (n < W) return new GenericArrayData(Array.emptyIntArray)
+    if (n < W) return Array.emptyIntArray
     var h = 0L
     var i = 0
     while (i < W) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
@@ -69,7 +73,7 @@ object CdcBoundaries {
       pos += 1
       if (h % MOD < BAND) out += pos
     }
-    new GenericArrayData(out.result())
+    out.result()
   }
 
   def cdc_boundaries(text: Column): Column = {
@@ -81,4 +85,74 @@ object CdcBoundaries {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     GraftFunctions.registerChecked(spark, "cdc_boundaries", 1)(
       exprs => CdcBoundaries(exprs.head))
+}
+
+/** GENERATOR emitting a string's CDC chunks directly: one row per
+  * chunk, `(idx, chunk)` with `idx` 1-based — the fused form of
+  * `posexplode(Cdc.chunks(text))`. The column form builds the chunk
+  * array through `filter`/`transform`/`zip_with` lambdas over the
+  * boundary array (interpreted per boundary, DRIFT_r12 §8); here the
+  * boundary scan and the slicing share one compiled pass and no
+  * intermediate array materializes. Chunk VALUES are identical to
+  * `graft.dedup.Cdc.chunks` — same boundary kernel, same conventions:
+  * a boundary on the last position ends the final chunk (no empty
+  * trailing chunk), empty text is one empty chunk, and non-ASCII rows
+  * (byte length ≠ char length, where byte-positioned slicing would
+  * mis-cut) emit NOTHING, mirroring the column form's NULL.
+  */
+case class CdcChunksExplode(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("idx", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("chunk", StringType, nullable = false)
+
+  override def prettyName: String = "cdc_chunks_explode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks_explode requires STRING, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val text = child.eval(input).asInstanceOf[UTF8String]
+    if (text == null) return Iterator.empty
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n != text.numChars()) return Iterator.empty // ASCII gate (see doc)
+    // boundaries that END a non-final chunk: one on the last byte is
+    // the natural end of the final chunk, not an empty trailing chunk
+    val cuts = CdcBoundaries.boundaryPositions(bytes).filter(_ < n)
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private[this] var ci = 0
+      private[this] var start = 0 // 0-based chunk start byte
+      private[this] val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      override def hasNext: Boolean = ci <= cuts.length
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val end = if (ci < cuts.length) cuts(ci) else n
+        row.update(0, (ci + 1).toLong)
+        row.update(1, UTF8String.fromBytes(bytes, start, end - start))
+        start = end
+        ci += 1
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExplode =
+    copy(child = newChild)
+}
+
+object CdcChunksExplode {
+  /** `text: string` → one row per CDC chunk, `(idx: long, chunk: string)`. */
+  def cdc_chunks_explode(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CdcChunksExplode(ColumnBridge.expression(text)))
+  }
 }

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-token scan kernels: the compiled forms of the `filter`/
+  * `transform`/`aggregate` HOF lambdas that ran INTERPRETED per token
+  * under the corpus-scan queries (langid scoring, quality ratios, the
+  * hashed-feature classifier). One `Expression` each, shared
+  * eval/codegen kernel, null in → null out; the loop body never
+  * leaves compiled Java (DRIFT_r12 §8: interpreted per-element
+  * dispatch is ~10× the cost and a per-run JIT lottery).
+  */
+private[functions] trait ArrayStringKernel extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+  }
+}
+
+/** Count of elements equal to any member of a small literal set, WITH
+  * multiplicity — `size(filter(toks, t -> array_contains(set, t)))`
+  * compiled (the langid stopword score: one pass per language). */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends ArrayStringKernel {
+  require(set.nonEmpty, "count_in_set needs a non-empty set")
+
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] =
+    CountInSet.buildLookup(set.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val words = ctx.addReferenceObj("inSetWords", set.toArray,
+      "java.lang.String[]")
+    val lk = ctx.addMutableState("java.util.HashSet", "inSetLookup",
+      v => s"$v = graft.functions.CountInSet.buildLookup($words);")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountInSet.count($c, $lk)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+object CountInSet {
+  def buildLookup(words: Array[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def count(arr: ArrayData, lookup: java.util.HashSet[UTF8String]): Long = {
+    var c = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null && lookup.contains(t)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def count_in_set(toks: Column, set: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(toks), set))
+}
+
+/** Count of non-empty elements consisting only of `[a-z]` —
+  * `size(filter(toks, t -> t.rlike("^[a-z]+$")))` compiled, without
+  * the per-element regex machinery (the Gopher alpha-ratio rule). */
+case class CountLowerAlpha(child: Expression) extends ArrayStringKernel {
+
+  override def prettyName: String = "count_lower_alpha"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountLowerAlpha.count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountLowerAlpha.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CountLowerAlpha =
+    copy(child = newChild)
+}
+
+object CountLowerAlpha {
+  def count(arr: ArrayData): Long = {
+    var c = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        // pure a-z is single-byte UTF-8: scan the raw bytes
+        val nb = t.numBytes()
+        var j = 0
+        var ok = true
+        while (ok && j < nb) {
+          val b = t.getByte(j)
+          if (b < 'a' || b > 'z') ok = false
+          j += 1
+        }
+        if (ok) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  def count_lower_alpha(toks: Column): Column =
+    ColumnBridge.column(CountLowerAlpha(ColumnBridge.expression(toks)))
+}
+
+/** Σ over tokens of `(first32bits(md5(token)) mod m) - shift` — the
+  * hashed-feature linear classifier score
+  * (`aggregate(transform(toks, t -> conv(substr(md5(t),1,8),16,10) % m - shift), 0, +)`)
+  * as one compiled pass: per token one md5 and one fused
+  * mod-subtract, no interpreted lambda, no boxed accumulator. The
+  * DuckDB oracle restates the identical arithmetic
+  * (`('0x' || substr(md5(t), 1, 8))::BIGINT % m - shift`). */
+case class HashWeightSum(child: Expression, m: Long, shift: Long)
+    extends ArrayStringKernel {
+  require(m > 0, s"modulus must be positive, got $m")
+
+  override def prettyName: String = "hash_weight_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashWeightSum.sum(input.asInstanceOf[ArrayData], m, shift)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashWeightSum.sum($c, ${m}L, ${shift}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashWeightSum =
+    copy(child = newChild)
+}
+
+object HashWeightSum {
+  def sum(arr: ArrayData, m: Long, shift: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        // first 8 hex chars = first 32 bits, as conv(substr(md5,1,8),16,10)
+        var v = 0L
+        var bi = 0
+        while (bi < 4) { v = (v << 8) | (d(bi) & 0xffL); bi += 1 }
+        acc += v % m - shift
+      }
+      i += 1
+    }
+    acc
+  }
+
+  def hash_weight_sum(toks: Column, m: Long, shift: Long): Column =
+    ColumnBridge.column(HashWeightSum(ColumnBridge.expression(toks), m, shift))
+}

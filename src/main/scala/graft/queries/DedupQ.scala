@@ -187,8 +187,11 @@ object DedupQ {
     // byte mass those shared chunks cover.
     "d13_cdc_dedup" -> { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // fused native chunker (boundary scan + slice in one compiled
+      // pass); chunk values identical to explode(Cdc.chunks(text))
       val ex = d.select(col("doc_id"),
-          explode(graft.dedup.Cdc.chunks(col("text"))).as("chunk"))
+          graft.functions.CdcChunksExplode.cdc_chunks_explode(col("text"))
+            .as(Seq("idx", "chunk")))
         .select(col("doc_id"), md5(col("chunk")).as("h"),
           length(col("chunk")).cast("long").as("nb"))
       val global = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
@@ -366,10 +369,14 @@ object DedupQ {
     // n-grams are a tiny broadcast set, the corpus side is one
     // shingle pass + semi-join — linear in corpus size.
     "d7_decontam" -> { (s, dir) =>
-      import graft.text.TextFunctions.shingles
+      // native distinct shingle-hash generator (the d15 kernel, full
+      // 60-bit md5 prefix — collision-exact with the oracle's
+      // restated arithmetic); replaces explode(shingles())+md5, whose
+      // transform lambda hashed every shingle interpreted
       val sh = docToks(s, dir)
-        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh3"))
-        .select(col("doc_id"), md5(col("sh3")).as("h"))
+        .select(col("doc_id"),
+          graft.functions.ShingleHashExplode
+            .shingle_hash_explode(col("toks"), 3, 1L << 60).as("h"))
       val bench = sh.where(col("doc_id") % 97 === 0).select("h").distinct()
       sh.where(col("doc_id") % 97 =!= 0)
         .join(bench, "h")
@@ -600,14 +607,14 @@ object DedupQ {
     // swapping it in.
     "n6_ann_quantized" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val v = col("embedding").cast("array<double>")
-      val maxabs = array_max(transform(v, y => abs(y)))
-      val q8v = when(maxabs > 0d,
-          transform(v, x => floor(x * lit(127.0) / maxabs).cast("long")))
-        .otherwise(transform(v, x => lit(0L)))
-      val q8 = emb.select(col("vec_id"), q8v.as("q8"))
-      val idot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      // native int8 quantize + integer dot (same arithmetic as the
+      // transform/zip_with chains they replace — three interpreted
+      // per-component passes per row, plus one per candidate pair)
+      val q8 = emb.select(col("vec_id"),
+        graft.functions.QuantizeInt8
+          .quantize_int8(col("embedding").cast("array<double>")).as("q8"))
+      val idot = graft.functions.DotProductLong
+        .dot_product_long(col("qa"), col("qb"))
       val scored = q8.where(col("vec_id") < 20)
         .select(col("vec_id").as("q"), col("q8").as("qa"))
         .join(broadcast(q8.select(col("vec_id").as("neighbor"), col("q8").as("qb"))),
@@ -828,7 +835,7 @@ object DedupQ {
   val oracle: Map[String, String] = Map(
     "d7_decontam" ->
       s"""WITH tk AS ($tkSql),
-        |sh3 AS (SELECT doc_id, md5(sh) AS h FROM (
+        |sh3 AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
         |  FROM tk)),

@@ -337,9 +337,10 @@ object SeqQ {
       // TextFunctions.ngrams hazard) — short dna must yield NO k-mers
       val top = withDna(s, dir)
         .where(length(col("dna")) >= K)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), length(col("dna")) - (K - 1)),
-          i => col("dna").substr(i, lit(K)))).as("kmer"))
+        .select(col("doc_id"),
+          graft.functions.CharGramsExplode.char_grams_explode(col("dna"), K)
+            .as(Seq("pos", "kmer")))
+        .select("doc_id", "kmer")
         .groupBy("kmer")
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
         .orderBy(col("n_occ").desc, col("kmer")).limit(30)

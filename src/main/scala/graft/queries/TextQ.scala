@@ -154,7 +154,10 @@ object TextQ {
     // shuffle keyed on the doc, linear in corpus token count.
     "t6_repetition" -> { (s, dir) =>
       val d = docToks(s, dir)
-      val counts = d.select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+      // native bigram generator (gram strings identical to ngrams())
+      val counts = d.select(col("doc_id"),
+          graft.functions.TokenGramsExplode.token_grams_explode(col("toks"), 2)
+            .as(Seq("pos", "g")))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
       val top = counts.withColumn("rn", row_number().over(w))
@@ -725,8 +728,9 @@ object TextQ {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text")).where(length(col("text")) > 0)
       val ch = d.select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("ch"))
+        graft.functions.CharGramsExplode.char_grams_explode(col("text"), 1)
+          .as(Seq("pos", "ch")))
+        .select("doc_id", "ch")
       val cc = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
       val n = cc.groupBy("doc_id").agg(sum("nc").as("n"))
       cc.join(n, "doc_id")
@@ -997,19 +1001,25 @@ object TextQ {
     // doc-keyed aggregate) — the whole gate is one corpus pass.
     "t7_gopher_rules" -> { (s, dir) =>
       val stops = array(Seq("the", "a", "of", "and", "to", "is").map(lit): _*)
+      // compiled per-token passes: Σ token lengths is the length of
+      // the separator-free join; the alpha count is a native byte
+      // scan; the interpreted aggregate/filter lambdas they replace
+      // ran per token on every doc (DRIFT_r12 §8)
       val d = docToks(s, dir)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("mwl_cp",
           when(col("n_tokens") === 0, 0L).otherwise(
-            floor(lit(100L) * aggregate(transform(col("toks"), t => length(t).cast("long")),
-              lit(0L), (acc, x) => acc + x) / col("n_tokens"))).cast("long"))
+            floor(lit(100L) * length(array_join(col("toks"), "")).cast("long")
+              / col("n_tokens"))).cast("long"))
         .withColumn("n_stop",
           size(array_intersect(array_distinct(col("toks")), stops)).cast("long"))
         .withColumn("alpha_bp",
-          bp(size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).cast("long"),
+          bp(graft.functions.CountLowerAlpha.count_lower_alpha(col("toks")),
              col("n_tokens")))
       val g2 = docToks(s, dir)
-        .select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+        .select(col("doc_id"),
+          graft.functions.TokenGramsExplode.token_grams_explode(col("toks"), 2)
+            .as(Seq("pos", "g")))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val occ = g2.groupBy("doc_id")
         .agg(max("c").as("top_n"), sum("c").as("n2"))
@@ -1177,20 +1187,21 @@ object TextQ {
     // df-via-window trick (no second corpus scan), rank window behind
     // the bounded top-10.
     "b6_bm25f" -> { (s, dir) =>
-      val fielded = docToks(s, dir).select(col("doc_id"),
-        slice(col("toks"), 1, 5).as("title"),
-        slice(col("toks"), lit(6),
-          greatest(size(col("toks")) - 5, lit(0))).as("body"))
-      val base = fielded.withColumn("wdl",
-        (size(col("title")) * 3 + size(col("body"))).cast("long"))
+      // fields are positional (title = first 5 tokens), so the
+      // weighted doc length and the per-term weight both derive from
+      // size/pos — no field arrays materialize at all
+      val base = docToks(s, dir).select(col("doc_id"), col("toks"))
+        .withColumn("wdl",
+          (least(size(col("toks")), lit(5)) * 3 +
+            greatest(size(col("toks")) - 5, lit(0))).cast("long"))
       val stats = base.agg(count(lit(1)).as("n_docs"), sum("wdl").as("t_wdl"))
+      // one posexplode of the plain token array — field weight derives
+      // from the position (title = first 5 tokens), so no per-token
+      // struct-building lambdas and no array concat at all
       val tf = base.select(col("doc_id"), col("wdl"),
-          explode(concat(
-            transform(col("title"), t => struct(t.as("term"), lit(3L).as("w"))),
-            transform(col("body"), t => struct(t.as("term"), lit(1L).as("w")))))
-            .as("tw"))
-        .select(col("doc_id"), col("wdl"),
-          col("tw.term").as("term"), col("tw.w").as("w"))
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("wdl"), col("col").as("term"),
+          when(col("pos") < 5, lit(3L)).otherwise(lit(1L)).as("w"))
         .where(col("term").isin(bm25Terms: _*))
         .groupBy("doc_id", "wdl", "term").agg(sum("w").as("wtf"))
       tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -1476,13 +1487,14 @@ object TextQ {
     // argument is insensitive to the last bits at web scale.
     "t15_kn_bigram" -> { (s, dir) =>
       val d = docToks(s, dir)
-      val nToks = size(col("toks"))
-      val pairs = d.where(nToks >= 2).select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), nToks - 1),
-          slice(col("toks"), lit(2), nToks - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // native bigram generator; tokens are whitespace-split so the
+      // space inside the gram splits back losslessly
+      val pairs = d.select(col("doc_id"),
+          graft.functions.TokenGramsExplode.token_grams_explode(col("toks"), 2)
+            .as(Seq("pos", "g")))
+        .select(col("doc_id"),
+          substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"))
       val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val left = bc.groupBy("w1")
         .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
@@ -1512,12 +1524,13 @@ object TextQ {
     // array — zero shuffle, embarrassingly parallel: exactly how a
     // 100 TB scoring pass should look (model broadcast, scan-only).
     "c8_hash_classifier" -> { (s, dir) =>
+      // native per-token md5-weight kernel — the aggregate(transform(
+      // md5…)) chain it replaces is the d13-measured 10× interpreted
+      // shape; same arithmetic, oracle untouched
       docToks(s, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-          coalesce(aggregate(
-            transform(col("toks"),
-              t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L),
-            lit(0L), (acc, x) => acc + x), lit(0L)).as("score_sum"))
+          graft.functions.HashWeightSum
+            .hash_weight_sum(col("toks"), 1001L, 500L).as("score_sum"))
         .withColumn("label",
           when(col("score_sum") >= 0, lit("keep")).otherwise(lit("drop")))
         .orderBy("doc_id")
@@ -1554,9 +1567,10 @@ object TextQ {
       implicit val sqlCtx = s.sqlContext
       val instDf = table(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(graft.dedup.Cdc.chunks(col("text"))))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
-          md5(col("col")).as("h"), length(col("col")).cast("long").as("nb"))
+          graft.functions.CdcChunksExplode.cdc_chunks_explode(col("text"))
+            .as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx"),
+          md5(col("chunk")).as("h"), length(col("chunk")).cast("long").as("nb"))
       val inst = instDf.as[(Long, Long, String, Long)].collect()
       val waves = inst.groupBy(_._3).values.toSeq
         .flatMap(_.sortBy(t => (t._1, t._2)).zipWithIndex
@@ -1711,7 +1725,10 @@ object TextQ {
     // per-doc aggregate — linear in corpus tokens, every join keyed.
     "t9_bigram_surprise" -> { (s, dir) =>
       val bg = docToks(s, dir)
-        .select(col("doc_id"), explode(ngrams(col("toks"), 2)).as("g"))
+        .select(col("doc_id"),
+          graft.functions.TokenGramsExplode.token_grams_explode(col("toks"), 2)
+            .as(Seq("pos", "g")))
+        .select("doc_id", "g")
       val bgc = bg.groupBy("g").agg(count(lit(1)).as("cg"))
       val w1c = bg.select(substring_index(col("g"), " ", 1).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("cw"))
@@ -1781,13 +1798,17 @@ object TextQ {
     // per-doc ordered reassembly — linear, every shuffle keyed.
     "d9_chunk_dedup" -> { (s, dir) =>
       val C = 20
+      // native strided-window generator (stride C, trailing partial
+      // chunk kept): chunk strings identical to the interpreted
+      // transform(sequence…slice…concat_ws) chain it replaces
       val chunks = docToks(s, dir)
         .where(size(col("toks")) > 0)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0L), floor((size(col("toks")).cast("long") - 1L) / C).cast("long")),
-          i => struct(i.as("cno"),
-            concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C))).as("chunk")))).as("c"))
-        .select(col("doc_id"), col("c.cno").as("cno"), col("c.chunk").as("chunk"))
+        .select(col("doc_id"),
+          graft.functions.TokenGramsExplode.token_grams_explode(
+            col("toks"), C, stride = C, keepPartial = true)
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"), ((col("pos") - 1L) / C).cast("long").as("cno"),
+          col("chunk"))
       val wk = Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "cno")
       val kept = chunks.withColumn("rn", row_number().over(wk))
         .where(col("rn") === 1)
@@ -2124,7 +2145,8 @@ object TextQ {
         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
         |  FROM tk)
         |SELECT doc_id,
-        |  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS fp
+        |  list_aggregate(list_transform(s,
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'min') AS fp
         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->

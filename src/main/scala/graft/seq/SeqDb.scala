@@ -42,12 +42,17 @@ object SeqDb {
     */
   def fromSequences(df: DataFrame, chunkSize: Int = 1 << 20): SeqDb = {
     val info = df.select(col("seq_id"), length(col("seq")).cast("long").as("length"))
-    val nChunks = ceil(length(col("seq")) / chunkSize.toDouble).cast("int")
+    // native cover-mode window generator: chunks tile the sequence
+    // (trailing partial kept, empty sequence = one empty chunk — the
+    // same rows as the interpreted transform-over-sequence explode it
+    // replaces, without the per-chunk lambda dispatch)
     val chunks = df
       .select(col("seq_id"),
-        posexplode(transform(sequence(lit(1), greatest(nChunks, lit(1))),
-          i => col("seq").substr((i - 1) * chunkSize + 1, lit(chunkSize)))))
-      .select(col("seq_id"), col("pos").cast("long").as("chunk_no"), col("col").as("chunk"))
+        graft.functions.CharGramsExplode.char_grams_explode(
+          col("seq"), chunkSize, stride = chunkSize, cover = true)
+          .as(Seq("cpos", "chunk")))
+      .select(col("seq_id"),
+        ((col("cpos") - 1L) / chunkSize).cast("long").as("chunk_no"), col("chunk"))
     new SeqDb(info, chunks, chunkSize)
   }
 

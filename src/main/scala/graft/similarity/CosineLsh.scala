@@ -48,10 +48,16 @@ object CosineLsh {
     s"(CASE WHEN (($nExpr) - 1) // $targetBucketSize <= 0 THEN 1 " +
       s"ELSE length(bin((($nExpr) - 1) // $targetBucketSize)) END)"
 
+  /** The plane is a CONSTANT (a function of p and i only) — computed
+    * once driver-side and shipped as an array literal. The transform-
+    * over-sequence form it replaces depended on no row data yet was
+    * rebuilt per row through interpreted lambdas (HOFs are not
+    * constant-folded), which made the sign projection the scan's hot
+    * loop; the DuckDB twin `bucketSql` keeps the same arithmetic. */
   def planeExpr(p: Int, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => when(((i * 31 + lit(p) * 17 + i * lit(p) * 13) % 101) < 50,
-        lit(1.0d)).otherwise(lit(-1.0d)))
+    typedLit((0 until dims).map { i =>
+      if ((i * 31 + p * 17 + i * p * 13) % 101 < 50) 1.0d else -1.0d
+    })
 
   /** Add a `bucket` column (LONG in [0, 2^nPlanes)). */
   def signBuckets(df: DataFrame, vecCol: String, dims: Int,

@@ -35,16 +35,24 @@ object ProductQuantizer {
     * floor toward -inf).
     */
   def qint(v: Column): Column =
-    transform(v.cast("array<double>"), x => floor(x * 1000).cast("long"))
+    graft.functions.QuantizeMilli.quantize_milli(v.cast("array<double>"))
 
-  /** Integer squared L2 between two equal-length long arrays. */
+  /** Integer squared L2 between two equal-length long arrays —
+    * the native compiled kernel (the probe's hottest inner loop). */
   def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.L2SquaredLong.l2_squared_long(a, b)
 
-  private def explodeSub(qv: Column, nSub: Int, subDim: Int): Column =
-    explode(transform(sequence(lit(0), lit(nSub - 1)),
-      m => struct(m.as("m"), slice(qv, m * lit(subDim) + 1, lit(subDim)).as("sv"))))
+  /** One row per subspace: explode a LITERAL index array (a plain
+    * generate — no lambdas; the transform-over-sequence form it
+    * replaces built per-row structs through interpreted lambdas) and
+    * slice the subvector in the projection above it. Input df must
+    * carry (`key`, `qv`); output is (`key`, m, `out`). */
+  private def subvecs(df: DataFrame, key: String, nSub: Int, subDim: Int,
+                      out: String): DataFrame =
+    df.select(col(key), col("qv"),
+        explode(typedLit((0 until nSub).toList)).as("m"))
+      .select(col(key), col("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as(out))
 
   /** Per-subspace codebook: k deterministic sample vectors (smallest
     * md5(id), the `IvfFlat.codebook` draw), one row per (subspace m,
@@ -53,10 +61,11 @@ object ProductQuantizer {
     */
   def codebook(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, nSub: Int, subDim: Int): DataFrame =
-    emb.select(col(idCol).as("cid"), qint(col(vecCol)).as("qv"))
-      .orderBy(md5(col("cid").cast("string")), col("cid")).limit(k)
-      .select(col("cid"), explodeSub(col("qv"), nSub, subDim).as("x"))
-      .select(col("x.m").as("m"), col("cid"), col("x.sv").as("cw"))
+    subvecs(
+      emb.select(col(idCol).as("cid"), qint(col(vecCol)).as("qv"))
+        .orderBy(md5(col("cid").cast("string")), col("cid")).limit(k),
+      "cid", nSub, subDim, out = "cw")
+      .select("m", "cid", "cw")
 
   /** PQ-encode a corpus: (id, m, code) — each vector's subvector m
     * mapped to its nearest codeword (integer L2, ties to the smaller
@@ -65,8 +74,9 @@ object ProductQuantizer {
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              cb: DataFrame, nSub: Int, subDim: Int): DataFrame = {
-    val sub = emb.select(col(idCol).as("id"), explodeSub(qint(col(vecCol)), nSub, subDim).as("x"))
-      .select(col("id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    val sub = subvecs(
+      emb.select(col(idCol).as("id"), qint(col(vecCol)).as("qv")),
+      "id", nSub, subDim, out = "sv")
     val w = Window.partitionBy("id", "m").orderBy(col("d"), col("cid"))
     sub.join(broadcast(cb), "m")
       .select(col("id"), col("m"), col("cid"), l2(col("sv"), col("cw")).as("d"))
@@ -83,9 +93,9 @@ object ProductQuantizer {
   def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
               qIdCol: String, vecCol: String, k: Int,
               nSub: Int, subDim: Int): DataFrame = {
-    val qsub = queries
-      .select(col(qIdCol).as("q"), explodeSub(qint(col(vecCol)), nSub, subDim).as("x"))
-      .select(col("q"), col("x.m").as("m"), col("x.sv").as("qsv"))
+    val qsub = subvecs(
+      queries.select(col(qIdCol).as("q"), qint(col(vecCol)).as("qv")),
+      "q", nSub, subDim, out = "qsv")
     val lut = qsub.join(broadcast(cb), "m")
       .select(col("q"), col("m"), col("cid"), l2(col("qsv"), col("cw")).as("pd"))
     val parts = codes.join(broadcast(lut),

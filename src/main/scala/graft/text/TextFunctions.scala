@@ -39,18 +39,26 @@ object TextFunctions {
   def shingles(toks: Column, n: Int): Column =
     array_distinct(ngrams(toks, n))
 
-  /** Content fingerprint: lexicographic min of shingle md5s — a
-    * 1-seed minhash; equal-content (and usually near-equal) docs
-    * collide. Hex string, comparable across engines.
+  /** Content fingerprint: minimum shingle hash — a 1-seed minhash;
+    * equal-content (and usually near-equal) docs collide. The shingle
+    * hashes come from the native [[graft.functions.ShingleHashes]]
+    * kernel (ascending, so the min is element 1) — the
+    * `array_min(transform(shingles, md5))` chain it replaces hashed
+    * every shingle through an interpreted lambda. BIGINT (the first
+    * 60 bits of the shingle md5, which DuckDB restates as
+    * `('0x' || substr(md5(sh), 1, 15))::BIGINT`), comparable across
+    * engines.
     */
   def fingerprint(toks: Column, n: Int = 3): Column =
-    array_min(transform(shingles(toks, n), s => md5(s)))
+    element_at(graft.functions.ShingleHashes.shingle_hashes(toks, n, 1L << 60), 1)
 
-  /** Count of tokens that appear in a marker-word list. */
-  def markerHits(toks: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(set, t)))
-  }
+  /** Count of tokens that appear in a marker-word list (with
+    * multiplicity) — the native [[graft.functions.CountInSet]] kernel;
+    * the `size(filter(toks, t -> array_contains(set, t)))` form it
+    * replaces ran the membership test interpreted per token per
+    * language. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    graft.functions.CountInSet.count_in_set(toks, words)
 
   /** Ratio in integer basis points: floor(10000*num / den), 0 when
     * den=0. floor of a double quotient of ints is exact for operands

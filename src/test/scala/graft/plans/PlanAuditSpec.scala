@@ -41,6 +41,35 @@ class PlanAuditSpec extends SparkSuite {
     "k1_kmer_spectrum"  // ranks the 30 TakeOrdered k-mers
   )
 
+  /** Interpreted-HOF hot loops DELIBERATELY kept: HOF lambdas run
+    * interpreted per element (DRIFT_r12 §8 — ~10× the compiled cost
+    * and a per-run JIT lottery on the hottest scans), so every entry
+    * here must argue why the loop is cold or why the HOF form is the
+    * better plan. Anything not listed that plans a
+    * HigherOrderFunction — or a built-in explode of a hash-bearing/
+    * HOF-bearing expression, whose inferred size(e)>0 guard
+    * re-evaluates the expression per row — fails. */
+  private val hofAllowed: Map[String, String] = Map(
+    "b2_phrase" ->
+      ("adjacent-pair match over the token array, lambdas touch only lambda " +
+       "variables by design (the file documents the pushdown-inlining hazard " +
+       "the alternative form hits, measured 4× slower); per-element body is " +
+       "two string equalities"),
+    "c6_window_dedup" ->
+      ("in-place position-mask filter of the token array against the per-doc " +
+       "cut set; the HOF-free alternative is a corpus-wide posexplode + " +
+       "anti-join + order-preserving re-aggregation — a full extra shuffle " +
+       "of every token, strictly worse at scale than a per-row array pass"),
+    "d2b_minhash_md5" ->
+      ("the DECLARATIVE md5-minhash parity twin: exists precisely to " +
+       "cross-check the native U-family kernels against the r1-r7 baseline " +
+       "arithmetic; making it native would erase the thing it tests"),
+    "n10_mmr_rerank" ->
+      ("the bounded MMR greedy recursion evaluated as ONE HOF projection " +
+       "over k≤25-element broadcast-sized arrays; the unrolled join+window " +
+       "plan was measured 4× slower (r9: 15 s/987 tasks → 3.6 s/7 tasks) — " +
+       "per-row work is O(k²) on k-bounded data, not corpus-scale"))
+
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
     case q: QueryStageExec        => q +: collectNodes(q.plan)
@@ -52,7 +81,59 @@ class PlanAuditSpec extends SparkSuite {
     collectNodes(df.queryExecution.executedPlan)
   }
 
-  test("no query plans an unbounded global window or a cartesian product") {
+  /** An expression whose PER-ELEMENT cost makes an interpreted loop or
+    * a re-evaluated subtree a hot-loop problem rather than a per-row
+    * nuisance: cryptographic hashes and HOF lambdas themselves. */
+  private def isHot(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists {
+      case _: HigherOrderFunction => true
+      case _: Md5 | _: Sha1 | _: Sha2 | _: Conv => true
+      case _ => false
+    }
+  }
+
+  /** Per-input-row HOF lambdas in a node. Aggregate nodes count only
+    * their grouping keys and aggregate functions (evaluated per input
+    * row in the partial pass); a lambda in an aggregate's RESULT
+    * expressions — e.g. array_sort of a collected group — runs once
+    * per group over already-reduced rows and is cold by construction. */
+  private def hofLambdas(n: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val exprs = n match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions ++ a.aggregateExpressions
+      case other => other.expressions
+    }
+    exprs.flatMap(_.collect {
+      case h: HigherOrderFunction => s"${n.nodeName}: ${h.prettyName}(…, lambda)"
+    })
+  }
+
+  private def hofFindings(nodes: Seq[SparkPlan]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.GenerateExec
+    val lambdas = nodes.flatMap(hofLambdas)
+    // the r12 guard tax: a hot generator child whose expression ALSO
+    // appears verbatim in another node (the inferred size(e)>0 guard
+    // after predicate pushdown inlines it) — the md5 chain then runs
+    // 2-3× per input row instead of once
+    val dupGen = nodes.flatMap {
+      case g: GenerateExec => g.generator match {
+        case ex: ExplodeBase
+            if !ex.child.isInstanceOf[Attribute] && isHot(ex.child) &&
+              nodes.exists(o => (o ne g) &&
+                o.expressions.exists(_.exists(_.semanticEquals(ex.child)))) =>
+          Seq(s"GenerateExec: explode child ${ex.child.prettyName}(…) " +
+            "re-evaluated by another node (inferred-guard tax)")
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    lambdas ++ dupGen
+  }
+
+  test("no query plans an unbounded global window, cartesian, or interpreted-HOF hot loop") {
     val offenders = Seq.newBuilder[String]
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, dir)
@@ -67,10 +148,24 @@ class PlanAuditSpec extends SparkSuite {
       if (cp.nonEmpty)
         offenders += s"$name: ${cp.size} CartesianProductExec\n" +
           df.queryExecution.executedPlan.toString
+      val hof = hofFindings(nodes)
+      if (hof.nonEmpty && !hofAllowed.contains(name))
+        offenders += s"$name: ${hof.size} interpreted-HOF site(s):\n  " +
+          hof.distinct.mkString("\n  ")
     }
     val bad = offenders.result()
     assert(bad.isEmpty, s"${bad.size} plan-audit offender(s):\n" +
       bad.mkString("\n---\n"))
+  }
+
+  test("the interpreted-HOF allowlist is still needed (no stale entries)") {
+    assert(hofAllowed.size < 10, "the HOF allowlist must stay short — " +
+      "replace hot loops with native kernels instead of listing them")
+    for (name <- hofAllowed.keys.toSeq.sorted) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      assert(hofFindings(nodesOf(df)).nonEmpty,
+        s"$name no longer plans a HOF — remove it from the allowlist")
+    }
   }
 
   test("the bounded-global-window allowlist is still needed (no stale entries)") {
