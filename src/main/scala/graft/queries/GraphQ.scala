@@ -156,7 +156,7 @@ object GraphQ {
     // catalog (worldbase schema binding), resolved to a join view.
     "j7_mapview" -> { (s, dir) =>
       import graft.catalog.{Catalog, Relation, Resource}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val tmp = graft.streaming.StreamOps.scratchDir("cat")
       val cat = new Catalog(s, tmp)
       cat.register(Resource("TPCH.customer", "table", "parquet", s"$dir/customer.parquet"))
       cat.register(Resource("TPCH.nation", "table", "parquet", s"$dir/nation.parquet"))
@@ -175,7 +175,7 @@ object GraphQ {
     // `ref` chain (persistent-ID recursion, metabase.py:181-220).
     "j7b_manytomany" -> { (s, dir) =>
       import graft.catalog.{Catalog, Relation, Resource}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cat_mm").toString
+      val tmp = graft.streaming.StreamOps.scratchDir("cat_mm")
       val cat = new Catalog(s, tmp)
       cat.register(Resource("TPCH.part", "table", "parquet", s"$dir/part.parquet"))
       cat.register(Resource("TPCH.supplier", "table", "parquet", s"$dir/supplier.parquet"))

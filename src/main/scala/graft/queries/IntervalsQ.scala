@@ -407,7 +407,7 @@ object IntervalsQ {
     // file-fed and memory-fed executions must agree exactly.
     "st12_file_source_window" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      val drop = java.nio.file.Files.createTempDirectory("graft_st12_drop").toString
+      val drop = graft.streaming.StreamOps.scratchDir("st12_drop")
       val src = events(s, dir).select(col("event_id"),
         sec("ts").cast("long").as("t"), col("event_type"), col("value"))
       src.where(col("event_id") % 2 === 0)
@@ -454,7 +454,7 @@ object IntervalsQ {
     "st13_file_source_sessionize" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.StreamOps
-      val drop = java.nio.file.Files.createTempDirectory("graft_st13_drop").toString
+      val drop = graft.streaming.StreamOps.scratchDir("st13_drop")
       val clicks = events(s, dir).where(col("event_type") === "click")
         .select(col("user_id").cast("long").as("user_id"),
           sec("ts").cast("long").as("sec"))
@@ -597,8 +597,8 @@ object IntervalsQ {
           val mm = events(s, dir).agg(min(sec("ts")), max(sec("ts"))).head
           mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
         }
-      val cDrop = java.nio.file.Files.createTempDirectory("graft_st5b_c").toString
-      val pDrop = java.nio.file.Files.createTempDirectory("graft_st5b_p").toString
+      val cDrop = graft.streaming.StreamOps.scratchDir("st5b_c")
+      val pDrop = graft.streaming.StreamOps.scratchDir("st5b_p")
       clicksAll.where(col("c_t") <= mid).write.mode("append").json(cDrop)
       purchAll.where(col("p_t") <= mid).write.mode("append").json(pDrop)
       def sch(idName: String, tName: String) = StructType(Seq(

@@ -588,7 +588,7 @@ object Relational {
       val sp = new org.apache.hadoop.fs.Path(statePath)
       val fs = sp.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(sp, true) // stale versions from a prior run would win the latest-version race
-      val drop = java.nio.file.Files.createTempDirectory("graft_st9b_drop").toString
+      val drop = graft.streaming.StreamOps.scratchDir("st9b_drop")
       rows.where(col("custkey") % 2 === 0).write.mode("append").json(drop)
       val sch = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("custkey",

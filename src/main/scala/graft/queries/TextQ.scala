@@ -1687,7 +1687,7 @@ object TextQ {
     // driver-side collect() feeder anywhere in the path.
     "st14_file_source_neardup" -> { (s, dir) =>
       import graft.streaming.StreamOps
-      val drop = java.nio.file.Files.createTempDirectory("graft_st14_drop").toString
+      val drop = graft.streaming.StreamOps.scratchDir("st14_drop")
       table(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .write.mode("append").json(drop)

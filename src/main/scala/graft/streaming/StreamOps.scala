@@ -37,13 +37,20 @@ object StreamOps {
     * should pass their own durable `checkpointLocation` instead.
     * Directories are removed recursively at JVM exit.
     */
-  def scratchCheckpoint(prefix: String): String = {
+  def scratchCheckpoint(prefix: String): String = scratchDir(s"ckpt_$prefix")
+
+  /** A fresh scratch directory REGISTERED FOR CLEANUP at JVM exit —
+    * the one way harness-side temp dirs (file-source drop zones,
+    * checkpoint roots) get created, so repeated bench/verify runs
+    * never accumulate temp litter. Same fast-volume choice as
+    * checkpoints. */
+  def scratchDir(prefix: String): String = {
     cleanupHook
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val dir = java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$prefix")
+    val dir = java.nio.file.Files.createTempDirectory(base, s"graft_$prefix")
     scratchDirs.add(dir)
     dir.toString
   }

@@ -96,6 +96,26 @@ class SetSimJoinSpec extends SparkSuite {
     assert(p.contains((0L, 7L)) && p.contains((7L, 0L)) && p.contains((21L, 2L)))
   }
 
+  test("property: SELF-join (default probePred) equals brute force across random corpora/thresholds") {
+    // the public-API shape: no probe predicate at all — every row is
+    // both query and candidate; seeded-random corpora and thresholds
+    // (scalatestplus is off the classpath, so property = seeded loop)
+    val rnd = new scala.util.Random(2024)
+    for (_ <- 0 until 5) {
+      val seed = rnd.nextInt(10000)
+      val n = 24 + rnd.nextInt(40)
+      val minBp = 2000 + rnd.nextInt(7500)
+      val docs = corpus(seed, n)
+      val p = SetSimJoin.jaccardPairsBp(
+          docs.select(col("doc_id"),
+            TextFunctions.shingles(col("toks"), 2).as("shs")),
+          "doc_id", "shs", minBp)
+        .select("q", "o")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p === brute(docs, minBp, 1), s"seed=$seed n=$n minBp=$minBp")
+    }
+  }
+
   test("jac_bp matches the integer bp definition on a known pair") {
     import spark.implicits._
     // shingle sets: doc 0 = {a b, b c, c d}, doc 1 = {a b, b c, c e}
