@@ -520,9 +520,16 @@ object IntervalsQ {
     // the same user in the preceding 10 minutes (the attribution
     // join). Both sides watermarked + a time-range predicate, so the
     // state for BOTH buffers is evictable — the unbounded-run shape.
-    // Inner-join rows emit in the batch they match, so feeding both
-    // streams fully then draining yields the complete batch-equal
-    // result the oracle checks.
+    // Inner-join rows emit in the batch they match, so the complete
+    // batch-equal result the oracle checks is feed-order independent.
+    // The replay feeds TIME-ORDERED WAVES (both sides sliced at the
+    // same time cuts), because that is what makes the watermark DO
+    // anything: a single feed-everything batch never advances the
+    // watermark mid-batch, state never evicts, and every probe scans
+    // the user's entire history — measured engine-time exponent 1.58
+    // across v2sf0.1/1/5 (DRIFT_r13 §4) for what is a linear join
+    // under the production arrival order, where per-probe state is
+    // bounded by the horizon's content.
     "st5_stream_stream_join" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -550,9 +557,14 @@ object IntervalsQ {
             graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
           .start()
         try {
-          cin.addData(side("click").toSeq)
-          pin.addData(side("purchase").toSeq)
-          q.processAllAvailable()
+          val cs = side("click")
+          val ps = side("purchase")
+          val all = cs.map(_._3) ++ ps.map(_._3)
+          for ((lo, hi) <- graft.streaming.StreamOps.timeCuts(all, 8)) {
+            cin.addData(cs.filter(r => r._3 >= lo && r._3 < hi).toSeq)
+            pin.addData(ps.filter(r => r._3 >= lo && r._3 < hi).toSeq)
+            q.processAllAvailable()
+          }
         } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       }
       s.table(name).orderBy("click_id", "purchase_id")
@@ -560,19 +572,21 @@ object IntervalsQ {
 
     // ST5b: st5's PRODUCTION-INGEST twin — both join sides fed from
     // FILE SOURCES (two `readStream.json` drop directories) on the
-    // RocksDB state store, each side's second drop landing AFTER the
-    // query started. Drops are time-ordered at the global midpoint,
-    // so cross-boundary matches (a drop-2 click attributing to a
-    // drop-1 purchase ≤ 600 s earlier) must flow through buffered
-    // join state, and watermark eviction of pre-boundary rows runs
-    // without losing a match: a purchase old enough to evict after
-    // drop 1 (p_t + 600 < watermark) can only match clicks already
-    // processed in drop 1. The boundary is derived from the WIDEST
-    // matched pair (mid = p_t + gap/2, so p_t ≤ mid < c_t), which
-    // guarantees at least one match straddles the drops at every SF —
-    // a global-midpoint split produced zero straddles on this data
+    // RocksDB state store, drops after the first landing WHILE the
+    // query runs. Drops are TIME-ORDERED waves (equal event-time
+    // slices — the production arrival order, so the watermark
+    // advances between drops and join state evicts on schedule;
+    // DRIFT_r13 §4 measures why that matters), so cross-boundary
+    // matches (a later-drop click attributing to an earlier-drop
+    // purchase ≤ 600 s before it) must flow through buffered join
+    // state, and eviction never loses a match: a purchase old enough
+    // to evict (p_t + 600 < watermark) can only match clicks already
+    // processed. One boundary is derived from the WIDEST matched
+    // pair (mid = p_t + gap/2, so p_t ≤ mid < c_t), which guarantees
+    // at least one match straddles a drop boundary at every SF —
+    // equal slicing alone could place every match inside one slice
     // and would have proven nothing about cross-drop state. (The
-    // batch pre-join is fixture plumbing to place the boundary, not
+    // batch pre-join is fixture plumbing to place that boundary, not
     // part of the streaming operator.) Same oracle as st5 — file-fed
     // and memory-fed executions agree exactly; retires MemoryStream
     // from the stream-stream join's production claim.
@@ -599,8 +613,27 @@ object IntervalsQ {
         }
       val cDrop = graft.streaming.StreamOps.scratchDir("st5b_c")
       val pDrop = graft.streaming.StreamOps.scratchDir("st5b_p")
-      clicksAll.where(col("c_t") <= mid).write.mode("append").json(cDrop)
-      purchAll.where(col("p_t") <= mid).write.mode("append").json(pDrop)
+      // drop boundaries: equal TIME-ORDERED slices (the production
+      // arrival order — watermark advances between drops and state
+      // evicts on schedule; see st5's feed note and DRIFT_r13 §4)
+      // plus the widest-pair midpoint, so at least one match is
+      // guaranteed to straddle a boundary at every SF (the
+      // cross-boundary-state claim this query exists to prove)
+      val mm = events(s, dir).agg(min(sec("ts")), max(sec("ts"))).head
+      val (tLo, tHi) = (mm.getLong(0), mm.getLong(1) + 1L)
+      val eqCuts = (1 until 8).map(i => tLo + (tHi - tLo) * i / 8)
+      val bounds = (eqCuts :+ (mid + 1L)).distinct.sorted
+        .filter(b => b > tLo && b < tHi)
+      val waves = (tLo +: bounds :+ tHi).sliding(2).collect {
+        case Seq(a, b) if b > a => (a, b)
+      }.toSeq
+      def drop(lo: Long, hi: Long): Unit = {
+        clicksAll.where(col("c_t") >= lo && col("c_t") < hi)
+          .write.mode("append").json(cDrop)
+        purchAll.where(col("p_t") >= lo && col("p_t") < hi)
+          .write.mode("append").json(pDrop)
+      }
+      drop(waves.head._1, waves.head._2)
       def sch(idName: String, tName: String) = StructType(Seq(
         StructField(idName, LongType), StructField("user_id", LongType),
         StructField(tName, LongType)))
@@ -621,9 +654,10 @@ object IntervalsQ {
           .start()
         try {
           q.processAllAvailable()
-          clicksAll.where(col("c_t") > mid).write.mode("append").json(cDrop)
-          purchAll.where(col("p_t") > mid).write.mode("append").json(pDrop)
-          q.processAllAvailable()
+          waves.tail.foreach { case (lo, hi) =>
+            drop(lo, hi)
+            q.processAllAvailable()
+          }
         } finally { graft.streaming.StreamMeter.record(q); q.stop() }
       }
       s.table(name).orderBy("click_id", "purchase_id")

@@ -725,21 +725,18 @@ object TextQ {
     // both engines. Plan: one per-char explode (linear in corpus
     // bytes), two keyed aggregates, one keyed join — no windows.
     "t16_char_entropy" -> { (s, dir) =>
-      val d = table(s, dir, "documents")
+      // one map-side pass per doc (native CharEntropy kernel, same
+      // floored-term arithmetic the oracle restates): the per-char
+      // explode + (doc, char) GROUP BY + join-back it replaces
+      // shuffled one row per corpus CHARACTER — 134 task-CPU s at
+      // v2sf1 for what a bounded per-row frequency map does in 4
+      table(s, dir, "documents")
         .select(col("doc_id"), col("text")).where(length(col("text")) > 0)
-      val ch = d.select(col("doc_id"),
-        graft.functions.CharGramsExplode.char_grams_explode(col("text"), 1)
-          .as(Seq("pos", "ch")))
-        .select("doc_id", "ch")
-      val cc = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
-      val n = cc.groupBy("doc_id").agg(sum("nc").as("n"))
-      cc.join(n, "doc_id")
-        .withColumn("term_u",
-          floor(lit(1e6) * (col("nc").cast("double") / col("n").cast("double")) *
-            log(col("n").cast("double") / col("nc").cast("double"))).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct_chars"),
-          sum("term_u").as("entropy_u"))
+        .select(col("doc_id"),
+          graft.functions.CharEntropy.char_entropy(col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_distinct_chars").as("n_distinct_chars"),
+          col("e.entropy_u").as("entropy_u"))
         .orderBy("doc_id")
     },
 

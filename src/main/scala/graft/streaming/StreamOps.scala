@@ -39,6 +39,30 @@ object StreamOps {
     */
   def scratchCheckpoint(prefix: String): String = scratchDir(s"ckpt_$prefix")
 
+  /** K half-open [lo, hi) time slices covering `times`, equal spans on
+    * the event-time axis (the last slice closes at max+1 so it keeps
+    * its endpoint). Replay harnesses feed stream waves through these
+    * so the arrival order is the PRODUCTION order — monotone event
+    * time, watermark advancing between waves, state evicting on
+    * schedule. Feeding everything as one batch instead never advances
+    * the watermark mid-batch: nothing evicts, every stream-stream
+    * probe scans the key's whole history, and a linear join measures
+    * superlinear (engine-time exponent 1.58 on st5 before this,
+    * DRIFT_r13 §4). Deterministic: cuts derive from data min/max only.
+    */
+  def timeCuts(times: Seq[Long], k: Int): Seq[(Long, Long)] = {
+    require(k >= 1, s"need at least one slice, got $k")
+    if (times.isEmpty) return Seq((0L, 1L))
+    val lo = times.min
+    val hi = times.max + 1L
+    val span = hi - lo
+    (0 until k).map { i =>
+      val a = lo + span * i / k
+      val b = if (i == k - 1) hi else lo + span * (i + 1) / k
+      (a, b)
+    }.filter { case (a, b) => b > a }
+  }
+
   /** A fresh scratch directory REGISTERED FOR CLEANUP at JVM exit —
     * the one way harness-side temp dirs (file-source drop zones,
     * checkpoint roots) get created, so repeated bench/verify runs
