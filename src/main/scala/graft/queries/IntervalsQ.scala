@@ -560,7 +560,8 @@ object IntervalsQ {
           val cs = side("click")
           val ps = side("purchase")
           val all = cs.map(_._3) ++ ps.map(_._3)
-          for ((lo, hi) <- graft.streaming.StreamOps.timeCuts(all, 8)) {
+          val k = graft.streaming.StreamOps.waveCount(all.length.toLong)
+          for ((lo, hi) <- graft.streaming.StreamOps.timeCuts(all, k)) {
             cin.addData(cs.filter(r => r._3 >= lo && r._3 < hi).toSeq)
             pin.addData(ps.filter(r => r._3 >= lo && r._3 < hi).toSeq)
             q.processAllAvailable()
@@ -619,9 +620,15 @@ object IntervalsQ {
       // plus the widest-pair midpoint, so at least one match is
       // guaranteed to straddle a boundary at every SF (the
       // cross-boundary-state claim this query exists to prove)
-      val mm = events(s, dir).agg(min(sec("ts")), max(sec("ts"))).head
+      // bounds/count over the two joined types only, so the wave count
+      // matches the st5 twin's (which slices collected click+purchase
+      // rows) at every SF
+      val mm = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .agg(min(sec("ts")), max(sec("ts")), count(lit(1))).head
       val (tLo, tHi) = (mm.getLong(0), mm.getLong(1) + 1L)
-      val eqCuts = (1 until 8).map(i => tLo + (tHi - tLo) * i / 8)
+      val k = graft.streaming.StreamOps.waveCount(mm.getLong(2))
+      val eqCuts = (1 until k).map(i => tLo + (tHi - tLo) * i / k)
       val bounds = (eqCuts :+ (mid + 1L)).distinct.sorted
         .filter(b => b > tLo && b < tHi)
       val waves = (tLo +: bounds :+ tHi).sliding(2).collect {

@@ -51,10 +51,15 @@ object StreamOps {
     * DRIFT_r13 §4). Deterministic: cuts derive from data min/max only.
     */
   def timeCuts(times: Seq[Long], k: Int): Seq[(Long, Long)] = {
+    timeCutsOf(if (times.isEmpty) (0L, 0L) else (times.min, times.max), k)
+  }
+
+  /** `timeCuts` from a precomputed (min, max) — for callers that get
+    * the bounds from an aggregate instead of a collected array. */
+  def timeCutsOf(bounds: (Long, Long), k: Int): Seq[(Long, Long)] = {
     require(k >= 1, s"need at least one slice, got $k")
-    if (times.isEmpty) return Seq((0L, 1L))
-    val lo = times.min
-    val hi = times.max + 1L
+    val lo = bounds._1
+    val hi = bounds._2 + 1L
     val span = hi - lo
     (0 until k).map { i =>
       val a = lo + span * i / k
@@ -62,6 +67,13 @@ object StreamOps {
       (a, b)
     }.filter { case (a, b) => b > a }
   }
+
+  /** Wave count for a replay of `n` rows: enough waves that the
+    * watermark actually advances and evicts at scale (8 from ~200 k
+    * rows up), few enough that the per-micro-batch fixed cost doesn't
+    * dominate a small gate run (2 at the sf0.1 gate). Deterministic
+    * in the row count only. */
+  def waveCount(n: Long): Int = math.max(2L, math.min(8L, n / 25000L)).toInt
 
   /** A fresh scratch directory REGISTERED FOR CLEANUP at JVM exit —
     * the one way harness-side temp dirs (file-source drop zones,
