@@ -550,7 +550,8 @@ object IntervalsQ {
           clicks, purchases, "user_id", "c_ts", "p_ts",
           horizon = "30 minutes", windowSec = 600L)
         .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s, 8,
+          graft.streaming.StreamOps.smallStateProvider) { // churn-heavy, tiny live state (see smallStateProvider)
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",
@@ -645,7 +646,8 @@ object IntervalsQ {
         StructField(idName, LongType), StructField("user_id", LongType),
         StructField(tName, LongType)))
       val name = "st5b_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s, 8,
+          graft.streaming.StreamOps.smallStateProvider) { // churn-heavy, tiny live state (see smallStateProvider)
         val clicks = s.readStream.schema(sch("click_id", "c_t")).json(cDrop)
           .withColumn("c_ts", col("c_t").cast("timestamp"))
         val purchases = s.readStream.schema(sch("purchase_id", "p_t")).json(pDrop)
