@@ -77,8 +77,13 @@ object CountInSet {
 }
 
 /** Count of non-empty elements consisting only of `[a-z]` —
-  * `size(filter(toks, t -> t.rlike("^[a-z]+$")))` compiled, without
-  * the per-element regex machinery (the Gopher alpha-ratio rule). */
+  * the contract is `\A[a-z]+\z` over the token's raw bytes, NOT
+  * `rlike("^[a-z]+$")`: Java's `$` matches before a trailing line
+  * terminator, so `"ab\n"` counts under the rlike form but not here.
+  * The two agree on any whitespace-split tokenization (tokens can't
+  * contain `\n`); callers with other tokenizers get the stricter
+  * full-match semantics. Compiled byte scan, no per-element regex
+  * machinery (the Gopher alpha-ratio rule). */
 case class CountLowerAlpha(child: Expression) extends ArrayStringKernel {
 
   override def prettyName: String = "count_lower_alpha"

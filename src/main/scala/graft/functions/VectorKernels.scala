@@ -91,7 +91,15 @@ case class L2SquaredLong(left: Expression, right: Expression)
   * `transform(v, x -> floor(x*127/array_max(transform(v, abs))))`,
   * which evaluated THREE interpreted per-element passes per row. The
   * double arithmetic is `(x * 127.0) / m` in that order, matching the
-  * declarative expression (and the DuckDB oracle) bit for bit. */
+  * declarative expression (and the DuckDB oracle) bit for bit.
+  *
+  * NaN components: the max-magnitude scan uses Java `>` (false for
+  * NaN), so a NaN never becomes the scale and an all-NaN vector takes
+  * the all-zero branch — whereas the declarative form's `array_max`
+  * propagates NaN and emits NULL components via `floor(NaN)`. NaN is
+  * treated as "no magnitude" here by design; embeddings in this
+  * engine are NaN-free, so the divergence is unreachable on gated
+  * paths. */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

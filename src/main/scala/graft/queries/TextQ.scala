@@ -1526,8 +1526,10 @@ object TextQ {
       // shape; same arithmetic, oracle untouched
       docToks(s, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-          graft.functions.HashWeightSum
-            .hash_weight_sum(col("toks"), 1001L, 500L).as("score_sum"))
+          // coalesce matches the oracle's COALESCE(list_sum(...), 0):
+          // a NULL token array scores 0 (→ 'keep'), not NULL (→ 'drop')
+          coalesce(graft.functions.HashWeightSum
+            .hash_weight_sum(col("toks"), 1001L, 500L), lit(0L)).as("score_sum"))
         .withColumn("label",
           when(col("score_sum") >= 0, lit("keep")).otherwise(lit("drop")))
         .orderBy("doc_id")

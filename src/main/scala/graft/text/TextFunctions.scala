@@ -48,9 +48,15 @@ object TextFunctions {
     * 60 bits of the shingle md5, which DuckDB restates as
     * `('0x' || substr(md5(sh), 1, 15))::BIGINT`), comparable across
     * engines.
+    *
+    * Docs with fewer than n tokens produce an EMPTY hash array and
+    * fingerprint NULL — `try_element_at` keeps that contract under
+    * `spark.sql.ansi.enabled=true`, where plain `element_at` would
+    * throw INVALID_ARRAY_INDEX on the empty array.
     */
   def fingerprint(toks: Column, n: Int = 3): Column =
-    element_at(graft.functions.ShingleHashes.shingle_hashes(toks, n, 1L << 60), 1)
+    try_element_at(
+      graft.functions.ShingleHashes.shingle_hashes(toks, n, 1L << 60), lit(1))
 
   /** Count of tokens that appear in a marker-word list (with
     * multiplicity) — the native [[graft.functions.CountInSet]] kernel;
