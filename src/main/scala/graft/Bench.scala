@@ -128,6 +128,20 @@ object Bench {
     // is one-sided, so min estimates steady state). A long-lived
     // cluster executor sits at this floor permanently.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    // Second forcing mode: `.count()` is the comparable series, but
+    // Catalyst join-elimination/column-pruning legitimately deletes a
+    // projection-shaped query's whole scoring pipeline under count()
+    // (c6/c8/t4/t7/t16 bench rows measured only the scan — DRIFT_r13
+    // §2), so a kernel regression there would be invisible round over
+    // round. The materializing pass forces EVERY output column through
+    // sum(xxhash64(to_json(struct(*)))) — nothing prunable — and is
+    // recorded beside the count series as <name>__mat_s (+ mat_cpu_ms
+    // / mat_hash in the metrics block; the order-independent hash sum
+    // doubles as a cross-run output-stability witness). One pass, not
+    // min-of-repeats: it is a regression tripwire, not the headline.
+    // SPARK_GRAFT_MATERIALIZE=0 disables (drift sweeps keep the old
+    // cost shape and half the runtime).
+    val doMat = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "1") != "0"
     // (wall seconds, streaming-engine seconds if the query ran a
     // streaming replay — wall − engine is MemoryStream harness time,
     // and the per-query metrics block)
@@ -175,6 +189,39 @@ object Bench {
           }
           scrub()
         }
+        if (doMat) {
+          import org.apache.spark.sql.functions.{col, expr, struct, to_json, xxhash64}
+          drain(); listener.snapshotAndReset()
+          val t0 = System.nanoTime()
+          val hash =
+            try {
+              val df = fn(spark, sfDir)
+              // bit_xor, not sum: ANSI mode (Spark 4 default) makes
+              // sum(hash) overflow on >2 rows; xor is order-independent
+              // and never overflows
+              val row = df.select(xxhash64(to_json(
+                  struct(df.columns.map(col): _*))).as("__h"))
+                .agg(expr("bit_xor(__h)").as("h")).collect()(0)
+              Some(if (row.isNullAt(0)) 0L else row.getLong(0))
+            } catch { case e: Throwable =>
+              // named, not silent: a query the materializing force
+              // cannot run is itself a blind spot worth seeing
+              System.err.println(s"[bench] $name mat-forcing failed: $e")
+              None
+            }
+          val matWall = (System.nanoTime() - t0) / 1e9
+          drain()
+          val matSnap = listener.snapshotAndReset()
+          hash.foreach { h =>
+            val matCpu = matSnap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }
+              .getOrElse(0.0)
+            metr = metr ++ Seq(
+              "mat_wall_s" -> fmt(matWall),
+              "mat_cpu_ms" -> fmt(matCpu),
+              "mat_hash" -> h.toString)
+          }
+          scrub()
+        }
         name -> ((kept, engine, metr))
       }
     def toJson(rs: Seq[(String, Double)]): String =
@@ -184,10 +231,17 @@ object Bench {
     // (MemoryStream replay scaffolding) — the engine number is the
     // perf signal, the wall number stays comparable with history
     val flat: Seq[(String, Double)] = results.flatMap {
-      case (k, (wall, Some(e), _)) =>
-        Seq(k -> wall, s"${k}__engine_s" -> e,
-          s"${k}__harness_s" -> math.max(0.0, wall - e))
-      case (k, (wall, None, _)) => Seq(k -> wall)
+      case (k, (wall, eOpt, m)) =>
+        val base = eOpt match {
+          case Some(e) => Seq(k -> wall, s"${k}__engine_s" -> e,
+            s"${k}__harness_s" -> math.max(0.0, wall - e))
+          case None => Seq(k -> wall)
+        }
+        // the materializing-forcing wall beside the count-forced one
+        // (headline stdout filter matches exact names, so __mat_s rows
+        // live only in the full-map artifact)
+        base ++ m.collectFirst { case ("mat_wall_s", v) =>
+          s"${k}__mat_s" -> v.toDouble }
     }
     val metricsJson = results
       .map { case (k, (_, _, m)) => "\"" + k + "\":" + objJson(m) }
