@@ -66,13 +66,38 @@ object MotifQuery {
     * Both branches emit canonical s1 < s2 pairs into ONE count
     * aggregation — the Σd² shuffle that remains is the output
     * itself, which is irreducible.
+    *
+    * `minShared`: a consumer that keeps only `n_shared >= k` pairs
+    * can pass k down, because `n_shared(s1,s2) <= min(outdeg(s1),
+    * outdeg(s2))` — a source bound to fewer than k hubs cannot appear
+    * in any qualifying pair, so its edges are dropped BEFORE pair
+    * generation (the pair stream is where the Σd² cost lives; the
+    * prune is one O(E) windowed count over the exchange the plan
+    * already owes). Dropping a source never changes a surviving
+    * pair's count — n_shared is a property of the two sources' own
+    * hub sets — so `sharedNeighbors(e, minShared = k).where(n_shared
+    * >= k)` ≡ `sharedNeighbors(e).where(n_shared >= k)` exactly.
+    * Callers must still apply their `where`: pairs of high-degree
+    * sources sharing < k hubs survive the prune. Default 1 = off.
     */
   def sharedNeighbors(edges: DataFrame, chunkSize: Int = 1024,
-                      hotDegree: Long = 0L): DataFrame = {
+                      hotDegree: Long = 0L, minShared: Long = 1L): DataFrame = {
     require(chunkSize > 0)
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
     val thr = if (hotDegree > 0L) hotDegree else chunkSize.toLong
     val Array(s, d) = edges.columns.take(2)
-    val e = edges.select(col(s).as("__src"), col(d).as("__dst")).distinct()
+    val e0 = edges.select(col(s).as("__src"), col(d).as("__dst")).distinct()
+    // windowed count, NOT a self-join against a groupBy of e0: joining
+    // a frame to an aggregate of itself re-evaluates the scan+distinct
+    // subtree (ReuseExchange does not collapse it — the r9 lesson);
+    // the window is one exchange on __src over rows the plan already
+    // streams
+    val e =
+      if (minShared <= 1L) e0
+      else e0.withColumn("__sdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__src")))
+        .where(col("__sdeg") >= minShared)
+        .drop("__sdeg")
     val deg = e.groupBy("__dst").agg(count(lit(1)).as("__deg"))
     val hot = deg.where(col("__deg") > thr)
 

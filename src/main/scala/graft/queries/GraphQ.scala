@@ -57,7 +57,10 @@ object GraphQ {
     // via the degree-aware aggregate-then-pair plan (no d² self-join
     // blowup on a hot part; see MotifQuery.sharedNeighbors).
     "j5_motif" -> { (s, dir) =>
-      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+      // minShared = the filter's own k: sources bound to < 5 parts are
+      // dropped before pair generation (n_shared <= min outdeg), which
+      // shrinks the quadratic pair stream without moving the result
+      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir), minShared = 5L)
         .where(col("n_shared") >= 5)
         .orderBy("s1", "s2")
     },
@@ -103,7 +106,8 @@ object GraphQ {
     // The nation hubs are inherently hot (25 hubs × all suppliers) —
     // exactly the shape the chunked pair generation spreads out.
     "u2_motif_union" -> { (s, dir) =>
-      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+      val shared = MotifQuery
+        .sharedNeighbors(suppPartEdgesRaw(s, dir), minShared = 8L)
         .where(col("n_shared") >= 8).select("s1", "s2")
       val sn = table(s, dir, "supplier").select(
         col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))

@@ -39,6 +39,26 @@ class SharedNeighborsSpec extends SparkSuite {
     assert(naive.size > 100000) // the hot hub really is quadratic
   }
 
+  test("minShared prune: identical >=k results, strictly fewer pair rows") {
+    import spark.implicits._
+    val edges = skewedEdges
+    for (k <- Seq(2L, 3L, 5L)) {
+      val full = MotifQuery.sharedNeighbors(edges)
+        .where(col("n_shared") >= k)
+        .as[(Long, Long, Long)].collect().toSet
+      val pruned = MotifQuery.sharedNeighbors(edges, minShared = k)
+        .where(col("n_shared") >= k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pruned === full, s"minShared=$k")
+      assert(full.nonEmpty, s"fixture must exercise k=$k")
+      // the prune must actually drop work: some source has outdeg < k
+      // (pair-row reduction is what the drop buys before the count agg)
+      val dropped = MotifQuery.sharedNeighbors(edges, minShared = k).count()
+      val all = MotifQuery.sharedNeighbors(edges).count()
+      assert(dropped < all, s"minShared=$k pruned nothing")
+    }
+  }
+
   test("splice graph: alt5/alt3 pairs and splice edges (splicegraph.py:33-61)") {
     import spark.implicits._
     val exons = Seq(
