@@ -175,3 +175,73 @@ object HashWeightSum {
   def hash_weight_sum(toks: Column, m: Long, shift: Long): Column =
     ColumnBridge.column(HashWeightSum(ColumnBridge.expression(toks), m, shift))
 }
+
+/** Space-joined tokens whose 1-BASED position is not in `cut` — the
+  * compiled fusion of
+  * `concat_ws(" ", filter(toks, (t, i) -> !array_contains(cut, i+1)))`
+  * (the c6 duplicate-span removal re-emit). The HOF form ran an
+  * interpreted lambda doing an O(|cut|) array_contains PER TOKEN; here
+  * the cut set is sorted once per row and merge-walked against the
+  * ascending token index — O(n + c log c) — and the intermediate
+  * `clean` array is never built (survivors go straight into the
+  * joined string). Null elements are skipped like concat_ws; null
+  * `toks` or `cut` → null (coalesce the cut side when "no cuts" means
+  * "keep all"). An empty survivor set yields "" (concat_ws's empty
+  * result), not null.
+  */
+case class JoinExceptPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "join_except_positions"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"join_except_positions requires ARRAY<STRING>, ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JoinExceptPositions.join(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JoinExceptPositions.join($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JoinExceptPositions =
+    copy(left = newLeft, right = newRight)
+}
+
+object JoinExceptPositions {
+  private val SEP = UTF8String.fromString(" ")
+
+  def join(toks: ArrayData, cut: ArrayData): UTF8String = {
+    val c = cut.numElements()
+    val cuts = new Array[Long](c)
+    var i = 0
+    while (i < c) { cuts(i) = cut.getLong(i); i += 1 }
+    java.util.Arrays.sort(cuts)
+    val n = toks.numElements()
+    val kept = new Array[UTF8String](n)
+    var k = 0
+    var j = 0
+    i = 0
+    while (i < n) {
+      val pos = i + 1L // 1-based, like the oracle's list positions
+      while (j < c && cuts(j) < pos) j += 1
+      if (j >= c || cuts(j) != pos) {
+        val t = toks.getUTF8String(i)
+        if (t != null) { kept(k) = t; k += 1 } // concat_ws skips nulls
+      }
+      i += 1
+    }
+    UTF8String.concatWs(SEP, java.util.Arrays.copyOf(kept, k): _*)
+  }
+
+  def join_except_positions(toks: Column, cut: Column): Column =
+    ColumnBridge.column(JoinExceptPositions(
+      ColumnBridge.expression(toks), ColumnBridge.expression(cut)))
+}

@@ -1101,14 +1101,17 @@ object TextQ {
         .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("cp"))
         .distinct()
         .groupBy("doc_id").agg(collect_set("cp").as("cut"))
+      // native merge-walk re-emit (sorted cut set vs ascending token
+      // index, survivors joined in one pass) — the in-place HOF mask
+      // it replaces ran an interpreted O(|cut|) array_contains per
+      // token; this was the allowlist's last justified per-row lambda
       d.join(cuts, Seq("doc_id"), "left")
         .withColumn("cut", coalesce(col("cut"), array().cast("array<long>")))
-        .withColumn("clean",
-          filter(col("toks"), (t, i) => !array_contains(col("cut"), (i + 1).cast("long"))))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(col("cut")).cast("long").as("n_cut"),
-          md5(concat_ws(" ", col("clean"))).as("clean_hash"))
+          md5(graft.functions.JoinExceptPositions
+            .join_except_positions(col("toks"), col("cut"))).as("clean_hash"))
         .orderBy("doc_id")
     },
 

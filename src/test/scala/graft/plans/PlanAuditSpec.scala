@@ -55,11 +55,9 @@ class PlanAuditSpec extends SparkSuite {
        "variables by design (the file documents the pushdown-inlining hazard " +
        "the alternative form hits, measured 4× slower); per-element body is " +
        "two string equalities"),
-    "c6_window_dedup" ->
-      ("in-place position-mask filter of the token array against the per-doc " +
-       "cut set; the HOF-free alternative is a corpus-wide posexplode + " +
-       "anti-join + order-preserving re-aggregation — a full extra shuffle " +
-       "of every token, strictly worse at scale than a per-row array pass"),
+    // (c6_window_dedup retired r14: its in-place position-mask lambda
+    // became the native JoinExceptPositions merge-walk kernel —
+    // sf0.1 materialized CPU 4.9 s → see commit for the number)
     "d2b_minhash_md5" ->
       ("the DECLARATIVE md5-minhash parity twin: exists precisely to " +
        "cross-check the native U-family kernels against the r1-r7 baseline " +
