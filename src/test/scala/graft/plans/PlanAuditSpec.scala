@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSuite {
        "two string equalities"),
     // (c6_window_dedup retired r14: its in-place position-mask lambda
     // became the native JoinExceptPositions merge-walk kernel —
-    // sf0.1 materialized CPU 4.9 s → see commit for the number)
+    // isolated mask stage 0.21 → 0.12 s/pass at sf0.1, ~1.8× on the
+    // steady-state min of 6 interleaved reps, scratch/MaskAB.scala;
+    // whole-pipeline cost unchanged because the mask is ~4% of c6)
     "d2b_minhash_md5" ->
       ("the DECLARATIVE md5-minhash parity twin: exists precisely to " +
        "cross-check the native U-family kernels against the r1-r7 baseline " +
