@@ -20,7 +20,29 @@ object StreamMeter {
   private val stateRows = new AtomicLong(0L)
   private val stateBytes = new AtomicLong(0L)
 
-  def reset(): Unit = { engineNs.set(0L); stateRows.set(0L); stateBytes.set(0L) }
+  /** One recorded query's state profile: which provider it ran on and
+    * how big its live state got. `peakRows` is the MAX across progress
+    * events (the provider-choice signal — a sessionize that evicts
+    * everything by end-of-replay still held its open sessions
+    * mid-run); `lastRows`/`lastBytes` keep the end-of-replay
+    * convention the bench artifacts publish.
+    */
+  case class StateObs(provider: String, peakRows: Long, peakBytes: Long,
+                      lastRows: Long, lastBytes: Long)
+
+  private val obsQ = new java.util.concurrent.ConcurrentLinkedQueue[StateObs]
+
+  /** Per-query state observations since the last reset (one entry per
+    * `record(q)` call whose query had stateful operators). */
+  def observations: Seq[StateObs] = {
+    val b = Seq.newBuilder[StateObs]
+    obsQ.forEach(o => b += o)
+    b.result()
+  }
+
+  def reset(): Unit = {
+    engineNs.set(0L); stateRows.set(0L); stateBytes.set(0L); obsQ.clear()
+  }
 
   /** Engine seconds accumulated since the last reset. */
   def engineSeconds: Double = engineNs.get() / 1e9
@@ -55,8 +77,22 @@ object StreamMeter {
     q.recentProgress.reverseIterator
       .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
       .foreach { p =>
-        stateRows.addAndGet(p.stateOperators.iterator.map(_.numRowsTotal).sum)
-        stateBytes.addAndGet(p.stateOperators.iterator.map(_.memoryUsedBytes).sum)
+        val last = p.stateOperators.iterator.map(_.numRowsTotal).sum
+        val lastB = p.stateOperators.iterator.map(_.memoryUsedBytes).sum
+        stateRows.addAndGet(last)
+        stateBytes.addAndGet(lastB)
+        // the provider conf is still in force here: every replay calls
+        // record(q) inside its replaySized wrapper, before the finally
+        // restores the session conf
+        val provider = q.sparkSession.conf.get(
+          "spark.sql.streaming.stateStore.providerClass", "<default>")
+        val withState = q.recentProgress.iterator
+          .filter(r => r.stateOperators != null && r.stateOperators.nonEmpty)
+          .map(r => (r.stateOperators.iterator.map(_.numRowsTotal).sum,
+            r.stateOperators.iterator.map(_.memoryUsedBytes).sum)).toSeq
+        val peak = withState.foldLeft(0L)((m, t) => math.max(m, t._1))
+        val peakB = withState.foldLeft(0L)((m, t) => math.max(m, t._2))
+        obsQ.add(StateObs(provider, peak, peakB, last, lastB))
       }
   }
 }
