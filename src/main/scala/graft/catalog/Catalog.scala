@@ -57,18 +57,35 @@ case class Relation(name: String, src: String, srcCol: String,
   * registering DIFFERENT names both survive (entry-level
   * last-writer-wins, the shared-zone metabase behavior of
   * `metabase.py:899-947`). Same-process writers are fully serialized
-  * by a per-table lock; a cross-process race on the same generation
-  * is detected by a post-commit re-list (the smaller version id backs
-  * out, re-merges, and retries), and garbage collection touches only
-  * markers STRICTLY OLDER than the writer's own — a newer generation
-  * landing mid-commit is detected by a post-GC re-check and the older
-  * writer re-merges through the winner's table. The race degrades at
-  * worst to whole-table last-writer-wins within one instant — never a
-  * corrupted or missing table. A deployment needing strict cross-process transactions
-  * should front the catalog with a transactional table format. Reads
-  * are cached per Catalog instance and refreshed by writes; construct
-  * a fresh Catalog (or call `refresh()`) to observe another writer's
-  * updates.
+  * by a per-table lock. Cross-process writers race for an ATOMIC
+  * GENERATION CLAIM: before creating its marker, a writer must
+  * create `<table>.gen.<gen>` put-if-absent (a hard link on local
+  * filesystems — content-atomic; `create(overwrite = false)` on HDFS,
+  * where the namenode makes it atomic). Exactly one writer per
+  * generation can succeed, so two markers for one generation cannot
+  * exist and a commit, once acknowledged, is in every later writer's
+  * base — the pre-claim protocol lost an acknowledged commit when a
+  * foreign writer's ENTIRE commit landed inside the local writer's
+  * staging window and the local marker then won the (gen, id) tie
+  * (CatalogSpec "stage window" regression). The claim's content is
+  * the version id: a writer that dies between claim and marker is
+  * published on its behalf by the next writer (the staged version is
+  * complete before the claim by construction); a claim that stays
+  * CONTENT-LESS past a timeout (impossible on link-atomic
+  * filesystems) is an unacknowledged corpse and is deleted. GC
+  * touches only generations STRICTLY OLDER than the writer's own, and
+  * a writer whose claim was swept by a newer generation's GC is
+  * acknowledged iff that newer marker exists (its base then contains
+  * this commit, because a gen g+1 claimant has, by construction,
+  * listed the unique gen-g marker). The residual envelope: filesystems
+  * with neither atomic link nor atomic create-no-overwrite (bare
+  * object stores without conditional puts) fall back to
+  * last-writer-wins on the claim itself — front the catalog with a
+  * transactional table format there. Reads are cached per Catalog
+  * instance and refreshed by writes; construct a fresh Catalog (or
+  * call `refresh()`) to observe another writer's updates. All
+  * writers of one warehouse must speak this protocol version (a
+  * pre-claim binary racing a claim-aware one reintroduces the tie).
   *
   * Pre-pointer warehouses (a plain `<table>` directory, possibly with
   * the old protocol's crash debris `<table>.bak`) are read as
@@ -167,46 +184,140 @@ class Catalog(spark: SparkSession, dir: String) {
     Catalog.lockFor(path).synchronized { swapWriteLocked(df, path) }
 
   /** Test seams: fired inside `swapWriteLocked` so a spec can play a
-    * CROSS-PROCESS writer (raw FS ops, bypassing the per-JVM lock) in
-    * the two race windows the protocol must survive — between marker
-    * creation and the winner check (same-generation tie), and between
-    * the winner check and GC (a newer generation landing mid-commit).
+    * CROSS-PROCESS writer (raw FS ops or a second JVM, bypassing the
+    * per-JVM lock) in the race windows the protocol must survive —
+    * after staging but before the claim (a foreign commit completing
+    * entirely in that window), between claim and marker, and between
+    * marker creation and GC (a newer generation landing mid-commit).
     * No-ops in production. */
+  private[catalog] var onStaged: Marker => Unit = _ => ()
+  private[catalog] var onClaimed: Marker => Unit = _ => ()
   private[catalog] var onMarkerCreated: Marker => Unit = _ => ()
-  private[catalog] var onWinnerChecked: Marker => Unit = _ => ()
+
+  /** Tunable waits for the claim-failure path (tests shrink them).
+    * Production: lose-and-wait spans the winner's claim→marker window
+    * (milliseconds when alive), so the defaults are generous. */
+  private[catalog] var awaitPtrMs: Long = 10000L
+  private[catalog] var publishBehalfAfterMs: Long = 1000L
+
+  private def claimPath(path: String, gen: Long) = new Path(s"$path.gen.$gen")
+
+  /** Atomic put-if-absent of the generation claim, content = version
+    * id. Local filesystems: write a temp file, then hard-LINK it into
+    * place — link(2) is atomic and fails with EEXIST, so the claim
+    * appears with its content in one step. Others: Hadoop
+    * `create(p, overwrite = false)` (atomic on HDFS; an object store
+    * without conditional puts degrades to last-writer-wins — see the
+    * class doc envelope). Returns false when the generation is
+    * already claimed. */
+  private def claimGeneration(path: String, gen: Long, id: String): Boolean = {
+    val fs = fsFor(new Path(path))
+    val p = fs.makeQualified(claimPath(path, gen))
+    if (p.toUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = target.resolveSibling(s"${target.getFileName}.stage.$id")
+      java.nio.file.Files.write(tmp, id.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+        }
+      out.write(id.getBytes("UTF-8")); out.close()
+      true
+    }
+  }
+
+  /** The claim's content (winner's version id), None when the claim
+    * file is absent or not yet readable. */
+  private def readClaim(path: String, gen: Long): Option[String] = {
+    val fs = fsFor(new Path(path))
+    try {
+      val in = fs.open(claimPath(path, gen))
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) Some("") else Some(new String(buf, 0, n, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** After losing the claim on `gen`: wait until the winner's commit
+    * is READABLE (a marker with generation >= gen), so the caller's
+    * re-merge sees the new base instead of burning its retries on the
+    * same generation. If the winner stalls between claim and marker,
+    * publish the marker ON ITS BEHALF from the claim content (its
+    * version directory is complete before the claim by construction).
+    * A claim that stays content-less past the deadline cannot be an
+    * acknowledged commit (content is written before any success
+    * return) — delete the corpse so the retry can re-claim. */
+  private def awaitClaimWinner(path: String, gen: Long): Unit = {
+    val fs = fsFor(new Path(path))
+    val deadline = System.nanoTime() + awaitPtrMs * 1000000L
+    val behalfAt = System.nanoTime() + publishBehalfAfterMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (markersOf(path).exists(_.gen >= gen)) return
+      readClaim(path, gen) match {
+        case None => return // claim vanished: winner committed and was GC'd, or corpse swept
+        case Some(id) if id.nonEmpty && System.nanoTime() >= behalfAt =>
+          // stalled winner: its staged version is complete — publish it
+          try fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
+          catch { case _: java.io.IOException => () } // it woke up first: fine
+          return
+        case _ => Thread.sleep(20)
+      }
+    }
+    // content-less past the deadline: unacknowledged corpse
+    fs.delete(claimPath(path, gen), false)
+  }
 
   private def swapWriteLocked(df: DataFrame, path: String): Boolean = {
     val fs = fsFor(new Path(path))
     val gen = markersOf(path).sorted.lastOption.map(_.gen).getOrElse(0L) + 1
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.coalesce(1).write.mode("overwrite").parquet(versionDir(path, id))
-    fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
     val mine = Marker(gen, id)
+    onStaged(mine)
+    // the atomic claim decides generation ownership BEFORE any marker
+    // exists: two markers for one generation can never be created, so
+    // no tie-break ever discards an acknowledged commit
+    if (!claimGeneration(path, gen, id)) {
+      fs.delete(new Path(versionDir(path, id)), true)
+      awaitClaimWinner(path, gen)
+      return false
+    }
+    onClaimed(mine)
+    fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
     onMarkerCreated(mine)
-    // a concurrent winner's GC may already have retired our marker, so
-    // the re-list can even be EMPTY from our point of view — any list
-    // whose maximum is not ours means we lost: back our copy out.
-    if (!markersOf(path).sorted.lastOption.contains(mine)) {
+    // acknowledgement check: our claim may have been swept while we
+    // ran — by a NEWER generation's GC (then that writer listed our
+    // unique gen marker, so our commit is in its base: acknowledged),
+    // or by the corpse recovery of a writer that timed us out (then
+    // nothing carries our data: back out and retry)
+    if (!readClaim(path, gen).contains(id) &&
+        !markersOf(path).exists(_.gen > gen)) {
       fs.delete(new Path(s"$path.ptr.$gen.$id"), false)
       fs.delete(new Path(versionDir(path, id)), true)
       return false
     }
-    onWinnerChecked(mine)
-    // GC strictly OLDER markers only — never one with (gen, id) above
-    // ours: a writer that committed a later generation while we ran owns
-    // the live table now, and ITS GC retires us. Superseded markers
-    // first, THEIR versions second: a reader that already resolved an
-    // old marker may still be mid-read (it retries through the new
+    // GC strictly OLDER generations only — never one at or above ours:
+    // a writer that claimed a later generation while we ran owns the
+    // live table now, and ITS GC retires us. Superseded markers first,
+    // THEIR versions second: a reader that already resolved an old
+    // marker may still be mid-read (it retries through the new
     // marker); a version with no marker is unreachable.
     markersOf(path).filter(m => markerOrd.lt(m, mine)).foreach { m =>
       fs.delete(new Path(s"$path.ptr.${m.gen}.${m.id}"), false)
       fs.delete(new Path(versionDir(path, m.id)), true)
+      fs.delete(claimPath(path, m.gen), false)
     }
-    // re-check: if a newer generation appeared during our GC we lost
-    // after all — report it so the caller re-merges through the winner's
-    // table. Our marker/version are strictly older from the winner's
-    // view, so the winner's GC retires them (or the next commit does).
-    if (!markersOf(path).sorted.lastOption.contains(mine)) return false
     // pre-pointer layout (plain dir + old-protocol debris), now migrated
     Seq(path, path + ".bak", path + ".tmp")
       .foreach(s => fs.delete(new Path(s), true))

@@ -179,11 +179,13 @@ class CatalogSpec extends SparkSuite {
   }
 
   /** Plays a CROSS-PROCESS writer with raw FS ops (bypassing the
-    * per-JVM lock), executing the full commit protocol: read live
-    * through the max marker, merge, stage, mark, GC strictly older.
-    * `ignoreId` simulates this writer having LISTED before a marker
-    * with that version id existed (the same-generation race: both
-    * writers list the same base and both claim generation base+1). */
+    * per-JVM lock), executing the full CLAIM-protocol commit: read
+    * live through the max marker, merge, stage, atomically claim the
+    * next generation, mark, GC strictly older. `ignoreId` simulates
+    * this writer having LISTED before a marker with that version id
+    * existed (both writers then compute the same next generation —
+    * the claim, not any marker tie-break, decides who owns it). A
+    * lost claim re-lists fresh and retries, like the real protocol. */
   private def rawCommit(dir: String, id: String, extra: Seq[Resource],
                         ignoreId: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
@@ -198,33 +200,77 @@ class CatalogSpec extends SparkSuite {
         (rest.take(dot).toLong, rest.drop(dot + 1))
       }
     }
-    // the base this writer listed: ignoreId simulates listing BEFORE
-    // that marker existed; the GC re-list below sees everything (as
-    // the real protocol's post-commit re-list does)
-    val (liveGen, liveId) =
-      markers().filterNot(m => ignoreId.contains(m._2)).max
-    val live = spark.read.parquet(s"$table.v$liveId")
-      .as[Resource](org.apache.spark.sql.Encoders.product[Resource])
-      .collect().map(r => r.name -> r).toMap
-    val merged = (live ++ extra.map(r => r.name -> r)).values.toSeq.sortBy(_.name)
-    spark.createDataFrame(merged).coalesce(1).write.parquet(s"$table.v$id")
-    fs.create(new org.apache.hadoop.fs.Path(s"$table.ptr.${liveGen + 1}.$id"),
-      false).close()
-    val ord = Ordering.Tuple2[Long, String]
-    markers().filter(m => ord.lt(m, (liveGen + 1, id))).foreach {
-      case (g, i) =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$table.ptr.$g.$i"), false)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$table.v$i"), true)
+    def attempt(ignore: Option[String]): Boolean = {
+      val (liveGen, liveId) =
+        markers().filterNot(m => ignore.contains(m._2)).max
+      val live = spark.read.parquet(s"$table.v$liveId")
+        .as[Resource](org.apache.spark.sql.Encoders.product[Resource])
+        .collect().map(r => r.name -> r).toMap
+      val merged = (live ++ extra.map(r => r.name -> r)).values.toSeq.sortBy(_.name)
+      spark.createDataFrame(merged).coalesce(1).write
+        .mode("overwrite").parquet(s"$table.v$id")
+      val gen = liveGen + 1
+      // the atomic claim (hard link, like the protocol's local path)
+      val claim = java.nio.file.Paths.get(s"$table.gen.$gen")
+      val tmp = java.nio.file.Paths.get(s"$table.gen.$gen.stage.$id")
+      java.nio.file.Files.write(tmp, id.getBytes("UTF-8"))
+      val won =
+        try { java.nio.file.Files.createLink(claim, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      java.nio.file.Files.deleteIfExists(tmp)
+      if (!won) return false
+      fs.create(new org.apache.hadoop.fs.Path(s"$table.ptr.$gen.$id"),
+        false).close()
+      val ord = Ordering.Tuple2[Long, String]
+      markers().filter(m => ord.lt(m, (gen, id))).foreach {
+        case (g, i) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$table.ptr.$g.$i"), false)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$table.v$i"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$table.gen.$g"), false)
+      }
+      true
     }
+    if (!attempt(ignoreId))
+      assert(attempt(None), "foreign writer lost the claim twice")
   }
 
-  test("cross-process same-generation tie: smaller id backs out, no entry lost") {
+  test("foreign commit completing inside the stage window is never lost") {
+    // the r14 hole hunt: writer B runs a COMPLETE commit (list, stage,
+    // mark, winner-check, GC) in the window after A computed its
+    // generation and staged, but BEFORE A's marker exists. B's winner
+    // check cannot see A (no marker yet) — B returns success. If A's
+    // id then sorts above B's, a tie-break on marker order alone lets
+    // A's winner check pass too, and A's GC silently retires B's
+    // ACKNOWLEDGED commit. The protocol must not lose B's entry under
+    // this schedule regardless of id order ("0"*16 sorts below any
+    // random hex id, forcing the bad order).
+    val dir = Files.createTempDirectory("catalog_xstage").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("H.seed", "table", "parquet", "/tmp/seed"))
+    var fired = false
+    a.onStaged = m => if (!fired) {
+      fired = true
+      rawCommit(dir, "0" * 16, Seq(
+        Resource("H.from_b", "table", "parquet", "/tmp/b")))
+    }
+    a.register(Resource("H.from_a", "table", "parquet", "/tmp/a"))
+    a.onStaged = _ => ()
+    assert(fired, "the race window hook never fired")
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("H.seed", "H.from_a", "H.from_b"),
+      "a foreign commit acknowledged inside the stage window must survive")
+  }
+
+  test("cross-process same-generation contention: the claim decides, no entry lost") {
     val dir = Files.createTempDirectory("catalog_xgen").toString
     val a = new Catalog(spark, dir)
     a.register(Resource("X.seed", "table", "parquet", "/tmp/seed"))
-    // writer B (a 'foreign process') commits the SAME generation with a
-    // lexicographically larger id in the window between A's marker
-    // creation and A's winner check; B's own GC retires A's marker
+    // writer B (a 'foreign process') listed BEFORE A's marker existed
+    // (ignoreId), so it computes the SAME generation — pre-claim, this
+    // was the (gen, id) marker tie the old winner check adjudicated;
+    // now B's claim of that generation must FAIL outright (A holds the
+    // claim from before its marker), and B re-merges through A's live
+    // table into the next generation
     var fired = false
     a.onMarkerCreated = m => if (!fired) {
       fired = true
@@ -237,25 +283,27 @@ class CatalogSpec extends SparkSuite {
     assert(fired, "the race window hook never fired")
     assert(new Catalog(spark, dir).resources.keySet ===
       Set("X.seed", "X.from_a", "X.from_b"),
-      "losing the same-generation tie must re-merge through the winner")
+      "losing the same-generation claim must re-merge through the winner")
   }
 
   test("newer generation landing mid-commit: GC never touches it, no catalog loss") {
     val dir = Files.createTempDirectory("catalog_xgc").toString
     val a = new Catalog(spark, dir)
     a.register(Resource("G.seed", "table", "parquet", "/tmp/seed"))
-    // writer B commits generation N+1 AFTER A's winner check for gen N
-    // passed but BEFORE A's GC runs: A's GC must only touch strictly
-    // older markers (deleting B's here left ZERO markers and version
-    // dirs — total silent catalog loss, the r12 ADVICE-high)
+    // writer B commits generation N+1 AFTER A created its gen-N marker
+    // but BEFORE A's GC runs: A's GC must only touch strictly older
+    // generations (deleting B's here left ZERO markers and version
+    // dirs — total silent catalog loss, the r12 ADVICE-high), and A
+    // must stay acknowledged through B's GC of A's claim (B's base
+    // contains A's entry, because B listed A's marker)
     var fired = false
-    a.onWinnerChecked = m => if (!fired) {
+    a.onMarkerCreated = m => if (!fired) {
       fired = true
       rawCommit(dir, "z" * 16, Seq(
         Resource("G.from_b", "table", "parquet", "/tmp/b")))
     }
     a.register(Resource("G.from_a", "table", "parquet", "/tmp/a"))
-    a.onWinnerChecked = _ => ()
+    a.onMarkerCreated = _ => ()
     assert(fired, "the race window hook never fired")
     val fin = new Catalog(spark, dir).resources.keySet
     assert(fin === Set("G.seed", "G.from_a", "G.from_b"),
@@ -269,6 +317,48 @@ class CatalogSpec extends SparkSuite {
     val vid = ms.head.getPath.getName.split('.').last
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/resources.v$vid")),
       "the live marker must point at an existing version directory")
+  }
+
+  test("writer dead between claim and marker: published on its behalf, not lost") {
+    // a complete-but-unpointed commit (version staged, generation
+    // claimed with content, marker never created — the writer died in
+    // between): the next writer loses the claim, finds no marker, and
+    // after publishBehalfAfterMs creates the dead writer's marker from
+    // the claim content — the staged version is complete before any
+    // claim by construction, so publishing it is always sound
+    val dir = Files.createTempDirectory("catalog_dead1").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("D.seed", "table", "parquet", "/tmp/seed"))
+    val deadId = "d" * 16
+    spark.createDataFrame(Seq(
+        Resource("D.dead", "table", "parquet", "/tmp/dead"),
+        Resource("D.seed", "table", "parquet", "/tmp/seed")))
+      .coalesce(1).write.parquet(s"$dir/resources.v$deadId")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/resources.gen.2"), deadId.getBytes("UTF-8"))
+    a.publishBehalfAfterMs = 50
+    a.awaitPtrMs = 3000
+    a.register(Resource("D.from_a", "table", "parquet", "/tmp/a"))
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("D.seed", "D.dead", "D.from_a"),
+      "a claimed-and-staged commit must be published, never skipped")
+  }
+
+  test("content-less corpse claim is swept after the deadline; commits proceed") {
+    // a claim with no content can only come from a writer that died
+    // INSIDE claim creation on a filesystem without atomic
+    // link-with-content (impossible locally; modeled by hand) — it was
+    // never acknowledged, so sweeping it is safe and unblocks the
+    // generation
+    val dir = Files.createTempDirectory("catalog_dead2").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("E.seed", "table", "parquet", "/tmp/seed"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/resources.gen.2"))
+    a.awaitPtrMs = 300
+    a.register(Resource("E.from_a", "table", "parquet", "/tmp/a"))
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("E.seed", "E.from_a"))
   }
 
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
