@@ -79,6 +79,15 @@ object MotifQuery {
     * >= k)` ≡ `sharedNeighbors(e).where(n_shared >= k)` exactly.
     * Callers must still apply their `where`: pairs of high-degree
     * sources sharing < k hubs survive the prune. Default 1 = off.
+    *
+    * COST: the prune is one extra full-edge exchange + sort (the
+    * windowed count). Pass it only when the source-degree
+    * distribution has a real tail below k — on an edge set where
+    * every source clears the bar it prunes nothing and measured ~29%
+    * extra task-CPU at v2sf1 (DRIFT_r14 §2: the TPC-H-shaped
+    * supplier→part set has min outdeg ≥ 8, so the gated j5/u2 leave
+    * it off; the seeded random fixture in SharedNeighborsSpec has the
+    * tail and shows the pair-stream reduction).
     */
   def sharedNeighbors(edges: DataFrame, chunkSize: Int = 1024,
                       hotDegree: Long = 0L, minShared: Long = 1L): DataFrame = {

@@ -57,10 +57,12 @@ object GraphQ {
     // via the degree-aware aggregate-then-pair plan (no d² self-join
     // blowup on a hot part; see MotifQuery.sharedNeighbors).
     "j5_motif" -> { (s, dir) =>
-      // minShared = the filter's own k: sources bound to < 5 parts are
-      // dropped before pair generation (n_shared <= min outdeg), which
-      // shrinks the quadratic pair stream without moving the result
-      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir), minShared = 5L)
+      // deliberately NOT passing minShared = 5: on this data every
+      // supplier supplies >= 8 distinct parts (measured across all
+      // fixtures, DRIFT_r14 §2), so the prune removes nothing and its
+      // windowed degree count costs ~29% extra CPU at v2sf1. The
+      // parameter exists for edge sets with a real low-degree tail.
+      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
         .where(col("n_shared") >= 5)
         .orderBy("s1", "s2")
     },
@@ -106,9 +108,8 @@ object GraphQ {
     // The nation hubs are inherently hot (25 hubs × all suppliers) —
     // exactly the shape the chunked pair generation spreads out.
     "u2_motif_union" -> { (s, dir) =>
-      val shared = MotifQuery
-        .sharedNeighbors(suppPartEdgesRaw(s, dir), minShared = 8L)
-        .where(col("n_shared") >= 8).select("s1", "s2")
+      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+        .where(col("n_shared") >= 8).select("s1", "s2") // minShared off: no low-degree tail here (see j5)
       val sn = table(s, dir, "supplier").select(
         col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))
       val coloc = MotifQuery.sharedNeighbors(sn, chunkSize = 256)
