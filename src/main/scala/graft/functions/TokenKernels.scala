@@ -187,7 +187,10 @@ object HashWeightSum {
   * joined string). Null elements are skipped like concat_ws; null
   * `toks` or `cut` → null (coalesce the cut side when "no cuts" means
   * "keep all"). An empty survivor set yields "" (concat_ws's empty
-  * result), not null.
+  * result), not null. `cut` must not contain null ELEMENTS (a null
+  * slot reads as position 0, which can never match the 1-based
+  * index — harmless today, but the contract is "non-null positions";
+  * collect_set, the expected producer, never emits nulls).
   */
 case class JoinExceptPositions(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {

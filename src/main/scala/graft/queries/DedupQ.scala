@@ -557,7 +557,10 @@ object DedupQ {
             when(size(acc("sel")) === 0, c("rel")).otherwise(
               lit(0.5) * c("rel") - lit(0.5) * array_max(
                 transform(acc("sel"), sid =>
-                  element_at(col("sm"), concat_ws("_", c("n"), sid)))))
+                  // try_element_at: a pair absent from the sim map must
+                  // stay NULL (array_max skips it, the pre-ANSI
+                  // behavior) — element_at throws under ANSI mode
+                  try_element_at(col("sm"), concat_ws("_", c("n"), sid)))))
           val best = aggregate(col("cs"),
             struct(lit(Double.NegativeInfinity).as("score"), lit(-1L).as("n")),
             (b, c) => when(array_contains(acc("sel"), c("n")), b).otherwise {

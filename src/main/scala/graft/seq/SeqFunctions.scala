@@ -42,8 +42,12 @@ object SeqFunctions {
     when(nCodons >= 1,
       concat_ws("",
         transform(sequence(lit(0), nCodons - 1),
+          // try_element_at: a codon absent from the table (any non-ACGT
+          // base) must reach the coalesce as NULL → "X"; plain
+          // element_at THROWS on a missing map key under ANSI mode
+          // (the Spark 4 default), never falling through
           i => coalesce(
-            element_at(typedLit(codonTable), up.substr(lit(1) + i * 3, lit(3))),
+            try_element_at(typedLit(codonTable), up.substr(lit(1) + i * 3, lit(3))),
             lit("X")))))
     .otherwise(lit(""))
   }
