@@ -110,6 +110,10 @@ class Catalog(spark: SparkSession, dir: String) {
 
   @volatile private var resCache: Map[String, Resource] = _
   @volatile private var relCache: Map[String, Relation] = _
+  // generation each cache snapshot was read from (0 = empty/legacy):
+  // the commit claims ITS successor, coupling base to generation
+  @volatile private var resBaseGen: Long = 0L
+  @volatile private var relBaseGen: Long = 0L
 
   private def fsFor(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -148,40 +152,52 @@ class Catalog(spark: SparkSession, dir: String) {
     * them). Falls back to the pre-pointer layout — the plain table
     * dir, healing the old protocol's crashed-swap state (live dir
     * missing, `.bak` present) by restoring the backup. */
-  private def readLive[A](path: String)(read: String => A): Option[A] = {
+  private def readLive[A](path: String)(read: String => A): (Long, Option[A]) = {
     var last: Exception = null
     for (attempt <- 1 to 6) {
       markersOf(path).sorted.lastOption match {
         case Some(m) =>
-          try return Some(read(versionDir(path, m.id)))
+          try return (m.gen, Some(read(versionDir(path, m.id))))
           catch { case e: Exception => last = e } // GC race: re-list, retry
         case None =>
           val p = new Path(path)
           val fs = fsFor(p)
-          if (fs.exists(p)) return Some(read(path))
+          if (fs.exists(p)) return (0L, Some(read(path)))
           val bak = new Path(path + ".bak")
-          if (!fs.exists(bak)) return None
+          if (!fs.exists(bak)) return (0L, None)
           if (!fs.rename(bak, p) && !fs.exists(p))
             throw new java.io.IOException(
               s"catalog recovery: could not restore $bak to $p")
-          return Some(read(path))
+          return (0L, Some(read(path)))
       }
     }
     throw new java.io.IOException(
       s"catalog read($path): live version swapped out 6 times", last)
   }
 
-  /** Commit `df` as the next generation of `path`: stage the version
-    * directory, create its marker, then re-list — if a cross-process
-    * writer won the same generation with a greater id, back our copy
-    * out and return false (the caller re-merges and retries).
-    * On success, garbage-collect superseded markers, their version
-    * directories, and any pre-pointer layout. Metadata is one
+  /** Commit `df` as generation `baseGen + 1` of `path` — the
+    * generation is COUPLED to the base the caller merged from, so a
+    * foreign commit landing between the caller's read and this commit
+    * makes the claim fail (the foreign writer claimed that generation
+    * first, or the recycled-claim guard sees its marker) and the
+    * caller re-merges: the classic compare-and-swap, with the claim
+    * file as the CAS. On success, garbage-collect superseded markers
+    * and claims immediately (new readers re-route) but superseded
+    * VERSION directories only past a grace age — a reader that
+    * already resolved an old marker finishes its scan on the intact
+    * immutable directory instead of retrying through the flip (under
+    * rapid-fire commits the retry loop could starve; versions are
+    * KB-scale, so the lingering copies are free). Metadata is one
     * coalesced file, not a shuffle.
-    * @return true when this writer's table is live; false = lost a
-    *         race, retry the merge+commit. */
-  private def swapWrite(df: DataFrame, path: String): Boolean =
-    Catalog.lockFor(path).synchronized { swapWriteLocked(df, path) }
+    * @return true when this writer's table is live or provably carried
+    *         by a newer generation; false = lost the race, retry the
+    *         merge+commit. */
+  private def swapWrite(df: DataFrame, path: String, baseGen: Long): Boolean =
+    Catalog.lockFor(path).synchronized { swapWriteLocked(df, path, baseGen) }
+
+  /** Grace age for superseded version directories (see swapWrite).
+    * Tunable for tests; production default 10 min. */
+  private[catalog] var versionGraceMs: Long = 600000L
 
   /** Test seams: fired inside `swapWriteLocked` so a spec can play a
     * CROSS-PROCESS writer (raw FS ops or a second JVM, bypassing the
@@ -193,6 +209,12 @@ class Catalog(spark: SparkSession, dir: String) {
   private[catalog] var onStaged: Marker => Unit = _ => ()
   private[catalog] var onClaimed: Marker => Unit = _ => ()
   private[catalog] var onMarkerCreated: Marker => Unit = _ => ()
+  /** Fired in register/addRelation AFTER the live table was read and
+    * merged but BEFORE the commit — the stale-base window: a foreign
+    * commit landing here must force this writer to re-merge, or its
+    * table (merged from the pre-foreign base) silently drops the
+    * foreign entry. */
+  private[catalog] var onBeforeCommit: () => Unit = () => ()
 
   /** Tunable waits for the claim-failure path (tests shrink them).
     * Production: lose-and-wait spans the winner's claim→marker window
@@ -278,9 +300,13 @@ class Catalog(spark: SparkSession, dir: String) {
     fs.delete(claimPath(path, gen), false)
   }
 
-  private def swapWriteLocked(df: DataFrame, path: String): Boolean = {
+  private def swapWriteLocked(df: DataFrame, path: String, baseGen: Long): Boolean = {
     val fs = fsFor(new Path(path))
-    val gen = markersOf(path).sorted.lastOption.map(_.gen).getOrElse(0L) + 1
+    // gen is the BASE's successor, not "current max + 1": if anything
+    // committed since the caller read its base, this claim must fail
+    // so the caller re-merges (CAS semantics — the stale-base window
+    // between read-merge and commit is closed here, not by luck)
+    val gen = baseGen + 1
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.coalesce(1).write.mode("overwrite").parquet(versionDir(path, id))
     val mine = Marker(gen, id)
@@ -294,13 +320,24 @@ class Catalog(spark: SparkSession, dir: String) {
       return false
     }
     onClaimed(mine)
+    // recycled-claim guard: the claim file of a LONG-superseded
+    // generation is deleted by GC, so a writer whose base is several
+    // generations stale can re-create it and "win" a generation that
+    // already has (or had) a marker — any marker at or past our gen
+    // means exactly that: release the claim and re-merge
+    if (markersOf(path).exists(_.gen >= gen)) {
+      fs.delete(claimPath(path, gen), false)
+      fs.delete(new Path(versionDir(path, id)), true)
+      return false
+    }
     fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
     onMarkerCreated(mine)
     // acknowledgement check: our claim may have been swept while we
-    // ran — by a NEWER generation's GC (then that writer listed our
-    // unique gen marker, so our commit is in its base: acknowledged),
-    // or by the corpse recovery of a writer that timed us out (then
-    // nothing carries our data: back out and retry)
+    // ran — by a NEWER generation's GC (then that writer resolved its
+    // base through our unique gen marker — base coupling — so our
+    // commit is in its base: acknowledged), or by the corpse recovery
+    // of a writer that timed us out (then nothing carries our data:
+    // back out and retry)
     if (!readClaim(path, gen).contains(id) &&
         !markersOf(path).exists(_.gen > gen)) {
       fs.delete(new Path(s"$path.ptr.$gen.$id"), false)
@@ -309,19 +346,42 @@ class Catalog(spark: SparkSession, dir: String) {
     }
     // GC strictly OLDER generations only — never one at or above ours:
     // a writer that claimed a later generation while we ran owns the
-    // live table now, and ITS GC retires us. Superseded markers first,
-    // THEIR versions second: a reader that already resolved an old
-    // marker may still be mid-read (it retries through the new
-    // marker); a version with no marker is unreachable.
+    // live table now, and ITS GC retires us. Markers and claims go
+    // immediately (new readers re-route through ours); superseded
+    // VERSION directories are swept only past the grace age, so a
+    // reader mid-scan on a just-retired version finishes on the
+    // intact immutable directory instead of retrying through every
+    // flip (starvation under rapid-fire commits).
     markersOf(path).filter(m => markerOrd.lt(m, mine)).foreach { m =>
       fs.delete(new Path(s"$path.ptr.${m.gen}.${m.id}"), false)
-      fs.delete(new Path(versionDir(path, m.id)), true)
       fs.delete(claimPath(path, m.gen), false)
     }
+    sweepAgedVersions(path, fs, keepId = id)
     // pre-pointer layout (plain dir + old-protocol debris), now migrated
     Seq(path, path + ".bak", path + ".tmp")
       .foreach(s => fs.delete(new Path(s), true))
     true
+  }
+
+  /** Delete version directories that are (a) referenced by no marker —
+    * superseded, or a crashed writer's orphan stage — and (b) older
+    * than the grace age. Age protects both a mid-scan reader of a
+    * just-superseded version and a LIVE writer's staged-but-unclaimed
+    * directory (seconds old, far under any sane grace). */
+  private def sweepAgedVersions(path: String,
+      fs: org.apache.hadoop.fs.FileSystem, keepId: String): Unit = {
+    val referenced = markersOf(path).map(_.id).toSet + keepId
+    val sts =
+      try fs.globStatus(new Path(path + ".v*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    if (sts == null) return
+    val cutoff = System.currentTimeMillis() - versionGraceMs
+    val prefix = new Path(path).getName + ".v"
+    sts.foreach { st =>
+      val vid = st.getPath.getName.stripPrefix(prefix)
+      if (!referenced.contains(vid) && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Drop the instance cache: next read reloads from the warehouse. */
@@ -330,9 +390,11 @@ class Catalog(spark: SparkSession, dir: String) {
   def resources: Map[String, Resource] = {
     if (resCache == null) {
       import spark.implicits._
-      resCache = readLive(resPath) { p =>
+      val (g, m) = readLive(resPath) { p =>
         spark.read.parquet(p).as[Resource].collect().map(r => r.name -> r).toMap
-      }.getOrElse(Map.empty)
+      }
+      resBaseGen = g
+      resCache = m.getOrElse(Map.empty)
     }
     resCache
   }
@@ -340,9 +402,11 @@ class Catalog(spark: SparkSession, dir: String) {
   def relations: Map[String, Relation] = {
     if (relCache == null) {
       import spark.implicits._
-      relCache = readLive(relPath) { p =>
+      val (g, m) = readLive(relPath) { p =>
         spark.read.parquet(p).as[Relation].collect().map(r => r.name -> r).toMap
-      }.getOrElse(Map.empty)
+      }
+      relBaseGen = g
+      relCache = m.getOrElse(Map.empty)
     }
     relCache
   }
@@ -352,18 +416,32 @@ class Catalog(spark: SparkSession, dir: String) {
     */
   // the read-merge-commit sequence must be atomic against same-process
   // writers; synchronized is reentrant with swapWrite's lock
+  // lost races back off with jitter before re-merging: under a
+  // rapid-fire foreign writer, immediate retries re-stage into the
+  // same collision window and can starve out all attempts
+  private def raceBackoff(attempt: Int): Unit =
+    if (attempt > 1)
+      Thread.sleep(50L * attempt +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
+
   def register(r: Resource): Unit = Catalog.lockFor(resPath).synchronized {
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
-      if (attempts > 5) throw new java.io.IOException(
-        s"catalog register($resPath): lost the commit race 5 times; giving up")
+      if (attempts > 8) throw new java.io.IOException(
+        s"catalog register($resPath): lost the commit race 8 times; giving up")
+      raceBackoff(attempts)
       resCache = null // merge against the LIVE table, not a stale cache
       val rows = resources + (r.name -> r)
-      done = swapWrite(
-        spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath)
-      if (done) resCache = rows
+      if (rows == resCache) { done = true } // already live verbatim: nothing to commit
+      else {
+        onBeforeCommit()
+        done = swapWrite(
+          spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), resPath,
+          resBaseGen)
+        if (done) { resCache = rows; resBaseGen += 1 }
+      }
     }
   }
 
@@ -372,13 +450,19 @@ class Catalog(spark: SparkSession, dir: String) {
     var done = false
     while (!done) {
       attempts += 1
-      if (attempts > 5) throw new java.io.IOException(
-        s"catalog addRelation($relPath): lost the commit race 5 times; giving up")
+      if (attempts > 8) throw new java.io.IOException(
+        s"catalog addRelation($relPath): lost the commit race 8 times; giving up")
+      raceBackoff(attempts)
       relCache = null
       val rows = relations + (rel.name -> rel)
-      done = swapWrite(
-        spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath)
-      if (done) relCache = rows
+      if (rows == relCache) { done = true }
+      else {
+        onBeforeCommit()
+        done = swapWrite(
+          spark.createDataFrame(rows.values.toSeq.sortBy(_.name)), relPath,
+          relBaseGen)
+        if (done) { relCache = rows; relBaseGen += 1 }
+      }
     }
   }
 

@@ -65,6 +65,55 @@ class CatalogCrossJvmSpec extends SparkSuite {
       "a second JVM's commit inside the stage window must survive")
   }
 
+  test("wild race: a second JVM and the local writer commit concurrently, no seams") {
+    // no pause, no pinned window — the two writers interleave however
+    // the scheduler lands them (the local writer registers several
+    // entries while the foreign JVM does its one); whatever the
+    // schedule, every acknowledged entry must be in the final table
+    // and the warehouse must converge to one marker + one claim
+    val dir = Files.createTempDirectory("catalog_jvm_wild").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("W.seed", "table", "parquet", "/tmp/seed"))
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(x => x.startsWith("--add-opens") || x.startsWith("--add-exports") ||
+        x.startsWith("--enable-native-access") || x.startsWith("-D"))
+    val log = Files.createTempFile("catalog_wild", ".log").toFile
+    val p = new ProcessBuilder(
+      (Seq(javaBin) ++ inherited ++ Seq("-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.catalog.CatalogWriterMain", dir, "W.from_b")).asJava)
+      .redirectErrorStream(true).redirectOutput(log).start()
+    // local writer commits a FIXED burst while the child starts up and
+    // registers — enough traffic that the child's read-merge-commit
+    // almost certainly overlaps local commits, but bounded, so the
+    // child's retry budget (backoff + 8 attempts) always outlasts the
+    // contention instead of starving against an unbounded hammer
+    var committed = Set.empty[String]
+    var i = 0
+    while (i < 8) {
+      val name = s"W.a$i"
+      new Catalog(spark, dir).register(Resource(name, "table", "parquet", s"/tmp/a$i"))
+      committed += name
+      i += 1
+      if (p.isAlive) Thread.sleep(250) else i = 8
+    }
+    val exit = p.waitFor()
+    assert(exit === 0, s"foreign writer JVM failed (exit $exit):\n" +
+      new String(Files.readAllBytes(log.toPath), "UTF-8").takeRight(4000))
+    val fin = keys(dir)
+    val expected = committed + "W.seed" + "W.from_b"
+    assert(fin === expected,
+      s"lost entries: ${expected -- fin}; unexpected: ${fin -- expected}")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ms = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*"))
+    assert(ms != null && ms.length === 1,
+      s"expected one live marker, got ${Option(ms).map(_.length)}")
+  }
+
   test("second JVM commits a newer generation mid-commit (between marker and GC)") {
     // the mid-commit-newer-generation schedule: A's marker exists, so
     // the foreign JVM lists it, merges through it, and commits the

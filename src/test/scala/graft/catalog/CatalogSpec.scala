@@ -261,6 +261,33 @@ class CatalogSpec extends SparkSuite {
       "a foreign commit acknowledged inside the stage window must survive")
   }
 
+  test("foreign commit in the read-merge window forces a re-merge (stale base)") {
+    // the second r14 hole: writer A reads the live table, merges its
+    // entry, and a foreign commit lands BEFORE A commits. If A's
+    // generation were "current max + 1" (computed at commit time,
+    // decoupled from the base A merged from), A would claim the
+    // foreign successor and publish a table merged from the
+    // PRE-foreign base — the foreign writer's acknowledged entry
+    // silently gone. Generations are coupled to the base (CAS): A's
+    // claim of base+1 must fail against the foreign claim and A must
+    // re-merge.
+    val dir = Files.createTempDirectory("catalog_stale").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("S.seed", "table", "parquet", "/tmp/seed"))
+    var fired = false
+    a.onBeforeCommit = () => if (!fired) {
+      fired = true
+      rawCommit(dir, "b" * 16, Seq(
+        Resource("S.from_b", "table", "parquet", "/tmp/b")))
+    }
+    a.register(Resource("S.from_a", "table", "parquet", "/tmp/a"))
+    a.onBeforeCommit = () => ()
+    assert(fired, "the race window hook never fired")
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("S.seed", "S.from_a", "S.from_b"),
+      "a foreign commit in the read-merge window must force a re-merge")
+  }
+
   test("cross-process same-generation contention: the claim decides, no entry lost") {
     val dir = Files.createTempDirectory("catalog_xgen").toString
     val a = new Catalog(spark, dir)
