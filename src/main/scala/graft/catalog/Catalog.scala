@@ -61,13 +61,18 @@ case class Relation(name: String, src: String, srcCol: String,
   * GENERATION CLAIM: before creating its marker, a writer must
   * create `<table>.gen.<gen>` put-if-absent (a hard link on local
   * filesystems — content-atomic; `create(overwrite = false)` on HDFS,
-  * where the namenode makes it atomic). Exactly one writer per
-  * generation can succeed, so two markers for one generation cannot
-  * exist and a commit, once acknowledged, is in every later writer's
-  * base — the pre-claim protocol lost an acknowledged commit when a
-  * foreign writer's ENTIRE commit landed inside the local writer's
-  * staging window and the local marker then won the (gen, id) tie
-  * (CatalogSpec "stage window" regression). The claim's content is
+  * where the namenode makes it atomic), and the generation it claims
+  * is its MERGE BASE's successor — the claim is a compare-and-swap,
+  * so a commit landing anywhere between a writer's read and its
+  * commit makes the claim fail (or trips the recycled-claim guard)
+  * and the writer re-merges. Exactly one writer per generation can
+  * succeed, two markers for one generation cannot exist, and a
+  * commit, once acknowledged, is in every later writer's base. Two
+  * regressions pin the holes this closed (each lost an ACKNOWLEDGED
+  * foreign commit): the pre-claim marker tie-break when a foreign
+  * commit completed inside the local staging window (CatalogSpec
+  * "stage window"), and the decoupled-generation commit that claimed
+  * the foreign successor with a pre-foreign base ("stale base"). The claim's content is
   * the version id: a writer that dies between claim and marker is
   * published on its behalf by the next writer (the staged version is
   * complete before the claim by construction); a claim that stays
