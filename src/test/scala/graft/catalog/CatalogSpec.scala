@@ -346,6 +346,64 @@ class CatalogSpec extends SparkSuite {
       "the live marker must point at an existing version directory")
   }
 
+  test("recycled claim: a stale writer re-claiming a GC'd generation backs out") {
+    // the foreign writer commits TWO generations inside A's stage
+    // window; its second GC deletes the first generation's claim file,
+    // so A's claim of base+1 SUCCEEDS on the recycled name even though
+    // that generation's marker existed — the guard (any marker at or
+    // past the claimed gen) must make A release and re-merge, never
+    // publish a second marker for a superseded generation
+    val dir = Files.createTempDirectory("catalog_recycle").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("R2.seed", "table", "parquet", "/tmp/seed"))
+    var fired = false
+    a.onStaged = _ => if (!fired) {
+      fired = true
+      rawCommit(dir, "b" * 16, Seq(
+        Resource("R2.b1", "table", "parquet", "/tmp/b1")))
+      rawCommit(dir, "c" * 16, Seq(
+        Resource("R2.b2", "table", "parquet", "/tmp/b2")))
+    }
+    a.register(Resource("R2.from_a", "table", "parquet", "/tmp/a"))
+    a.onStaged = _ => ()
+    assert(fired, "the race window hook never fired")
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("R2.seed", "R2.b1", "R2.b2", "R2.from_a"),
+      "a recycled claim must not let a stale base skip committed entries")
+    // exactly one marker per generation ever: the live warehouse holds
+    // one marker and its generation is past the foreign pair's
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ms = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*"))
+    assert(ms != null && ms.length === 1)
+  }
+
+  test("superseded versions are swept only past the grace age") {
+    val dir = Files.createTempDirectory("catalog_grace").toString
+    val a = new Catalog(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def versions(): Int = {
+      val sts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.v*"))
+      if (sts == null) 0 else sts.length
+    }
+    a.register(Resource("V.a", "table", "parquet", "/tmp/a"))
+    a.register(Resource("V.b", "table", "parquet", "/tmp/b"))
+    // default grace (10 min): the superseded gen-1 version LINGERS so a
+    // mid-scan reader finishes on it (its marker+claim are gone)
+    assert(versions() === 2, "superseded version must survive inside the grace age")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/resources.ptr.*")).length === 1, "but its marker must not")
+    // grace 0: the next commit sweeps everything unreferenced
+    a.versionGraceMs = 0L
+    try {
+      Thread.sleep(20) // mtimes must fall behind the cutoff
+      a.register(Resource("V.c", "table", "parquet", "/tmp/c"))
+      assert(versions() === 1, "past the grace age only the live version remains")
+    } finally a.versionGraceMs = 600000L
+    assert(new Catalog(spark, dir).resources.keySet === Set("V.a", "V.b", "V.c"))
+  }
+
   test("writer dead between claim and marker: published on its behalf, not lost") {
     // a complete-but-unpointed commit (version staged, generation
     // claimed with content, marker never created — the writer died in
