@@ -145,7 +145,7 @@ object Bench {
     // (wall seconds, streaming-engine seconds if the query ran a
     // streaming replay — wall − engine is MemoryStream harness time,
     // and the per-query metrics block)
-    val results: Seq[(String, (Double, Option[Double], Seq[(String, String)]))] =
+    val results: Seq[(String, (Double, Option[Double], Seq[(String, String)], Boolean))] =
       selected.map { case (name, fn) =>
         // stderr progress marker so a crashed run (OOM, kill) names
         // the query it died in — the artifact only writes at the end
@@ -154,12 +154,23 @@ object Bench {
         var kept = 0.0
         var engine = Option.empty[Double]
         var metr: Seq[(String, String)] = Nil
+        // a query that THROWS at bench time must not book its ~0 s
+        // wall as a speedup in the comparable series (the old silent
+        // catch did exactly that — VERDICT r14): record the exception
+        // class in the metrics block and drop the wall row instead.
+        // Any successful pass clears the marker (flaky ≠ broken).
+        var lastErr = Option.empty[String]
+        var succeeded = false
         for (_ <- 1 to repeat) {
           graft.streaming.StreamMeter.reset()
           drain(); listener.snapshotAndReset() // zero the counters
           val j0 = HostStats.cpuJiffies()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count(); succeeded = true } catch {
+            case e: Throwable =>
+              lastErr = Some(e.getClass.getSimpleName)
+              System.err.println(s"[bench] $name FAILED: $e")
+          }
           val wall = (System.nanoTime() - t0) / 1e9
           drain()
           val snap = listener.snapshotAndReset()
@@ -189,6 +200,8 @@ object Bench {
           }
           scrub()
         }
+        val err = if (succeeded) None else lastErr
+        err.foreach { cls => metr = metr :+ ("err" -> ("\"" + cls + "\"")) }
         if (doMat) {
           import org.apache.spark.sql.functions.{col, expr, struct, to_json, xxhash64}
           drain(); listener.snapshotAndReset()
@@ -199,10 +212,15 @@ object Bench {
               // bit_xor, not sum: ANSI mode (Spark 4 default) makes
               // sum(hash) overflow on >2 rows; xor is order-independent
               // and never overflows
+              // mat_rows beside mat_hash: bit_xor cancels pairwise, so
+              // an even-multiplicity row duplication leaves the hash
+              // unchanged — the count moves when multiplicity does
+              // (ADVICE r14)
               val row = df.select(xxhash64(to_json(
                   struct(df.columns.map(col): _*))).as("__h"))
-                .agg(expr("bit_xor(__h)").as("h")).collect()(0)
-              Some(if (row.isNullAt(0)) 0L else row.getLong(0))
+                .agg(expr("bit_xor(__h)").as("h"),
+                     expr("count(1)").as("n")).collect()(0)
+              Some((if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1)))
             } catch { case e: Throwable =>
               // named, not silent: a query the materializing force
               // cannot run is itself a blind spot worth seeing
@@ -212,17 +230,18 @@ object Bench {
           val matWall = (System.nanoTime() - t0) / 1e9
           drain()
           val matSnap = listener.snapshotAndReset()
-          hash.foreach { h =>
+          hash.foreach { case (h, n) =>
             val matCpu = matSnap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }
               .getOrElse(0.0)
             metr = metr ++ Seq(
               "mat_wall_s" -> fmt(matWall),
               "mat_cpu_ms" -> fmt(matCpu),
-              "mat_hash" -> h.toString)
+              "mat_hash" -> h.toString,
+              "mat_rows" -> n.toString)
           }
           scrub()
         }
-        name -> ((kept, engine, metr))
+        name -> ((kept, engine, metr, err.isDefined))
       }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -231,7 +250,10 @@ object Bench {
     // (MemoryStream replay scaffolding) — the engine number is the
     // perf signal, the wall number stays comparable with history
     val flat: Seq[(String, Double)] = results.flatMap {
-      case (k, (wall, eOpt, m)) =>
+      // erred queries contribute NO wall row — their near-zero wall
+      // would read as a speedup; the err marker lives in the metrics
+      case (_, (_, _, _, true)) => Nil
+      case (k, (wall, eOpt, m, _)) =>
         val base = eOpt match {
           case Some(e) => Seq(k -> wall, s"${k}__engine_s" -> e,
             s"${k}__harness_s" -> math.max(0.0, wall - e))
@@ -244,14 +266,15 @@ object Bench {
           s"${k}__mat_s" -> v.toDouble }
     }
     val metricsJson = results
-      .map { case (k, (_, _, m)) => "\"" + k + "\":" + objJson(m) }
+      .map { case (k, (_, _, m, _)) => "\"" + k + "\":" + objJson(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val ok = results.filterNot(_._2._4)
+    val total = if (ok.nonEmpty) ok.map(_._2._1).sum else 0.0
     // CPU-time secondary headline: Σ task_cpu_ms across the suite.
     // Wall time on a contended host inflates uniformly (r7/r8 lesson);
     // executor CPU seconds barely move, so driver-vs-quiet comparisons
     // can adjudicate contention from the artifact alone.
-    val cpuTotalS = results.flatMap { case (_, (_, _, m)) =>
+    val cpuTotalS = ok.flatMap { case (_, (_, _, m, _)) =>
       m.collectFirst { case ("task_cpu_ms", v) => v.toDouble / 1000.0 }
     }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
