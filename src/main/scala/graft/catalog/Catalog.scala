@@ -82,11 +82,15 @@ case class Relation(name: String, src: String, srcCol: String,
   * a writer whose claim was swept by a newer generation's GC is
   * acknowledged iff that newer marker exists (its base then contains
   * this commit, because a gen g+1 claimant has, by construction,
-  * listed the unique gen-g marker). The residual envelope: filesystems
-  * with neither atomic link nor atomic create-no-overwrite (bare
-  * object stores without conditional puts) fall back to
-  * last-writer-wins on the claim itself — front the catalog with a
-  * transactional table format there. Reads are cached per Catalog
+  * listed the unique gen-g marker). The envelope is ENFORCED, not just
+  * documented: filesystems with neither atomic link nor atomic
+  * create-no-overwrite (bare object stores without conditional puts)
+  * would fall back to last-writer-wins on the claim itself, so a write
+  * through a scheme outside the proven set (file/hdfs/viewfs) fails
+  * fast with a named error directing the user to front the catalog
+  * with a transactional table format — or to opt in explicitly with
+  * `spark.graft.catalog.acceptNonAtomicClaims=true` when the store is
+  * known to provide conditional puts. Reads are cached per Catalog
   * instance and refreshed by writes; construct a fresh Catalog (or
   * call `refresh()`) to observe another writer's updates. All
   * writers of one warehouse must speak this protocol version (a
@@ -107,6 +111,12 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[catalog] def lockFor(path: String): Object =
     swapLocks.computeIfAbsent(new Path(path).toUri.toString, _ => new Object)
+
+  /** Schemes whose put-if-absent primitive is PROVEN atomic for the
+    * generation claim: local filesystems use link(2) (content-atomic),
+    * HDFS-family `create(overwrite=false)` is namenode-atomic. Every
+    * other scheme must opt in (see the class-doc envelope). */
+  private[catalog] val AtomicClaimSchemes = Set("file", "hdfs", "viewfs")
 }
 
 class Catalog(spark: SparkSession, dir: String) {
@@ -269,9 +279,16 @@ class Catalog(spark: SparkSession, dir: String) {
     try {
       val in = fs.open(claimPath(path, gen))
       try {
+        // read to EOF, not one read(): a short read is legal per the
+        // InputStream contract (and real on HDFS/remote FS) — a
+        // truncated id here would make the behalf-publish path create
+        // a max-generation marker pointing at a nonexistent version
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) Some("") else Some(new String(buf, 0, n, "UTF-8"))
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off, "UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
   }
@@ -293,8 +310,15 @@ class Catalog(spark: SparkSession, dir: String) {
       if (markersOf(path).exists(_.gen >= gen)) return
       readClaim(path, gen) match {
         case None => return // claim vanished: winner committed and was GC'd, or corpse swept
-        case Some(id) if id.nonEmpty && System.nanoTime() >= behalfAt =>
-          // stalled winner: its staged version is complete — publish it
+        case Some(id) if id.nonEmpty && System.nanoTime() >= behalfAt
+            && fs.exists(new Path(versionDir(path, id))) =>
+          // stalled winner: its staged version is complete — publish
+          // it. The exists() guard keeps a truncated/garbled claim id
+          // (possible mid-write on filesystems where content visibility
+          // lags the create) from minting a max-generation marker that
+          // points at nothing and bricks every read; a garbled id keeps
+          // polling and resolves via the winner's own marker or the
+          // corpse deadline.
           try fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
           catch { case _: java.io.IOException => () } // it woke up first: fine
           return
@@ -305,7 +329,30 @@ class Catalog(spark: SparkSession, dir: String) {
     fs.delete(claimPath(path, gen), false)
   }
 
+  /** Refuse to write through a filesystem whose claim primitive is not
+    * proven atomic (class-doc envelope): on a bare object store,
+    * `create(overwrite=false)` is HEAD-then-PUT — last-writer-wins on
+    * the claim itself, silently reintroducing the lost-update races the
+    * protocol exists to close. Fail fast with a named error instead of
+    * degrading; `spark.graft.catalog.acceptNonAtomicClaims=true` opts
+    * in for stores known to provide conditional puts. */
+  private def requireAtomicClaims(path: String): Unit = {
+    val qualified = fsFor(new Path(path)).makeQualified(new Path(path))
+    val scheme = Option(qualified.toUri.getScheme).getOrElse("file")
+    if (!Catalog.AtomicClaimSchemes.contains(scheme) &&
+        spark.conf.get("spark.graft.catalog.acceptNonAtomicClaims", "false") != "true")
+      throw new UnsupportedOperationException(
+        s"catalog warehouse scheme '$scheme://' ($qualified) has no proven " +
+        "atomic put-if-absent for the generation claim: concurrent writers " +
+        "would race last-writer-wins and could silently drop acknowledged " +
+        "commits. Use a local/HDFS warehouse, front the catalog with a " +
+        "transactional table format, or set " +
+        "spark.graft.catalog.acceptNonAtomicClaims=true if this store " +
+        "provides conditional puts.")
+  }
+
   private def swapWriteLocked(df: DataFrame, path: String, baseGen: Long): Boolean = {
+    requireAtomicClaims(path)
     val fs = fsFor(new Path(path))
     // gen is the BASE's successor, not "current max + 1": if anything
     // committed since the caller read its base, this claim must fail
@@ -328,14 +375,30 @@ class Catalog(spark: SparkSession, dir: String) {
     // recycled-claim guard: the claim file of a LONG-superseded
     // generation is deleted by GC, so a writer whose base is several
     // generations stale can re-create it and "win" a generation that
-    // already has (or had) a marker — any marker at or past our gen
-    // means exactly that: release the claim and re-merge
-    if (markersOf(path).exists(_.gen >= gen)) {
+    // already has (or had) a marker — any FOREIGN marker at or past our
+    // gen means exactly that: release the claim and re-merge. A marker
+    // with our own (gen, id) is NOT foreign — it is this very commit,
+    // behalf-published by a claim-losing peer while we stalled — so it
+    // must not trigger the backout (which would delete our own live
+    // version out from under the marker).
+    if (markersOf(path).exists(m => m.gen >= gen && m.id != id)) {
       fs.delete(claimPath(path, gen), false)
       fs.delete(new Path(versionDir(path, id)), true)
       return false
     }
-    fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
+    // the marker may ALREADY exist: a claim-losing peer behalf-publishes
+    // after publishBehalfAfterMs, so a winner that stalls >1 s between
+    // claim and marker (GC pause, slow globStatus) finds its own
+    // (gen, id) marker pre-created — that IS this commit, acknowledged;
+    // treat it as success rather than throwing out of register/
+    // addRelation and skipping GC/cache update
+    try fs.create(new Path(s"$path.ptr.$gen.$id"), false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: java.io.IOException
+        if fs.exists(new Path(s"$path.ptr.$gen.$id")) => ()
+    }
     onMarkerCreated(mine)
     // acknowledgement check: our claim may have been swept while we
     // ran — by a NEWER generation's GC (then that writer resolved its

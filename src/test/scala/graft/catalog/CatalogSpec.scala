@@ -446,6 +446,85 @@ class CatalogSpec extends SparkSuite {
       Set("E.seed", "E.from_a"))
   }
 
+  test("winner whose marker was behalf-published treats it as its own commit") {
+    // a claim-losing peer behalf-publishes the (gen, id) marker after
+    // publishBehalfAfterMs; a winner stalled >1 s between claim and
+    // marker (GC pause, slow globStatus) then finds its OWN marker
+    // pre-created — that marker has this commit's gen+id, so the commit
+    // is already acknowledged: register must SUCCEED and still run its
+    // GC/cache update, not throw FileAlreadyExistsException (ADVICE r14)
+    val dir = Files.createTempDirectory("catalog_behalf_tie").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("B.seed", "table", "parquet", "/tmp/seed"))
+    a.onClaimed = { m =>
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$dir/resources.ptr.${m.gen}.${m.id}"))
+    }
+    try a.register(Resource("B.two", "table", "parquet", "/tmp/two"))
+    finally a.onClaimed = _ => ()
+    assert(new Catalog(spark, dir).resources.keySet === Set("B.seed", "B.two"))
+    // GC ran despite the pre-created marker: the superseded gen-1
+    // marker is retired, exactly one marker remains
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ms = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*"))
+    assert(ms != null && ms.length === 1,
+      s"winner must still GC superseded markers, got ${Option(ms).map(_.length)}")
+  }
+
+  test("claim naming a nonexistent version never mints a marker; catalog stays readable") {
+    // a truncated/garbled claim id (short read, or content visibility
+    // lagging the create on a remote FS) must not be behalf-published:
+    // a max-generation marker pointing at nothing would exhaust every
+    // reader's retries and brick the table until manual repair
+    // (ADVICE r14). The garbled claim is swept at the corpse deadline
+    // and the writer recommits.
+    val dir = Files.createTempDirectory("catalog_garbled").toString
+    val a = new Catalog(spark, dir)
+    a.register(Resource("G.seed", "table", "parquet", "/tmp/seed"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/resources.gen.2"), ("z" * 16).getBytes("UTF-8"))
+    a.publishBehalfAfterMs = 50
+    a.awaitPtrMs = 400
+    a.register(Resource("G.two", "table", "parquet", "/tmp/two"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*.${"z" * 16}")) match {
+      case null => true
+      case arr => arr.isEmpty
+    }, "a claim whose version directory does not exist must never be published")
+    assert(new Catalog(spark, dir).resources.keySet === Set("G.seed", "G.two"))
+  }
+
+  test("non-atomic claim filesystem: writes fail fast unless explicitly opted in") {
+    // the generation claim is only a CAS on filesystems with atomic
+    // put-if-absent; a bare object store's create(overwrite=false) is
+    // HEAD-then-PUT — last-writer-wins on the claim itself. The
+    // catalog must refuse such schemes with a named error instead of
+    // silently degrading (VERDICT r14 #5).
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3.impl", classOf[MockObjectStoreFs].getName)
+    hc.setBoolean("fs.mocks3.impl.disable.cache", true)
+    val local = Files.createTempDirectory("catalog_mocks3").toString
+    val dir = s"mocks3://$local"
+    val err = intercept[UnsupportedOperationException] {
+      new Catalog(spark, dir).register(
+        Resource("N.one", "table", "parquet", "/tmp/one"))
+    }
+    assert(err.getMessage.contains("mocks3") &&
+      err.getMessage.contains("acceptNonAtomicClaims"))
+    // nothing was staged — the refusal precedes any write
+    assert(new java.io.File(local).listFiles().isEmpty)
+    // explicit opt-in (store known to provide conditional puts) proceeds
+    spark.conf.set("spark.graft.catalog.acceptNonAtomicClaims", "true")
+    try {
+      new Catalog(spark, dir).register(
+        Resource("N.one", "table", "parquet", "/tmp/one"))
+      assert(new Catalog(spark, dir).resources.keySet === Set("N.one"))
+    } finally spark.conf.unset("spark.graft.catalog.acceptNonAtomicClaims")
+  }
+
   test("many-to-many edge relation binds forward and inverse (metabase.py:1577-1617)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("catalog_mm").toString
@@ -474,4 +553,12 @@ class CatalogSpec extends SparkSuite {
       "T.part", "p_partkey", "one-to-many"))
     assert(cat2.bindInverse(spark, "supp_nation").count() > 0)
   }
+}
+
+/** RawLocalFileSystem masquerading as an object-store scheme with no
+  * atomic put-if-absent guarantee — drives the fail-fast envelope test.
+  * Top-level class: Hadoop instantiates it by name via fs.mocks3.impl. */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mocks3"
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
 }
