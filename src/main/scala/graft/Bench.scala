@@ -286,7 +286,8 @@ object Bench {
     // ≈0.5 kB), and the COMPLETE per-query map goes to a file.
     val headline = Seq(
       "q1_agg", "q3_join", "j1c_shuffled_index", "j2c_slice_indexed",
-      "j2b_twohop", "j5_motif", "j13_asof", "a2_sessionize", "a3_coverage",
+      "j2b_twohop", "j2d_twohop_merged", "j5_motif", "j13_asof",
+      "a2_sessionize", "a3_coverage",
       "p5_filter_mask", "s9b_persist_slice", "w5_topk_per_group",
       "d1_exact_dedup", "d2_minhash_lsh", "d4_embed_neardup",
       "d8_substring_dedup", "n3_ann_ivf", "n7_ann_ivfpq", "t1_langid",

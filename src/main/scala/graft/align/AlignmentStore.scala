@@ -147,6 +147,29 @@ class AlignmentStore(val blocks: DataFrame) {
         col("axis_id"), col("block1_id"), col("block2_id"))
   }
 
+  /** The fused two-hop + bounds-merge — the reference's dominant
+    * two-hop CONSUMER shape (`NLMSASlice` runs `mergeSeq` immediately
+    * after hop 2, `cnestedlist.pyx:537-539`): per-(query, target,
+    * orientation) coordinate bounds and pair counts, WITHOUT handing
+    * the caller the quadratic (block1, block2) pair set that
+    * [[slice2hop]] returns.
+    *
+    * Scale design: the merge is expressed as a groupBy directly over
+    * the lazy two-hop plan, so Catalyst places the partial (map-side)
+    * aggregation INSIDE the second hop's join stage — pair rows exist
+    * only transiently in the join's output iterator, and the one
+    * exchange carries per-(q, target, ori) partial groups, never
+    * pairs. At v2 scale the pair set grows ~quadratically in per-axis
+    * alignment density (DRIFT_r14 §1: exponent 1.95, 549 M rows at
+    * v2sf5) while this operator's shuffle and output stay bounded by
+    * the distinct (query, target) pairs — the semantics users of the
+    * reference's `mergeSeq` actually consume. Callers who need the
+    * raw pairs keep [[slice2hop]]; production two-hop queries bounded
+    * by their query windows get linear output here.
+    */
+  def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16): DataFrame =
+    mergeSeq(slice2hop(queries, binWidth))
+
   /** Slice + conservation filter — the slice-consume path of the
     * reference's `filterIvalConservation` (`cnestedlist.pyx:867-897`;
     * SURVEY.md P8): every hit of `slice` is clipped to its best

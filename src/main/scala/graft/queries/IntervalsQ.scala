@@ -146,6 +146,26 @@ object IntervalsQ {
         .orderBy("q_id", "block1_id", "block2_id")
     },
 
+    // J2+A1 fused: two-hop slice with the bounds-merge pushed below
+    // the second hop's exchange (the reference's mergeSeq-after-hop-2
+    // consumer shape, cnestedlist.pyx:537-539) — per-(query, target,
+    // ori) spans come out without materializing or shuffling the
+    // quadratic pair set j2b returns.
+    "j2d_twohop_merged" -> { (s, dir) =>
+      val blocks = alignBlocks(s, dir)
+      val store = new AlignmentStore(
+        blocks.unionByName(new AlignmentStore(blocks).inverse.blocks))
+      val queries = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice2hopMerged(queries, binWidth = 172800L)
+        .orderBy("q_id", "dest_id", "dest_ori")
+    },
+
     // J2 via the custom physical operator: identical slice semantics
     // and oracle, the overlap join planned as IndexedIntervalJoinExec.
     "j2c_slice_indexed" -> { (s, dir) =>
@@ -978,6 +998,34 @@ object IntervalsQ {
         |  ori1 * ori2 AS dest_ori, axis_id, block1_id, block2_id FROM t)
         |SELECT * FROM r WHERE dest_id <> src_id OR src_start <> dest_start
         |ORDER BY q_id, block1_id, block2_id""".stripMargin,
+
+    "j2d_twohop_merged" ->
+      s"""$sliceSql,
+        |h1 AS (SELECT q_id, src_id, src_start AS s1, src_end AS e1,
+        |  dest_id AS axis_id, dest_start AS m1s, dest_end AS m1e,
+        |  dest_ori AS ori1, block_id AS block1_id FROM sl),
+        |inv AS (SELECT dest_id AS axis_id, dest_start AS s2, dest_end AS e2,
+        |  src_id AS y_id, src_start AS t2s, src_end AS t2e,
+        |  dest_ori AS ori2, block_id AS block2_id FROM a),
+        |t AS (SELECT h1.*, inv.s2, inv.e2, inv.y_id, inv.t2s, inv.t2e,
+        |  inv.ori2, inv.block2_id,
+        |  GREATEST(m1s, s2) AS ms, LEAST(m1e, e2) AS me
+        |  FROM h1 JOIN inv ON h1.axis_id = inv.axis_id
+        |    AND m1s < e2 AND s2 < m1e),
+        |r AS (SELECT q_id, src_id,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (ms - m1s) ELSE s1 + (m1e - me) END AS src_start,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (me - m1s) ELSE s1 + (m1e - ms) END AS src_end,
+        |  y_id AS dest_id,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (ms - s2) ELSE t2s + (e2 - me) END AS dest_start,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (me - s2) ELSE t2s + (e2 - ms) END AS dest_end,
+        |  ori1 * ori2 AS dest_ori FROM t)
+        |SELECT q_id, dest_id, dest_ori,
+        |  MIN(src_start) AS src_start, MAX(src_end) AS src_end,
+        |  MIN(dest_start) AS dest_start, MAX(dest_end) AS dest_end,
+        |  COUNT(*) AS n_blocks
+        |FROM r WHERE dest_id <> src_id OR src_start <> dest_start
+        |GROUP BY q_id, dest_id, dest_ori
+        |ORDER BY q_id, dest_id, dest_ori""".stripMargin,
 
     "a4_slice_split" ->
       s"""$sliceSql,

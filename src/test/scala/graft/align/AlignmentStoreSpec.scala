@@ -98,6 +98,51 @@ class AlignmentStoreSpec extends SparkSuite {
       ("human", 5L, 10L, "mouse", 53L, 58L, 1)))
   }
 
+  test("slice2hopMerged: mergeSeq-after-hop-2 semantics, merge below the exchange (cnestedlist.pyx:537-539)") {
+    // same MAF-style store as the two-hop golden plus a second mouse
+    // block, so one target lane genuinely merges two pairs
+    val store = AlignmentStore.fromCoords(spark, Seq(
+      (("human", 0L, 10L), ("lpo", 100L, 110L, 1)),
+      (("mouse", 50L, 58L), ("lpo", 102L, 110L, 1)),
+      (("mouse", 60L, 64L), ("lpo", 103L, 107L, 1)),
+      (("chicken", 7L, 12L), ("lpo", 104L, 109L, -1))))
+    val merged = store.slice2hopMerged(mkQueries((0L, "human", 0L, 10L)), binWidth = 8L)
+    val got = merged.orderBy("dest_id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
+                 r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === Seq(
+      ("chicken", -1, 4L, 9L, 7L, 12L, 1L),
+      ("mouse", 1, 2L, 10L, 50L, 64L, 2L)))
+    // identical to the unfused composition by construction
+    val unfused = store.mergeSeq(
+        store.slice2hop(mkQueries((0L, "human", 0L, 10L)), binWidth = 8L))
+      .orderBy("dest_id").collect().map(_.toSeq).toSeq
+    assert(merged.orderBy("dest_id").collect().map(_.toSeq).toSeq === unfused)
+    // plan shape: the partial aggregate must sit INSIDE the second
+    // hop's join stage (no Exchange between them) — the quadratic pair
+    // set exists only in the join's output iterator and never shuffles
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case ap: AdaptiveSparkPlanExec => p +: allNodes(ap.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    def sameStage(p: SparkPlan): Seq[SparkPlan] = p match {
+      case ap: AdaptiveSparkPlanExec => sameStage(ap.executedPlan)
+      case _: QueryStageExec | _: Exchange => Seq.empty // stage boundary
+      case _ => p +: p.children.flatMap(sameStage)
+    }
+    val plan = merged.queryExecution.executedPlan
+    val fused = allNodes(plan).collect { case a: BaseAggregateExec => a }
+      .exists(a => a.children.flatMap(sameStage)
+        .exists(_.isInstanceOf[BaseJoinExec]))
+    assert(fused, s"partial aggregate not fused into the join stage:\n$plan")
+  }
+
   test("column view: minus-strand letters complement, coords reflect") {
     import spark.implicits._
     val blocks = Seq(("a", 0L, 4L, "b", 4L, 8L, -1, 0L))
