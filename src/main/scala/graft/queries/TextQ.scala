@@ -698,17 +698,18 @@ object TextQ {
           md.reset()
           (md.digest(s"$id:$x:$y".getBytes("UTF-8"))(0)) & 0xff
         }
+        // pooled canvas/encoder/decoder per partition: the per-row
+        // raster+stream churn was 18-21% of task CPU as GC at v2sf5
+        // (DRIFT_r14 §3); hashes are pinned unchanged by the m-specs
+        val sess = new graft.multimodal.PngSession
         rows.map { r =>
           val id = r.getLong(0)
-          val img = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = sess.canvas(9, 8)
           for (y <- 0 until 8; x <- 0 until 9) {
             val v = pix(id, x, y)
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val decoded = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val decoded = sess.roundtrip(img)
           Row(id, graft.multimodal.ImageCodec.dHash(decoded) & Long.MaxValue)
         }
       }(enc).orderBy("media_id")
@@ -801,17 +802,16 @@ object TextQ {
           md.reset()
           (md.digest(s"$id:$x:$y".getBytes("UTF-8"))(0)) & 0xff
         }
+        // pooled canvas/encoder/decoder per partition (see m9)
+        val sess = new graft.multimodal.PngSession
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val img = new java.awt.image.BufferedImage(
-            16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = sess.canvas(16, 12)
           for (y <- 0 until 12; x <- 0 until 16) {
             val v = pix(id, x, y)
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val decoded = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val decoded = sess.roundtrip(img)
           val g = graft.multimodal.ImageCodec.grayGrid(decoded, 4, 3)
           for (cy <- 0 until 3; cx <- 0 until 4)
             yield Row(id, cy.toLong, cx.toLong, g(cy * 4 + cx))
@@ -847,18 +847,16 @@ object TextQ {
           md.reset()
           (md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0)) & 0xff
         }
+        val sess = new graft.multimodal.PngSession // pooled buffers (see m9)
         rows.map { r =>
           val id = r.getLong(0)
           val g = id / 5; val rr = (id % 5).toInt
-          val img = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = sess.canvas(9, 8)
           for (y <- 0 until 8; x <- 0 until 9) {
             val v = if (x == rr && y == rr) 255 else basePix(g, x, y)
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val dec = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val dec = sess.roundtrip(img)
           Row(id, graft.multimodal.ImageCodec.dHash(dec) & Long.MaxValue)
         }
       }(enc)
@@ -895,18 +893,16 @@ object TextQ {
           md.reset()
           (md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0)) & 0xff
         }
+        val sess = new graft.multimodal.PngSession // pooled buffers (see m9)
         rows.map { r =>
           val id = r.getLong(0)
           val g = id / 5; val rr = (id % 5).toInt
-          val img = new java.awt.image.BufferedImage(
-            17, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = sess.canvas(17, 8)
           for (y <- 0 until 8; x <- 0 until 17) {
             val v = if (x == rr && y == rr) 255 else basePix(g, x, y)
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val dec = graft.multimodal.ImageCodec.decode(out.toByteArray).get
+          val dec = sess.roundtrip(img)
           val h = graft.multimodal.ImageCodec.dHash128(dec)
           Row(id, h(0), h(1))
         }
