@@ -166,6 +166,39 @@ object IntervalsQ {
         .orderBy("q_id", "dest_id", "dest_ori")
     },
 
+    // J2+A1 fused on the GENOME-SHAPED store — the reference's actual
+    // NLMSA regime (few sequences, dense per-pair blocks: ~25
+    // chromosomes, millions of blocks per pair — cnestedlist.pyx NLMSA
+    // class doc): sequences here are u(user%256), so per-(query,
+    // target) multiplicity GROWS with scale (21 pairs/group at v2sf1)
+    // and the fused merge collapses map-side — merged output exp ~1.1
+    // where the pair set is ~2.0. j2d gates the same operator on the
+    // many-sequence shape where the merge cannot collapse; this gates
+    // the shape it exists for. Queries sampled user%7=0 (a production
+    // query set is bounded; unsampled, the pair mass at v2sf5 is ~4B).
+    "j2e_twohop_merged_dense" -> { (s, dir) =>
+      val blocks = errorWindows(s, dir).select(
+        concat(lit("u"), (col("user_id") % 256).cast("string")).as("src_id"),
+        col("ws").as("src_start"), col("we").as("src_end"),
+        concat(lit("d"), (col("wnd_id") % 20).cast("string")).as("dest_id"),
+        ((col("wnd_id") % 500) * 1000L).as("dest_start"),
+        ((col("wnd_id") % 500) * 1000L + (col("we") - col("ws"))).as("dest_end"),
+        when(col("wnd_id") % 3 === 0, -1).otherwise(1).as("dest_ori"),
+        col("wnd_id").as("block_id"))
+      val store = new AlignmentStore(
+        blocks.unionByName(new AlignmentStore(blocks).inverse.blocks))
+      val queries = events(s, dir)
+        .filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"))
+        .agg(min(sec("ts")).as("t0"))
+        .select(col("user_id").as("q_id"),
+          concat(lit("u"), (col("user_id") % 256).cast("string")).as("src_id"),
+          (col("t0") + 5L * 86400L).as("q_start"),
+          (col("t0") + 15L * 86400L).as("q_end"))
+      store.slice2hopMerged(queries, binWidth = 172800L)
+        .orderBy("q_id", "dest_id", "dest_ori")
+    },
+
     // J2 via the custom physical operator: identical slice semantics
     // and oracle, the overlap join planned as IndexedIntervalJoinExec.
     "j2c_slice_indexed" -> { (s, dir) =>
@@ -1011,6 +1044,50 @@ object IntervalsQ {
         |  inv.ori2, inv.block2_id,
         |  GREATEST(m1s, s2) AS ms, LEAST(m1e, e2) AS me
         |  FROM h1 JOIN inv ON h1.axis_id = inv.axis_id
+        |    AND m1s < e2 AND s2 < m1e),
+        |r AS (SELECT q_id, src_id,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (ms - m1s) ELSE s1 + (m1e - me) END AS src_start,
+        |  CASE WHEN ori1 >= 0 THEN s1 + (me - m1s) ELSE s1 + (m1e - ms) END AS src_end,
+        |  y_id AS dest_id,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (ms - s2) ELSE t2s + (e2 - me) END AS dest_start,
+        |  CASE WHEN ori2 >= 0 THEN t2s + (me - s2) ELSE t2s + (e2 - ms) END AS dest_end,
+        |  ori1 * ori2 AS dest_ori FROM t)
+        |SELECT q_id, dest_id, dest_ori,
+        |  MIN(src_start) AS src_start, MAX(src_end) AS src_end,
+        |  MIN(dest_start) AS dest_start, MAX(dest_end) AS dest_end,
+        |  COUNT(*) AS n_blocks
+        |FROM r WHERE dest_id <> src_id OR src_start <> dest_start
+        |GROUP BY q_id, dest_id, dest_ori
+        |ORDER BY q_id, dest_id, dest_ori""".stripMargin,
+
+    "j2e_twohop_merged_dense" ->
+      s"""WITH w AS ($wndSql),
+        |a AS (SELECT 'u' || CAST(user_id % 256 AS VARCHAR) AS src_id,
+        |  ws AS src_start, we AS src_end,
+        |  'd' || CAST(wnd_id % 20 AS VARCHAR) AS dest_id,
+        |  (wnd_id % 500) * 1000 AS dest_start,
+        |  (wnd_id % 500) * 1000 + (we - ws) AS dest_end,
+        |  CASE WHEN wnd_id % 3 = 0 THEN -1 ELSE 1 END AS dest_ori,
+        |  wnd_id AS block_id FROM w),
+        |q AS (SELECT user_id AS q_id, 'u' || CAST(user_id % 256 AS VARCHAR) AS src_id,
+        |  MIN(epoch_ms(ts)//1000) + 5*86400 AS q_start,
+        |  MIN(epoch_ms(ts)//1000) + 15*86400 AS q_end
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY user_id),
+        |sl AS (SELECT q_id, a.src_id,
+        |  GREATEST(src_start, q_start) AS s1, LEAST(src_end, q_end) AS e1,
+        |  dest_id AS axis_id,
+        |  CASE WHEN dest_ori >= 0 THEN dest_start + (GREATEST(src_start, q_start) - src_start)
+        |       ELSE dest_start + (src_end - LEAST(src_end, q_end)) END AS m1s,
+        |  CASE WHEN dest_ori >= 0 THEN dest_end - (src_end - LEAST(src_end, q_end))
+        |       ELSE dest_end - (GREATEST(src_start, q_start) - src_start) END AS m1e,
+        |  dest_ori AS ori1
+        |  FROM a JOIN q ON a.src_id = q.src_id
+        |    AND src_start < q_end AND q_start < src_end),
+        |inv AS (SELECT dest_id AS axis_id, dest_start AS s2, dest_end AS e2,
+        |  src_id AS y_id, src_start AS t2s, dest_ori AS ori2 FROM a),
+        |t AS (SELECT sl.*, inv.s2, inv.e2, inv.y_id, inv.t2s, inv.ori2,
+        |  GREATEST(m1s, s2) AS ms, LEAST(m1e, e2) AS me
+        |  FROM sl JOIN inv ON sl.axis_id = inv.axis_id
         |    AND m1s < e2 AND s2 < m1e),
         |r AS (SELECT q_id, src_id,
         |  CASE WHEN ori1 >= 0 THEN s1 + (ms - m1s) ELSE s1 + (m1e - me) END AS src_start,
