@@ -111,8 +111,17 @@ class AlignmentStore(val blocks: DataFrame) {
     * Scale design: both hops are binned interval joins — cost bounded
     * per (axis, coordinate-bin), never per sequence, so one hot axis
     * (the reference genome every row aligns to) cannot pin a task.
+    *
+    * `axisBinWidth` bins the SECOND hop (the shared-axis coordinate
+    * space) independently of `binWidth` (the first hop's query-axis
+    * space): the two axes usually have different scales (a time axis
+    * in seconds vs a genome coordinate axis), and a hop-1 width
+    * carried onto a much smaller axis range collapses hop 2 into a
+    * handful of join cells — parallelism bounded by cells, not
+    * partitions. Defaults to `binWidth` (0 = inherit).
     */
-  def slice2hop(queries: DataFrame, binWidth: Long = 1 << 16): DataFrame = {
+  def slice2hop(queries: DataFrame, binWidth: Long = 1 << 16,
+                axisBinWidth: Long = 0L): DataFrame = {
     val h1 = slice(queries, binWidth).select(
       col("q_id"), col("src_id"),
       col("src_start").as("s1"), col("src_end").as("e1"),
@@ -135,7 +144,8 @@ class AlignmentStore(val blocks: DataFrame) {
       .otherwise(col("t2s") + (col("e2") - me))
     val ye = when(col("ori2") >= 0, col("t2s") + (me - col("s2")))
       .otherwise(col("t2s") + (col("e2") - ms))
-    IntervalJoin.binned(h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", binWidth)
+    IntervalJoin.binned(h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2",
+        if (axisBinWidth > 0L) axisBinWidth else binWidth)
       .withColumn("x_start", xs).withColumn("x_end", xe)
       .withColumn("y_start", ys).withColumn("y_end", ye)
       .where(col("y_id") =!= col("src_id") || col("x_start") =!= col("y_start"))
@@ -167,8 +177,9 @@ class AlignmentStore(val blocks: DataFrame) {
     * raw pairs keep [[slice2hop]]; production two-hop queries bounded
     * by their query windows get linear output here.
     */
-  def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16): DataFrame =
-    mergeSeq(slice2hop(queries, binWidth))
+  def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16,
+                      axisBinWidth: Long = 0L): DataFrame =
+    mergeSeq(slice2hop(queries, binWidth, axisBinWidth))
 
   /** Slice + conservation filter — the slice-consume path of the
     * reference's `filterIvalConservation` (`cnestedlist.pyx:867-897`;

@@ -142,7 +142,7 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice2hop(queries, binWidth = 172800L)
+      store.slice2hop(queries, binWidth = 172800L, axisBinWidth = 8192L)
         .orderBy("q_id", "block1_id", "block2_id")
     },
 
@@ -162,7 +162,7 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice2hopMerged(queries, binWidth = 172800L)
+      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L)
         .orderBy("q_id", "dest_id", "dest_ori")
     },
 
@@ -195,7 +195,7 @@ object IntervalsQ {
           concat(lit("u"), (col("user_id") % 256).cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice2hopMerged(queries, binWidth = 172800L)
+      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L)
         .orderBy("q_id", "dest_id", "dest_ori")
     },
 

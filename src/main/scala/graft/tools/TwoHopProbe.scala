@@ -5,21 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.align.AlignmentStore
 
-/** A/B harness for the fused two-hop merge's aggregation placement
-  * (round 15): on fixtures where merged groups ≈ pairs (per-pair
-  * multiplicity ~1, the j2b shape) the map-side partial aggregate
-  * hashes every pair into a near-pair-sized map for ~no collapse —
-  * pure overhead. Variant B repartitions the pair stream by the group
-  * key FIRST (one pair-sized exchange, rows only) and aggregates once
-  * reduce-side. Variant A is the shipped slice2hopMerged (partial agg
-  * below the exchange). Prints task-CPU ms for each, min over reps.
+/** A/B harness for the fused two-hop merge (round 15): measures one
+  * (shape, variant, bin widths) combination per run, min task-CPU
+  * over reps.
   *
-  * Usage: runMain graft.tools.TwoHopProbe [sfDir] [reps]
+  * shape  j2d — per-user sequences (merged groups ≈ pairs: the
+  *              no-collapse regime) | j2e — 256 sequences, queries
+  *              sampled %7 (multiplicity grows with SF)
+  * variant fused      — shipped slice2hopMerged (partial agg below
+  *                      the exchange)
+  *         preshuffle — repartition the pair stream by group key
+  *                      first, aggregate reduce-side only (the r9
+  *                      partial-agg-cliff remedy; measured dead heat
+  *                      at v2sf1, candidate when groups ≈ pairs spill
+  *                      the map-side hash at v2sf5)
+  *         pairs      — raw slice2hop, no merge (cost floor)
+  *
+  * Usage: runMain graft.tools.TwoHopProbe [sfDir] [shape] [variant]
+  *          [reps] [binWidth] [axisBinWidth]
   */
 object TwoHopProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/localdata/v2sf1")
-    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val shape = args.lift(1).getOrElse("j2d")
+    val variant = args.lift(2).getOrElse("fused")
+    val reps = args.lift(3).map(_.toInt).getOrElse(3)
+    val binWidth = args.lift(4).map(_.toLong).getOrElse(172800L)
+    val axisBinWidth = args.lift(5).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
     val spark = SparkSession.builder()
@@ -37,11 +49,14 @@ object TwoHopProbe {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000000000").as("tsec"))
+    val seqCol =
+      if (shape == "j2e") concat(lit("u"), (col("user_id") % 256).cast("string"))
+      else concat(lit("u"), col("user_id").cast("string"))
     val w = ev.where(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("wnd_id"), col("tsec").as("ws"),
         (col("tsec") + lit(120L) + (col("event_id") % 10) * 60L).as("we"))
     val blocks = w.select(
-      concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+      seqCol.as("src_id"),
       col("ws").as("src_start"), col("we").as("src_end"),
       concat(lit("d"), (col("wnd_id") % 20).cast("string")).as("dest_id"),
       ((col("wnd_id") % 500) * 1000L).as("dest_start"),
@@ -50,33 +65,34 @@ object TwoHopProbe {
       col("wnd_id").as("block_id"))
     val store = new AlignmentStore(
       blocks.unionByName(new AlignmentStore(blocks).inverse.blocks))
-    val queries = ev.groupBy(col("user_id"))
+    val qbase =
+      if (shape == "j2e") ev.filter(col("user_id") % 7 === 0) else ev
+    val queries = qbase.groupBy(col("user_id"))
       .agg(min(col("tsec")).as("t0"))
-      .select(col("user_id").as("q_id"),
-        concat(lit("u"), col("user_id").cast("string")).as("src_id"),
+      .select(col("user_id").as("q_id"), seqCol.as("src_id"),
         (col("t0") + 5L * 86400L).as("q_start"),
         (col("t0") + 15L * 86400L).as("q_end"))
 
-    def fused: DataFrame = store.slice2hopMerged(queries, binWidth = 172800L)
-    def preShuffled: DataFrame = {
-      val pairs = store.slice2hop(queries, binWidth = 172800L)
-        .repartition(col("q_id"), col("dest_id"), col("dest_ori"))
-      store.mergeSeq(pairs)
+    def mk: DataFrame = variant match {
+      case "fused" => store.slice2hopMerged(queries, binWidth, axisBinWidth)
+      case "preshuffle" => store.mergeSeq(
+        store.slice2hop(queries, binWidth, axisBinWidth)
+          .repartition(col("q_id"), col("dest_id"), col("dest_ori")))
+      case "pairs" => store.slice2hop(queries, binWidth, axisBinWidth)
+      case other => sys.error(s"unknown variant $other")
     }
-    def measure(name: String, mk: => DataFrame): Unit = {
-      var best = Double.MaxValue
-      for (_ <- 1 to reps) {
-        listener.snapshotAndReset()
-        val n = mk.count()
-        val cpu = listener.snapshotAndReset()
-          .collectFirst { case ("task_cpu_ms", v) => v.toDouble }.getOrElse(-1.0)
-        System.err.println(s"[probe] $name rows=$n cpu_ms=$cpu")
-        best = math.min(best, cpu)
-      }
-      println(s"$name min_cpu_ms=$best")
+    var best = Double.MaxValue
+    var spill = 0L
+    for (_ <- 1 to reps) {
+      listener.snapshotAndReset()
+      val n = mk.count()
+      val snap = listener.snapshotAndReset()
+      val cpu = snap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }.getOrElse(-1.0)
+      val sp = snap.collectFirst { case ("spill_disk_b", v) => v }.getOrElse(0L)
+      System.err.println(s"[probe] $shape/$variant rows=$n cpu_ms=$cpu spill_disk_b=$sp")
+      if (cpu < best) { best = cpu; spill = sp }
     }
-    measure("fused_partial_agg", fused)
-    measure("preshuffle_pairs", preShuffled)
+    println(s"""{"shape":"$shape","variant":"$variant","binWidth":$binWidth,"axisBinWidth":$axisBinWidth,"min_cpu_ms":$best,"spill_disk_b":$spill}""")
     spark.stop()
   }
 }
