@@ -176,10 +176,33 @@ class AlignmentStore(val blocks: DataFrame) {
     * reference's `mergeSeq` actually consume. Callers who need the
     * raw pairs keep [[slice2hop]]; production two-hop queries bounded
     * by their query windows get linear output here.
+    *
+    * `mapSideMerge` picks where the merge runs, and the right choice
+    * is the store's SHAPE, not taste:
+    *  - `true` (default) — partial aggregation below the join's
+    *    output, the plan described above. Right for the reference's
+    *    genome regime (few sequences, dense per-pair blocks): group
+    *    multiplicity is high, pair rows collapse map-side, the
+    *    exchange carries per-group partials.
+    *  - `false` — repartition the pair stream by the group key and
+    *    aggregate reduce-side only. Right for many-sequence stores
+    *    (groups ≈ pairs, multiplicity ~1): there the map-side hash
+    *    map holds one entry PER PAIR, exhausts the task's share of
+    *    the heap, and cascades into sort-based fallback — measured
+    *    at v2sf5 (549 M pairs, per-user sequences): 36 GB spill and
+    *    18× the pair-enumeration CPU floor, vs a clean bounded-map
+    *    aggregation after the exchange (DRIFT_r15 §1). The exchange
+    *    carries pair rows, but pairs were always cheaper to ship
+    *    than to hold: per-partition group count is G/P, which sizing
+    *    partitions to the data keeps inside one task's heap share.
     */
   def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16,
-                      axisBinWidth: Long = 0L): DataFrame =
-    mergeSeq(slice2hop(queries, binWidth, axisBinWidth))
+                      axisBinWidth: Long = 0L,
+                      mapSideMerge: Boolean = true): DataFrame = {
+    val pairs = slice2hop(queries, binWidth, axisBinWidth)
+    mergeSeq(if (mapSideMerge) pairs
+             else pairs.repartition(col("q_id"), col("dest_id"), col("dest_ori")))
+  }
 
   /** Slice + conservation filter — the slice-consume path of the
     * reference's `filterIvalConservation` (`cnestedlist.pyx:867-897`;

@@ -146,11 +146,16 @@ object IntervalsQ {
         .orderBy("q_id", "block1_id", "block2_id")
     },
 
-    // J2+A1 fused: two-hop slice with the bounds-merge pushed below
-    // the second hop's exchange (the reference's mergeSeq-after-hop-2
-    // consumer shape, cnestedlist.pyx:537-539) — per-(query, target,
-    // ori) spans come out without materializing or shuffling the
-    // quadratic pair set j2b returns.
+    // J2+A1 fused: two-hop slice with the bounds-merge below the
+    // second hop (the reference's mergeSeq-after-hop-2 consumer
+    // shape, cnestedlist.pyx:537-539) — per-(query, target, ori)
+    // spans come out without materializing the quadratic pair set
+    // j2b returns. This store is per-user sequences (groups ≈ pairs,
+    // multiplicity ~1), so the merge runs reduce-side
+    // (mapSideMerge = false): map-side partials would hold one hash
+    // entry per PAIR and cascade into sort-fallback spill (36 GB at
+    // v2sf5 — DRIFT_r15 §1). j2e gates the map-side path on the
+    // dense store where partials collapse.
     "j2d_twohop_merged" -> { (s, dir) =>
       val blocks = alignBlocks(s, dir)
       val store = new AlignmentStore(
@@ -162,7 +167,8 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L)
+      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L,
+          mapSideMerge = false)
         .orderBy("q_id", "dest_id", "dest_ori")
     },
 

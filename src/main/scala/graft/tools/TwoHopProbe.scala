@@ -75,9 +75,8 @@ object TwoHopProbe {
 
     def mk: DataFrame = variant match {
       case "fused" => store.slice2hopMerged(queries, binWidth, axisBinWidth)
-      case "preshuffle" => store.mergeSeq(
-        store.slice2hop(queries, binWidth, axisBinWidth)
-          .repartition(col("q_id"), col("dest_id"), col("dest_ori")))
+      case "preshuffle" => store.slice2hopMerged(queries, binWidth, axisBinWidth,
+        mapSideMerge = false)
       case "pairs" => store.slice2hop(queries, binWidth, axisBinWidth)
       case other => sys.error(s"unknown variant $other")
     }

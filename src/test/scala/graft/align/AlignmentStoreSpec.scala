@@ -141,6 +141,20 @@ class AlignmentStoreSpec extends SparkSuite {
       .exists(a => a.children.flatMap(sameStage)
         .exists(_.isInstanceOf[BaseJoinExec]))
     assert(fused, s"partial aggregate not fused into the join stage:\n$plan")
+
+    // reduce-side path (mapSideMerge = false, the many-sequence
+    // regime): identical rows, but the aggregate must sit ABOVE an
+    // exchange — no aggregate fused into the join stage, so the
+    // map side never builds a per-pair hash map
+    val reduceSide = store.slice2hopMerged(
+      mkQueries((0L, "human", 0L, 10L)), binWidth = 8L, mapSideMerge = false)
+    assert(reduceSide.orderBy("dest_id").collect().map(_.toSeq).toSeq === unfused)
+    val rsPlan = reduceSide.queryExecution.executedPlan
+    val rsFused = allNodes(rsPlan).collect { case a: BaseAggregateExec => a }
+      .exists(a => a.children.flatMap(sameStage)
+        .exists(_.isInstanceOf[BaseJoinExec]))
+    assert(!rsFused,
+      s"mapSideMerge=false still aggregates inside the join stage:\n$rsPlan")
   }
 
   test("column view: minus-strand letters complement, coords reflect") {
