@@ -155,6 +155,21 @@ class AlignmentStoreSpec extends SparkSuite {
         .exists(_.isInstanceOf[BaseJoinExec]))
     assert(!rsFused,
       s"mapSideMerge=false still aggregates inside the join stage:\n$rsPlan")
+
+    // ...and the repartition exchange must be column-pruned to exactly
+    // the merge's inputs (group key + span columns). slice2hop emits
+    // 11 columns; shipping the 4 mergeSeq never reads (src_id,
+    // axis_id, block ids) would silently grow the pair shuffle ~40%.
+    val mergeCols = Set("q_id", "dest_id", "dest_ori",
+      "src_start", "src_end", "dest_start", "dest_end")
+    val exchanges = allNodes(rsPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val pairExchange = exchanges.find(
+      _.output.map(_.name).toSet.intersect(mergeCols).size >= 5)
+    assert(pairExchange.isDefined, s"no pair exchange found:\n$rsPlan")
+    assert(pairExchange.get.output.map(_.name).toSet === mergeCols,
+      s"pair exchange not pruned to the merge columns:\n${pairExchange.get}")
   }
 
   test("column view: minus-strand letters complement, coords reflect") {
