@@ -51,6 +51,13 @@ object DriftProbe {
       val agg2 = coldPairs.repartition(col("s1"), col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared"))
       println(s"[probe] groups2=${t("pair agg repart-first")(agg2.count())}")
+      // single packed-long group key: does the one-column long path
+      // (vectorized/fast hashmap eligible) beat the two-long composite?
+      val packed = coldPairs
+        .select((shiftleft(col("s1"), 32).bitwiseOR(col("s2"))).as("pk"))
+      val agg3 = packed.repartition(col("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_shared"))
+      println(s"[probe] groups3=${t("pair agg packed-key")(agg3.count())}")
       t("full sharedNeighbors")(
         graft.graph.MotifQuery.sharedNeighbors(edges).count())
       spark.stop(); return
