@@ -32,13 +32,32 @@ case class QueryIval(q_id: Long, src_id: String, q_start: Long, q_end: Long)
   */
 class AlignmentStore(val blocks: DataFrame) {
 
-  /** Cached (row count, approx distinct src keys) — one stats job per
-    * store, lazily, to drive the physical join-path choice.
+  /** Cached (row count, approx distinct src keys, approx distinct
+    * (src_id, dest_id, dest_ori) lanes) — ONE stats job per store,
+    * lazily, driving every physical-path choice: slice's indexed-vs-
+    * binned join gate and slice2hopMerged's merge placement. All
+    * three aggregates ride the same pass so adding the lane estimate
+    * costs no extra job.
     */
-  private lazy val keyStats: (Long, Long) = {
-    val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id"))).head()
-    (r.getLong(0), math.max(r.getLong(1), 1L))
+  private lazy val storeStats: (Long, Long, Long) = {
+    val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id")),
+      approx_count_distinct(concat_ws("\u0000",
+        col("src_id"), col("dest_id"), col("dest_ori").cast("string")))).head()
+    (r.getLong(0), math.max(r.getLong(1), 1L), math.max(r.getLong(2), 1L))
   }
+
+  private def keyStats: (Long, Long) = (storeStats._1, storeStats._2)
+
+  /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —
+    * the store-shape statistic that separates the reference's genome
+    * regime (few sequences, dense lanes: ~1.4k blocks/lane for 25
+    * chromosomes at NLMSA scale; 18.9 on the v2sf1 dense fixture)
+    * from many-sequence stores (one thin lane per pair: 1.3-1.4 on
+    * the v2 per-user fixture at every SF). Drives the auto merge
+    * placement in [[slice2hopMerged]].
+    */
+  private[graft] def laneMultiplicity: Double =
+    storeStats._1.toDouble / storeStats._3
 
   /** msa[ival] for a whole DataFrame of query intervals at once —
     * hop+clip semantics of `NLMSASlice.__new__`
@@ -179,13 +198,13 @@ class AlignmentStore(val blocks: DataFrame) {
     *
     * `mapSideMerge` picks where the merge runs, and the right choice
     * is the store's SHAPE, not taste:
-    *  - `true` (default) — partial aggregation below the join's
+    *  - `Some(true)` — partial aggregation below the join's
     *    output, the plan described above. Right for the reference's
     *    genome regime (few sequences, dense per-pair blocks): group
     *    multiplicity is high, pair rows collapse map-side, the
     *    exchange carries per-group partials.
-    *  - `false` — repartition the pair stream by the group key and
-    *    aggregate reduce-side only. Right for many-sequence stores
+    *  - `Some(false)` — repartition the pair stream by the group key
+    *    and aggregate reduce-side only. Right for many-sequence stores
     *    (groups ≈ pairs, multiplicity ~1): there the map-side hash
     *    map holds one entry PER PAIR, exhausts the task's share of
     *    the heap, and cascades into sort-based fallback — measured
@@ -195,12 +214,28 @@ class AlignmentStore(val blocks: DataFrame) {
     *    carries pair rows, but pairs were always cheaper to ship
     *    than to hold: per-partition group count is G/P, which sizing
     *    partitions to the data keeps inside one task's heap share.
+    *  - `None` (default) — gate from the store's own stats, the same
+    *    pattern as slice's `indexed = None`: map-side iff
+    *    [[laneMultiplicity]] (avg blocks per (src, dest, ori) lane,
+    *    one lazy stats pass shared with slice's gate) reaches
+    *    `AlignmentStore.MinMapSideMergeLaneRows`. Two-hop pairs per
+    *    merged group are the product of the two hops' lane densities,
+    *    so thin lanes (measured 1.3-1.4 on the many-sequence v2
+    *    fixture at every SF) mean no map-side collapse — the 36 GB
+    *    regime — while dense lanes (18.9 at v2sf1, 94.7 at v2sf5 on
+    *    the genome-shaped fixture; the reference's NLMSA stores are
+    *    denser still) collapse map-side by at least the lane factor.
+    *    The reference makes the same class of decision from the
+    *    store it was built as — pairwiseMode vs LPO,
+    *    `cnestedlist.pyx:1485-1497` — rather than asking the caller.
     */
   def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16,
                       axisBinWidth: Long = 0L,
-                      mapSideMerge: Boolean = true): DataFrame = {
+                      mapSideMerge: Option[Boolean] = None): DataFrame = {
+    val mapSide = mapSideMerge.getOrElse(
+      laneMultiplicity >= AlignmentStore.MinMapSideMergeLaneRows)
     val pairs = slice2hop(queries, binWidth, axisBinWidth)
-    mergeSeq(if (mapSideMerge) pairs
+    mergeSeq(if (mapSide) pairs
              else pairs.repartition(col("q_id"), col("dest_id"), col("dest_ori")))
   }
 
@@ -283,6 +318,19 @@ object AlignmentStore {
     * this cap — comfortably inside an executor task's heap share).
     */
   val MaxIndexedKeyRows: Long = 4L * 1000 * 1000
+
+  /** Auto-placement threshold for [[AlignmentStore.slice2hopMerged]]:
+    * the merge runs map-side when the store averages at least this
+    * many blocks per (src, dest, ori) lane. Sits between the measured
+    * regimes with >2× margin on both sides: many-sequence stores hold
+    * 1.3-1.4 at every v2 SF (map-side there spills 36 GB at v2sf5 —
+    * DRIFT_r15 §1), genome-shaped stores 18.9 at v2sf1 / 94.7 at
+    * v2sf5 (map-side there collapses the pair mass 104×). A store
+    * near the threshold has little collapse to win and little state
+    * to fear — either placement is fine by measurement, so the exact
+    * cut is not load-bearing.
+    */
+  val MinMapSideMergeLaneRows: Double = 4.0
 
   /** Build from coordinate pairs (pygr `CoordsToIntervals` ingest,
     * `nlmsa_utils.py:465-530`; SURVEY.md S7). `bidirectional` stores

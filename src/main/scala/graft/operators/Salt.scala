@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * salting stage, which double-counts or drops rows against the
   * surviving map outputs: exactly the failure mode salting exists to
   * survive at scale.
+  *
+  * Sizing the knob: [[recommendBuckets]] derives the bucket count
+  * from a measured skew model (heavy-hitter share × reduce tasks vs
+  * a target max/mean task bound), with [[heavyHitterShare]] as the
+  * one-sample estimator — see SKEW_r15.json for the probe table the
+  * model is validated against.
   */
 object Salt {
 
@@ -90,5 +96,68 @@ object Salt {
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     f.join(d, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Residual reduce-task max/mean a salted shuffle shows once no
+    * single key dominates — hash-placement unevenness plus the
+    * second-tier keys. Measured on the Zipf probe (SkewProbe, r15:
+    * hot key fully diluted at B=32 → max/mean 1.69; the B=8→16→32
+    * curve back-solves to a ~1.5 floor at 64 reduce tasks / 1 M
+    * rows). The floor shrinks with rows-per-task; 1.5 is the
+    * conservative planning figure for task counts sized to the data.
+    */
+  val ResidualMaxOverMean: Double = 1.5
+
+  /** Recommended salt bucket count, from the skew profile to a target
+    * reduce-task bound (VERDICT r15 #5 — makes the `buckets` knob
+    * principled instead of folklore). Model, validated against the
+    * measured SkewProbe table (SKEW_r15.json): the hottest key holds
+    * `hotShare` of the rows, so unsalted it pins one of `tasks`
+    * reduce tasks at ~`hotShare·tasks`× the mean (measured 6.98 at
+    * share 0.10, 64 tasks). Salting over B buckets divides that term
+    * by B on top of the residual background `ResidualMaxOverMean`:
+    *
+    *   max/mean ≈ residual + hotShare·tasks/B
+    *
+    * (measured 2.35/1.87/1.69 at B=8/16/32 vs predicted
+    * 2.3/1.9/1.7). The smallest B meeting `targetMaxOverMean` is
+    * hotShare·tasks/(target − residual), rounded up to a power of
+    * two (keeps pmod bucketing well-spread), clamped to [1, tasks]
+    * (more buckets than reduce tasks dilutes nothing further — the
+    * hot key already reaches every task — while multiplying the dim
+    * replication in `saltedJoin`). For share 0.10 at 64 tasks and the
+    * default target 2.0 this recommends 16 — the probe's measured
+    * sweet spot (1.87, diminishing returns past it); for the hotter
+    * share-0.17 key it recommends 32, matching the measured
+    * degradation of B=16 there (2.40).
+    */
+  def recommendBuckets(hotShare: Double, tasks: Int,
+                       targetMaxOverMean: Double = 2.0): Int = {
+    require(hotShare >= 0.0 && hotShare <= 1.0, s"hotShare $hotShare not in [0,1]")
+    require(tasks >= 1, s"tasks $tasks < 1")
+    require(targetMaxOverMean > ResidualMaxOverMean,
+      s"target $targetMaxOverMean unreachable: residual unevenness alone is ~$ResidualMaxOverMean")
+    val raw = hotShare * tasks / (targetMaxOverMean - ResidualMaxOverMean)
+    val b = math.min(tasks.toDouble, math.max(1.0, raw))
+    var p = 1
+    while (p < b) p <<= 1
+    p
+  }
+
+  /** Cheap heavy-hitter estimate feeding [[recommendBuckets]]: the
+    * hottest key group's share of rows, from a `fraction` Bernoulli
+    * sample (one narrow scan + one small aggregation — for a 1%
+    * sample the groupBy holds at most sampledRows keys, and the hot
+    * key's share estimate concentrates tightly because by definition
+    * it has many samples). Deterministic seed so a replanned stage
+    * samples identically. Returns 0.0 on an empty frame/sample.
+    */
+  def heavyHitterShare(df: DataFrame, keys: Seq[String],
+                       fraction: Double = 0.01): Double = {
+    val r = df.sample(withReplacement = false, fraction, seed = 41L)
+      .groupBy(keys.map(col): _*).count()
+      .agg(max("count").cast("double"), sum("count").cast("double")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
   }
 }

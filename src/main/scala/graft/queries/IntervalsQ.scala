@@ -151,11 +151,12 @@ object IntervalsQ {
     // shape, cnestedlist.pyx:537-539) — per-(query, target, ori)
     // spans come out without materializing the quadratic pair set
     // j2b returns. This store is per-user sequences (groups ≈ pairs,
-    // multiplicity ~1), so the merge runs reduce-side
-    // (mapSideMerge = false): map-side partials would hold one hash
-    // entry per PAIR and cascade into sort-fallback spill (36 GB at
-    // v2sf5 — DRIFT_r15 §1). j2e gates the map-side path on the
-    // dense store where partials collapse.
+    // lane multiplicity 1.3-1.4 at every v2 SF), so the AUTO gate
+    // (mapSideMerge = None, r16) places the merge reduce-side:
+    // map-side partials would hold one hash entry per PAIR and
+    // cascade into sort-fallback spill (36 GB at v2sf5 — DRIFT_r15
+    // §1). j2e runs the same auto gate on the dense store, where it
+    // lands map-side because partials collapse.
     "j2d_twohop_merged" -> { (s, dir) =>
       val blocks = alignBlocks(s, dir)
       val store = new AlignmentStore(
@@ -167,8 +168,7 @@ object IntervalsQ {
           concat(lit("u"), col("user_id").cast("string")).as("src_id"),
           (col("t0") + 5L * 86400L).as("q_start"),
           (col("t0") + 15L * 86400L).as("q_end"))
-      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L,
-          mapSideMerge = false)
+      store.slice2hopMerged(queries, binWidth = 172800L, axisBinWidth = 8192L)
         .orderBy("q_id", "dest_id", "dest_ori")
     },
 

@@ -53,8 +53,15 @@ object DriftProbe {
       println(s"[probe] groups2=${t("pair agg repart-first")(agg2.count())}")
       // single packed-long group key: does the one-column long path
       // (vectorized/fast hashmap eligible) beat the two-long composite?
+      // pack assumes 0 <= s2 < 2^32 and both columns long (l_suppkey
+      // here) — a negative or >=2^32 s2 would collide keys and
+      // undercount groups3, so filter those out explicitly rather
+      // than mislead the drift attribution (ADVICE r15)
       val packed = coldPairs
-        .select((shiftleft(col("s1"), 32).bitwiseOR(col("s2"))).as("pk"))
+        .where(col("s2") >= 0L && col("s2") < (1L << 32) &&
+               col("s1") >= 0L && col("s1") < (1L << 31))
+        .select((shiftleft(col("s1").cast("long"), 32)
+          .bitwiseOR(col("s2").cast("long"))).as("pk"))
       val agg3 = packed.repartition(col("pk"))
         .groupBy("pk").agg(count(lit(1)).as("n_shared"))
       println(s"[probe] groups3=${t("pair agg packed-key")(agg3.count())}")

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.align.AlignmentStore
 
+/** slice2hopMerged row shape for the sortmerge probe variant's
+  * streaming fold (same columns as `AlignmentStore.mergeSeq`). */
+case class MergedSpan(q_id: Long, dest_id: String, dest_ori: Int,
+                      src_start: Long, src_end: Long,
+                      dest_start: Long, dest_end: Long, n_blocks: Long)
+
 /** A/B harness for the fused two-hop merge (round 15): measures one
   * (shape, variant, bin widths) combination per run, min task-CPU
   * over reps.
@@ -12,13 +18,20 @@ import graft.align.AlignmentStore
   * shape  j2d — per-user sequences (merged groups ≈ pairs: the
   *              no-collapse regime) | j2e — 256 sequences, queries
   *              sampled %7 (multiplicity grows with SF)
-  * variant fused      — shipped slice2hopMerged (partial agg below
-  *                      the exchange)
+  * variant fused      — slice2hopMerged pinned map-side (partial agg
+  *                      below the exchange)
   *         preshuffle — repartition the pair stream by group key
   *                      first, aggregate reduce-side only (the r9
   *                      partial-agg-cliff remedy; measured dead heat
   *                      at v2sf1, candidate when groups ≈ pairs spill
   *                      the map-side hash at v2sf5)
+  *         auto       — slice2hopMerged with the r16 lane-stats gate
+  *                      (must reproduce fused on j2e, preshuffle on
+  *                      j2d)
+  *         sortmerge  — range-partition + sortWithinPartitions +
+  *                      hand-rolled streaming fold, O(1) agg state
+  *                      per task (VERDICT r15 #3: does trading hash
+  *                      state for a sort beat preshuffle at sf10?)
   *         pairs      — raw slice2hop, no merge (cost floor)
   *
   * Usage: runMain graft.tools.TwoHopProbe [sfDir] [shape] [variant]
@@ -74,9 +87,49 @@ object TwoHopProbe {
         (col("t0") + 15L * 86400L).as("q_end"))
 
     def mk: DataFrame = variant match {
-      case "fused" => store.slice2hopMerged(queries, binWidth, axisBinWidth)
+      case "fused" => store.slice2hopMerged(queries, binWidth, axisBinWidth,
+        mapSideMerge = Some(true))
       case "preshuffle" => store.slice2hopMerged(queries, binWidth, axisBinWidth,
-        mapSideMerge = false)
+        mapSideMerge = Some(false))
+      case "auto" => store.slice2hopMerged(queries, binWidth, axisBinWidth)
+      case "sortmerge" =>
+        // r16 probe (VERDICT r15 #3): range-partition the pair stream
+        // by the group key, sort within partitions, stream-merge —
+        // groups arrive contiguously so the fold keeps ONE open group
+        // (O(1) state per task), trading j2d's ~60 GB total hash-agg
+        // state for one sort of the pair stream the reduce-side plan
+        // already ships. A range partitioning never splits a group
+        // (all its rows share the full key). Hash agg would hold all
+        // distinct groups per partition regardless of input order, so
+        // the streaming fold is hand-rolled over the sorted iterator.
+        import spark.implicits._
+        store.slice2hop(queries, binWidth, axisBinWidth)
+          .select(col("q_id"), col("dest_id"), col("dest_ori"),
+            col("src_start"), col("src_end"),
+            col("dest_start"), col("dest_end"))
+          .repartitionByRange(col("q_id"), col("dest_id"), col("dest_ori"))
+          .sortWithinPartitions("q_id", "dest_id", "dest_ori")
+          .as[(Long, String, Int, Long, Long, Long, Long)]
+          .mapPartitions { rows =>
+            val buf = rows.buffered
+            new Iterator[MergedSpan] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): MergedSpan = {
+                val (q, d, o, ss, se, ds, de) = buf.next()
+                var mss = ss; var mse = se; var mds = ds; var mde = de
+                var n = 1L
+                while (buf.hasNext && {
+                  val h = buf.head; h._1 == q && h._2 == d && h._3 == o
+                }) {
+                  val h = buf.next()
+                  mss = math.min(mss, h._4); mse = math.max(mse, h._5)
+                  mds = math.min(mds, h._6); mde = math.max(mde, h._7)
+                  n += 1
+                }
+                MergedSpan(q, d, o, mss, mse, mds, mde, n)
+              }
+            }
+          }.toDF()
       case "pairs" => store.slice2hop(queries, binWidth, axisBinWidth)
       case other => sys.error(s"unknown variant $other")
     }

@@ -22,6 +22,34 @@ class AlignmentStoreSpec extends SparkSuite {
                  r.getString(4), r.getLong(5), r.getLong(6), r.getInt(7)))
       .toSeq
 
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case ap: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(ap.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  private def sameStage(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case ap: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      sameStage(ap.executedPlan)
+    case _: org.apache.spark.sql.execution.adaptive.QueryStageExec |
+         _: org.apache.spark.sql.execution.exchange.Exchange =>
+      Seq.empty // stage boundary
+    case _ => p +: p.children.flatMap(sameStage)
+  }
+
+  /** True when some aggregate sits in the same stage as a join — the
+    * map-side (fused) merge placement's signature; the reduce-side
+    * placement always has an Exchange between join and aggregate. */
+  private def mergeFusedIntoJoinStage(df: org.apache.spark.sql.DataFrame): Boolean =
+    allNodes(df.queryExecution.executedPlan)
+      .collect { case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      .exists(_.children.flatMap(sameStage)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+
   test("test_simple: msa[a[0:8]] -> b[0:8] (nlmsa_test.py:153-167)") {
     val store = AlignmentStore.fromCoords(spark, Seq(
       (("a", 0L, 8L), ("b", 0L, 8L, 1)),
@@ -106,7 +134,8 @@ class AlignmentStoreSpec extends SparkSuite {
       (("mouse", 50L, 58L), ("lpo", 102L, 110L, 1)),
       (("mouse", 60L, 64L), ("lpo", 103L, 107L, 1)),
       (("chicken", 7L, 12L), ("lpo", 104L, 109L, -1))))
-    val merged = store.slice2hopMerged(mkQueries((0L, "human", 0L, 10L)), binWidth = 8L)
+    val merged = store.slice2hopMerged(mkQueries((0L, "human", 0L, 10L)),
+      binWidth = 8L, mapSideMerge = Some(true))
     val got = merged.orderBy("dest_id").collect()
       .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
                  r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
@@ -121,40 +150,20 @@ class AlignmentStoreSpec extends SparkSuite {
     // plan shape: the partial aggregate must sit INSIDE the second
     // hop's join stage (no Exchange between them) — the quadratic pair
     // set exists only in the join's output iterator and never shuffles
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
-    import org.apache.spark.sql.execution.exchange.Exchange
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case ap: AdaptiveSparkPlanExec => p +: allNodes(ap.executedPlan)
-      case q: QueryStageExec => p +: allNodes(q.plan)
-      case _ => p +: p.children.flatMap(allNodes)
-    }
-    def sameStage(p: SparkPlan): Seq[SparkPlan] = p match {
-      case ap: AdaptiveSparkPlanExec => sameStage(ap.executedPlan)
-      case _: QueryStageExec | _: Exchange => Seq.empty // stage boundary
-      case _ => p +: p.children.flatMap(sameStage)
-    }
     val plan = merged.queryExecution.executedPlan
-    val fused = allNodes(plan).collect { case a: BaseAggregateExec => a }
-      .exists(a => a.children.flatMap(sameStage)
-        .exists(_.isInstanceOf[BaseJoinExec]))
-    assert(fused, s"partial aggregate not fused into the join stage:\n$plan")
+    assert(mergeFusedIntoJoinStage(merged),
+      s"partial aggregate not fused into the join stage:\n$plan")
 
     // reduce-side path (mapSideMerge = false, the many-sequence
     // regime): identical rows, but the aggregate must sit ABOVE an
     // exchange — no aggregate fused into the join stage, so the
     // map side never builds a per-pair hash map
     val reduceSide = store.slice2hopMerged(
-      mkQueries((0L, "human", 0L, 10L)), binWidth = 8L, mapSideMerge = false)
+      mkQueries((0L, "human", 0L, 10L)), binWidth = 8L, mapSideMerge = Some(false))
     assert(reduceSide.orderBy("dest_id").collect().map(_.toSeq).toSeq === unfused)
     val rsPlan = reduceSide.queryExecution.executedPlan
-    val rsFused = allNodes(rsPlan).collect { case a: BaseAggregateExec => a }
-      .exists(a => a.children.flatMap(sameStage)
-        .exists(_.isInstanceOf[BaseJoinExec]))
-    assert(!rsFused,
-      s"mapSideMerge=false still aggregates inside the join stage:\n$rsPlan")
+    assert(!mergeFusedIntoJoinStage(reduceSide),
+      s"mapSideMerge=Some(false) still aggregates inside the join stage:\n$rsPlan")
 
     // ...and the repartition exchange must be column-pruned to exactly
     // the merge's inputs (group key + span columns). slice2hop emits
@@ -170,6 +179,54 @@ class AlignmentStoreSpec extends SparkSuite {
     assert(pairExchange.isDefined, s"no pair exchange found:\n$rsPlan")
     assert(pairExchange.get.output.map(_.name).toSet === mergeCols,
       s"pair exchange not pruned to the merge columns:\n${pairExchange.get}")
+  }
+
+  test("slice2hopMerged auto gate: map-side on the dense store, reduce-side on the sparse store (VERDICT r15 #1)") {
+    // Dense store — the reference's genome regime in miniature: ONE
+    // (src, dest, ori) lane holding 32 blocks, so laneMultiplicity
+    // (count / distinct lanes) is far above the threshold and the
+    // auto gate must fuse the merge into the join stage, exactly as
+    // the reference picks pairwiseMode vs LPO from the store it was
+    // built as (cnestedlist.pyx:1485-1497) rather than asking the
+    // caller.
+    val dense = AlignmentStore.fromCoords(spark,
+      (0 until 32).map(i =>
+        (("human", i * 10L, i * 10L + 8L), ("lpo", 100L, 108L, 1))))
+    assert(dense.laneMultiplicity >= AlignmentStore.MinMapSideMergeLaneRows,
+      s"dense fixture multiplicity ${dense.laneMultiplicity} below the gate")
+    val denseQ = mkQueries((0L, "human", 0L, 320L))
+    val denseAuto = dense.slice2hopMerged(denseQ, binWidth = 64L)
+    assert(mergeFusedIntoJoinStage(denseAuto),
+      "auto gate failed to place the merge map-side on the dense store:\n" +
+        denseAuto.queryExecution.executedPlan)
+
+    // Sparse store — many-sequence regime: every block its own lane,
+    // multiplicity ~1, so map-side partials would hold one entry per
+    // pair (the 36 GB spill shape at v2sf5, DRIFT_r15 §1) and the
+    // auto gate must keep the merge strictly above the exchange.
+    val sparse = AlignmentStore.fromCoords(spark,
+      (0 until 32).map(i =>
+        ((s"u$i", 0L, 8L), (s"d${i % 8}", 0L, 8L, 1))))
+    assert(sparse.laneMultiplicity < AlignmentStore.MinMapSideMergeLaneRows,
+      s"sparse fixture multiplicity ${sparse.laneMultiplicity} at/above the gate")
+    val sparseQ = mkQueries((0 until 32).map(i => (i.toLong, s"u$i", 0L, 8L)): _*)
+    val sparseAuto = sparse.slice2hopMerged(sparseQ, binWidth = 64L)
+    assert(!mergeFusedIntoJoinStage(sparseAuto),
+      "auto gate failed to place the merge reduce-side on the sparse store:\n" +
+        sparseAuto.queryExecution.executedPlan)
+
+    // and on BOTH shapes the auto result is row-identical to both
+    // pinned placements — the gate only moves the merge, never the
+    // semantics
+    for ((store, q) <- Seq((dense, denseQ), (sparse, sparseQ))) {
+      val auto = store.slice2hopMerged(q, binWidth = 64L)
+        .orderBy("q_id", "dest_id", "dest_ori").collect().map(_.toSeq).toSeq
+      val mapSide = store.slice2hopMerged(q, binWidth = 64L, mapSideMerge = Some(true))
+        .orderBy("q_id", "dest_id", "dest_ori").collect().map(_.toSeq).toSeq
+      val reduceSide = store.slice2hopMerged(q, binWidth = 64L, mapSideMerge = Some(false))
+        .orderBy("q_id", "dest_id", "dest_ori").collect().map(_.toSeq).toSeq
+      assert(auto.nonEmpty && auto === mapSide && auto === reduceSide)
+    }
   }
 
   test("column view: minus-strand letters complement, coords reflect") {
