@@ -87,10 +87,16 @@ case class Relation(name: String, src: String, srcCol: String,
   * create-no-overwrite (bare object stores without conditional puts)
   * would fall back to last-writer-wins on the claim itself, so a write
   * through a scheme outside the proven set (file/hdfs/viewfs) fails
-  * fast with a named error directing the user to front the catalog
-  * with a transactional table format — or to opt in explicitly with
-  * `spark.graft.catalog.acceptNonAtomicClaims=true` when the store is
-  * known to provide conditional puts. Reads are cached per Catalog
+  * fast with a named error — unless the scheme has a claim backend.
+  * The claim primitive is pluggable per scheme ([[ClaimBackend]]):
+  * object stores with CONDITIONAL PUTS (S3 `If-None-Match`, GCS
+  * `if-generation-match`, Azure etags) are supported by declaring
+  * `spark.graft.catalog.conditionalPutSchemes=<scheme>` — the claim
+  * then runs create-no-overwrite + read-back verify + settle re-check
+  * ([[ConditionalPutClaim]], envelope in its doc) — or by registering
+  * a store-native backend via `Catalog.registerClaimBackend`. The
+  * blanket `spark.graft.catalog.acceptNonAtomicClaims=true` bypass
+  * remains for stores the user vouches for. Reads are cached per Catalog
   * instance and refreshed by writes; construct a fresh Catalog (or
   * call `refresh()`) to observe another writer's updates. All
   * writers of one warehouse must speak this protocol version (a
@@ -117,6 +123,29 @@ object Catalog {
     * HDFS-family `create(overwrite=false)` is namenode-atomic. Every
     * other scheme must opt in (see the class-doc envelope). */
   private[catalog] val AtomicClaimSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Per-scheme claim backends beyond the built-ins (VERDICT r15 #2):
+    * registering a [[ClaimBackend]] for a scheme turns the
+    * non-atomic-claim refusal into support — the registrant asserts
+    * the backend's put-if-absent really is exclusive on that store
+    * (see the `ClaimBackend` contract). Conf alternative for the
+    * common conditional-put case:
+    * `spark.graft.catalog.conditionalPutSchemes=s3a,gs` claims those
+    * schemes with [[ConditionalPutClaim]] (create-no-overwrite +
+    * read-back verify + settle re-check;
+    * `spark.graft.catalog.conditionalPutSettleMs` tunes the settle,
+    * default 250). Registration is process-wide: every writer JVM of
+    * a shared warehouse must register the same backend (or carry the
+    * same conf), exactly as all writers must speak the same protocol
+    * version. */
+  private val claimBackends =
+    new java.util.concurrent.ConcurrentHashMap[String, ClaimBackend]()
+  def registerClaimBackend(scheme: String, backend: ClaimBackend): Unit =
+    claimBackends.put(scheme, backend)
+  def unregisterClaimBackend(scheme: String): Unit =
+    claimBackends.remove(scheme)
+  private[catalog] def registeredClaimBackend(scheme: String): Option[ClaimBackend] =
+    Option(claimBackends.get(scheme))
 }
 
 class Catalog(spark: SparkSession, dir: String) {
@@ -240,37 +269,31 @@ class Catalog(spark: SparkSession, dir: String) {
   private def claimPath(path: String, gen: Long) = new Path(s"$path.gen.$gen")
 
   /** Atomic put-if-absent of the generation claim, content = version
-    * id. Local filesystems: write a temp file, then hard-LINK it into
-    * place — link(2) is atomic and fails with EEXIST, so the claim
-    * appears with its content in one step. Others: Hadoop
-    * `create(p, overwrite = false)` (atomic on HDFS; an object store
-    * without conditional puts degrades to last-writer-wins — see the
-    * class doc envelope). Returns false when the generation is
-    * already claimed. */
+    * id, delegated to the scheme's [[ClaimBackend]]: hard-link on
+    * local filesystems (content-atomic), `create(overwrite = false)`
+    * on HDFS-family (namenode-atomic), [[ConditionalPutClaim]] on
+    * schemes the user declared conditional-put-capable, and any
+    * backend registered via `Catalog.registerClaimBackend`. Returns
+    * false when the generation is already claimed. */
   private def claimGeneration(path: String, gen: Long, id: String): Boolean = {
     val fs = fsFor(new Path(path))
     val p = fs.makeQualified(claimPath(path, gen))
-    if (p.toUri.getScheme == "file") {
-      val target = java.nio.file.Paths.get(p.toUri.getPath)
-      val tmp = target.resolveSibling(s"${target.getFileName}.stage.$id")
-      java.nio.file.Files.write(tmp, id.getBytes("UTF-8"))
-      try {
-        java.nio.file.Files.createLink(target, tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val out =
-        try fs.create(p, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-          case _: java.nio.file.FileAlreadyExistsException => return false
-        }
-      out.write(id.getBytes("UTF-8")); out.close()
-      true
-    }
+    claimBackendFor(Option(p.toUri.getScheme).getOrElse("file"))
+      .putIfAbsent(fs, p, id.getBytes("UTF-8"))
   }
+
+  private def conditionalPutSchemes: Set[String] =
+    spark.conf.get("spark.graft.catalog.conditionalPutSchemes", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  private def claimBackendFor(scheme: String): ClaimBackend =
+    Catalog.registeredClaimBackend(scheme).getOrElse {
+      if (scheme == "file") HardLinkClaim
+      else if (conditionalPutSchemes.contains(scheme))
+        new ConditionalPutClaim(
+          spark.conf.get("spark.graft.catalog.conditionalPutSettleMs", "250").toLong)
+      else AtomicCreateClaim
+    }
 
   /** The claim's content (winner's version id), None when the claim
     * file is absent or not yet readable. */
@@ -340,15 +363,19 @@ class Catalog(spark: SparkSession, dir: String) {
     val qualified = fsFor(new Path(path)).makeQualified(new Path(path))
     val scheme = Option(qualified.toUri.getScheme).getOrElse("file")
     if (!Catalog.AtomicClaimSchemes.contains(scheme) &&
+        Catalog.registeredClaimBackend(scheme).isEmpty &&
+        !conditionalPutSchemes.contains(scheme) &&
         spark.conf.get("spark.graft.catalog.acceptNonAtomicClaims", "false") != "true")
       throw new UnsupportedOperationException(
         s"catalog warehouse scheme '$scheme://' ($qualified) has no proven " +
         "atomic put-if-absent for the generation claim: concurrent writers " +
         "would race last-writer-wins and could silently drop acknowledged " +
         "commits. Use a local/HDFS warehouse, front the catalog with a " +
-        "transactional table format, or set " +
-        "spark.graft.catalog.acceptNonAtomicClaims=true if this store " +
-        "provides conditional puts.")
+        "transactional table format, declare the store conditional-put-" +
+        "capable (spark.graft.catalog.conditionalPutSchemes=" + scheme +
+        " — S3 If-None-Match / GCS if-generation-match class stores), " +
+        "register a ClaimBackend for the scheme, or set " +
+        "spark.graft.catalog.acceptNonAtomicClaims=true to bypass the check.")
   }
 
   private def swapWriteLocked(df: DataFrame, path: String, baseGen: Long): Boolean = {
