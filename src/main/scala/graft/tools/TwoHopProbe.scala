@@ -135,16 +135,19 @@ object TwoHopProbe {
     }
     var best = Double.MaxValue
     var spill = 0L
+    var spillMem = 0L
     for (_ <- 1 to reps) {
       listener.snapshotAndReset()
       val n = mk.count()
       val snap = listener.snapshotAndReset()
       val cpu = snap.collectFirst { case ("task_cpu_ms", v) => v.toDouble }.getOrElse(-1.0)
       val sp = snap.collectFirst { case ("spill_disk_b", v) => v }.getOrElse(0L)
-      System.err.println(s"[probe] $shape/$variant rows=$n cpu_ms=$cpu spill_disk_b=$sp")
-      if (cpu < best) { best = cpu; spill = sp }
+      val spm = snap.collectFirst { case ("spill_mem_b", v) => v }.getOrElse(0L)
+      System.err.println(
+        s"[probe] $shape/$variant rows=$n cpu_ms=$cpu spill_mem_b=$spm spill_disk_b=$sp")
+      if (cpu < best) { best = cpu; spill = sp; spillMem = spm }
     }
-    println(s"""{"shape":"$shape","variant":"$variant","binWidth":$binWidth,"axisBinWidth":$axisBinWidth,"min_cpu_ms":$best,"spill_disk_b":$spill}""")
+    println(s"""{"shape":"$shape","variant":"$variant","binWidth":$binWidth,"axisBinWidth":$axisBinWidth,"min_cpu_ms":$best,"spill_mem_b":$spillMem,"spill_disk_b":$spill}""")
     spark.stop()
   }
 }
