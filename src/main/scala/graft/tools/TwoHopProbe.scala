@@ -133,6 +133,17 @@ object TwoHopProbe {
       case "pairs" => store.slice2hop(queries, binWidth, axisBinWidth)
       case other => sys.error(s"unknown variant $other")
     }
+
+    if (variant == "stats") {
+      // reproduce the auto-gate statistic for this shape (DRIFT_r16
+      // §1): blocks per distinct (src, dest, ori) lane on the same
+      // store the gated query builds, plus the placement the gate
+      // would choose at this scale
+      val m = store.laneMultiplicity
+      val side = if (m >= AlignmentStore.MinMapSideMergeLaneRows) "map" else "reduce"
+      println(s"""{"shape":"$shape","variant":"stats","lane_multiplicity":$m,"auto_placement":"$side"}""")
+      spark.stop(); return
+    }
     var best = Double.MaxValue
     var spill = 0L
     var spillMem = 0L
