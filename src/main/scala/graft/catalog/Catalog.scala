@@ -137,7 +137,14 @@ object Catalog {
     * default 250). Registration is process-wide: every writer JVM of
     * a shared warehouse must register the same backend (or carry the
     * same conf), exactly as all writers must speak the same protocol
-    * version. */
+    * version. A registered backend whose claim content is not
+    * DEFINITIVE the moment putIfAbsent returns (anything with a
+    * post-create verify horizon, like ConditionalPutClaim's settle)
+    * must be paired with raising `publishBehalfAfterMs` past that
+    * horizon — the behalf-publish path reads the claim content and
+    * must never act on a value a contender could still overwrite
+    * (conf-declared conditional-put schemes get this floor
+    * automatically in `awaitClaimWinner`). */
   private val claimBackends =
     new java.util.concurrent.ConcurrentHashMap[String, ClaimBackend]()
   def registerClaimBackend(scheme: String, backend: ClaimBackend): Unit =
@@ -327,8 +334,24 @@ class Catalog(spark: SparkSession, dir: String) {
     * return) — delete the corpse so the retry can re-claim. */
   private def awaitClaimWinner(path: String, gen: Long): Unit = {
     val fs = fsFor(new Path(path))
+    // on a conditional-put scheme the claim CONTENT is definitive only
+    // after the settle horizon (a contender that passed its first
+    // read-back can still lose its settle re-check and back out,
+    // deleting its version): behalf-publishing from content read
+    // before that horizon could mint a max-generation marker pointing
+    // at a version its owner is about to delete — a bricked table. So
+    // the behalf wait is floored at 2x the declared settle (>= window
+    // + margin by the ConditionalPutClaim envelope); link/HDFS claims
+    // are definitive at creation and keep the fast path.
+    val scheme = Option(fsFor(new Path(path)).makeQualified(new Path(path))
+      .toUri.getScheme).getOrElse("file")
+    val behalfFloorMs =
+      if (conditionalPutSchemes.contains(scheme))
+        2 * spark.conf.get("spark.graft.catalog.conditionalPutSettleMs", "250").toLong
+      else 0L
     val deadline = System.nanoTime() + awaitPtrMs * 1000000L
-    val behalfAt = System.nanoTime() + publishBehalfAfterMs * 1000000L
+    val behalfAt = System.nanoTime() +
+      math.max(publishBehalfAfterMs, behalfFloorMs) * 1000000L
     while (System.nanoTime() < deadline) {
       if (markersOf(path).exists(_.gen >= gen)) return
       readClaim(path, gen) match {

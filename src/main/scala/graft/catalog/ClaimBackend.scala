@@ -33,8 +33,13 @@ trait ClaimBackend {
 object HardLinkClaim extends ClaimBackend {
   def putIfAbsent(fs: FileSystem, p: Path, content: Array[Byte]): Boolean = {
     val target = java.nio.file.Paths.get(p.toUri.getPath)
+    // tmp name must be unique ACROSS JVMs on one host (threadId and
+    // nanoTime both recur across processes): a shared tmp would let
+    // writer B overwrite A's staged content between A's write and
+    // A's link, so A would link B's id while believing it owns the
+    // claim
     val tmp = target.resolveSibling(
-      s"${target.getFileName}.stage.${java.lang.Long.toHexString(Thread.currentThread().getId)}.${System.nanoTime()}")
+      s"${target.getFileName}.stage.${java.util.UUID.randomUUID().toString.take(16)}")
     java.nio.file.Files.write(tmp, content)
     try {
       java.nio.file.Files.createLink(target, tmp)

@@ -138,10 +138,12 @@ object Salt {
     require(targetMaxOverMean > ResidualMaxOverMean,
       s"target $targetMaxOverMean unreachable: residual unevenness alone is ~$ResidualMaxOverMean")
     val raw = hotShare * tasks / (targetMaxOverMean - ResidualMaxOverMean)
-    val b = math.min(tasks.toDouble, math.max(1.0, raw))
+    // power-of-two BEFORE the tasks clamp: clamping first and then
+    // rounding up would exceed tasks for non-power-of-two task counts
+    // (e.g. 48 tasks → 64 buckets), breaking the documented bound
     var p = 1
-    while (p < b) p <<= 1
-    p
+    while (p < math.max(1.0, raw)) p <<= 1
+    math.min(p, tasks)
   }
 
   /** Cheap heavy-hitter estimate feeding [[recommendBuckets]]: the

@@ -53,15 +53,18 @@ object DriftProbe {
       println(s"[probe] groups2=${t("pair agg repart-first")(agg2.count())}")
       // single packed-long group key: does the one-column long path
       // (vectorized/fast hashmap eligible) beat the two-long composite?
-      // pack assumes 0 <= s2 < 2^32 and both columns long (l_suppkey
-      // here) — a negative or >=2^32 s2 would collide keys and
-      // undercount groups3, so filter those out explicitly rather
-      // than mislead the drift attribution (ADVICE r15)
+      // pack assumes 0 <= s1, s2 < 2^32 (injective then even when pk
+      // goes negative) — out-of-range keys would COLLIDE and
+      // undercount groups3, so they are filtered; the packed-input
+      // row count is printed so an A/B against groups/groups2 on a
+      // fixture with dropped rows is visibly not like-for-like
+      // (ADVICE r15 + r16 review)
       val packed = coldPairs
         .where(col("s2") >= 0L && col("s2") < (1L << 32) &&
-               col("s1") >= 0L && col("s1") < (1L << 31))
+               col("s1") >= 0L && col("s1") < (1L << 32))
         .select((shiftleft(col("s1").cast("long"), 32)
           .bitwiseOR(col("s2").cast("long"))).as("pk"))
+      println(s"[probe] packedRows=${packed.count()} (compare coldPairs above; a gap = dropped out-of-range keys)")
       val agg3 = packed.repartition(col("pk"))
         .groupBy("pk").agg(count(lit(1)).as("n_shared"))
       println(s"[probe] groups3=${t("pair agg packed-key")(agg3.count())}")

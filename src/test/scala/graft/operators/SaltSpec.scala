@@ -83,9 +83,12 @@ class SaltSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(Salt.recommendBuckets(0.10, tasks = 64) === 16)
     // ...and escalates for the hotter key where B=16 measured 2.40
     assert(Salt.recommendBuckets(0.17, tasks = 64) === 32)
-    // clamps: no dominant key → no salting; B never exceeds tasks
+    // clamps: no dominant key → no salting; B never exceeds tasks —
+    // including NON-power-of-two task counts (pow2 rounding must not
+    // overshoot the clamp)
     assert(Salt.recommendBuckets(0.0, tasks = 64) === 1)
     assert(Salt.recommendBuckets(1.0, tasks = 8) === 8)
+    assert(Salt.recommendBuckets(0.9, tasks = 48) === 48)
     // a target at/below the residual floor is unreachable — refuse
     assertThrows[IllegalArgumentException](
       Salt.recommendBuckets(0.1, tasks = 64, targetMaxOverMean = 1.4))
