@@ -39,14 +39,33 @@ class AlignmentStore(val blocks: DataFrame) {
     * three aggregates ride the same pass so adding the lane estimate
     * costs no extra job.
     */
-  private lazy val storeStats: (Long, Long, Long) = {
+  private lazy val storeStats: (Long, Long, Long, Long) = {
     val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id")),
       approx_count_distinct(concat_ws("\u0000",
-        col("src_id"), col("dest_id"), col("dest_ori").cast("string")))).head()
-    (r.getLong(0), math.max(r.getLong(1), 1L), math.max(r.getLong(2), 1L))
+        col("src_id"), col("dest_id"), col("dest_ori").cast("string"))),
+      expr("approx_percentile(src_end - src_start, 0.95)")).head()
+    (r.getLong(0), math.max(r.getLong(1), 1L), math.max(r.getLong(2), 1L),
+     if (r.isNullAt(3)) 1L << 16 else math.max(r.getLong(3), 1L))
   }
 
   private def keyStats: (Long, Long) = (storeStats._1, storeStats._2)
+
+  /** Auto bin width for the binned interval joins: the next power of
+    * two at or above the store's approx p95 block span (same lazy
+    * stats pass as the other gates), floored at 16 and capped at 2^24
+    * - 95% of blocks then explode into at most 2 bins at the BASE
+    * resolution, and the multi-resolution join's coarser levels
+    * absorb everything longer (query windows included) at <= 2 rows
+    * per level. This is the engine's answer to the reference needing
+    * no width knob at all (the NCList tree adapts per node,
+    * `intervaldb.c:222-306`): measure the span distribution once,
+    * derive the base, let the level ladder cover the rest.
+    */
+  private[graft] lazy val autoBinWidth: Long = {
+    var w = 16L
+    while (w < storeStats._4 && w < (1L << 24)) w <<= 1
+    w
+  }
 
   /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —
     * the store-shape statistic that separates the reference's genome
@@ -76,8 +95,16 @@ class AlignmentStore(val blocks: DataFrame) {
     * one key across coordinate bins. Streaming query sides always take
     * the binned path (the custom exec is batch-only). Explicit
     * `Some(true)`/`Some(false)` overrides.
+    *
+    * `binWidth = 0` (the default, r16) removes the width knob: the
+    * binned path runs the MULTI-RESOLUTION join at [[autoBinWidth]]
+    * base — 95% of blocks bin at ≤ 2 rows per level by construction
+    * and arbitrarily long query windows ride the coarser levels, so
+    * no span distribution makes the default explode. An explicit
+    * width keeps the single-level binned join (cheapest when the
+    * caller knows every span ≲ width).
     */
-  def slice(queries: DataFrame, binWidth: Long = 1 << 16,
+  def slice(queries: DataFrame, binWidth: Long = 0L,
             indexed: Option[Boolean] = None,
             maxIndexedKeyRows: Long = AlignmentStore.MaxIndexedKeyRows): DataFrame = {
     val useIndexed = indexed.getOrElse {
@@ -90,9 +117,12 @@ class AlignmentStore(val blocks: DataFrame) {
           queries.withColumnRenamed("src_id", "__qkey"),
           "src_id", "src_start", "src_end",
           "__qkey", "q_start", "q_end").drop("__qkey")
-      else IntervalJoin.binned(
+      else if (binWidth > 0L) IntervalJoin.binned(
         blocks, queries, Seq("src_id"),
         "src_start", "src_end", "q_start", "q_end", binWidth)
+      else IntervalJoin.binnedMulti(
+        blocks, queries, Seq("src_id"),
+        "src_start", "src_end", "q_start", "q_end", autoBinWidth)
     val ns = Intervals.clipStart(col("src_start"), col("q_start"))
     val ne = Intervals.clipEnd(col("src_end"), col("q_end"))
     joined
@@ -137,9 +167,13 @@ class AlignmentStore(val blocks: DataFrame) {
     * in seconds vs a genome coordinate axis), and a hop-1 width
     * carried onto a much smaller axis range collapses hop 2 into a
     * handful of join cells — parallelism bounded by cells, not
-    * partitions. Defaults to `binWidth` (0 = inherit).
+    * partitions. Defaults to `binWidth` (0 = inherit — and when that
+    * is also 0/auto, hop 2 runs the multi-resolution join at
+    * [[autoBinWidth]], which is the right base for the axis too:
+    * every block's axis span equals its src span by the AlignBlock
+    * invariant).
     */
-  def slice2hop(queries: DataFrame, binWidth: Long = 1 << 16,
+  def slice2hop(queries: DataFrame, binWidth: Long = 0L,
                 axisBinWidth: Long = 0L): DataFrame = {
     val h1 = slice(queries, binWidth).select(
       col("q_id"), col("src_id"),
@@ -163,8 +197,13 @@ class AlignmentStore(val blocks: DataFrame) {
       .otherwise(col("t2s") + (col("e2") - me))
     val ye = when(col("ori2") >= 0, col("t2s") + (me - col("s2")))
       .otherwise(col("t2s") + (col("e2") - ms))
-    IntervalJoin.binned(h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2",
-        if (axisBinWidth > 0L) axisBinWidth else binWidth)
+    val w2 = if (axisBinWidth > 0L) axisBinWidth else binWidth
+    val joined2 =
+      if (w2 > 0L) IntervalJoin.binned(
+        h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", w2)
+      else IntervalJoin.binnedMulti( // auto: block spans are axis spans
+        h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth)
+    joined2
       .withColumn("x_start", xs).withColumn("x_end", xe)
       .withColumn("y_start", ys).withColumn("y_end", ye)
       .where(col("y_id") =!= col("src_id") || col("x_start") =!= col("y_start"))
@@ -229,7 +268,7 @@ class AlignmentStore(val blocks: DataFrame) {
     *    store it was built as — pairwiseMode vs LPO,
     *    `cnestedlist.pyx:1485-1497` — rather than asking the caller.
     */
-  def slice2hopMerged(queries: DataFrame, binWidth: Long = 1 << 16,
+  def slice2hopMerged(queries: DataFrame, binWidth: Long = 0L,
                       axisBinWidth: Long = 0L,
                       mapSideMerge: Option[Boolean] = None): DataFrame = {
     val mapSide = mapSideMerge.getOrElse(
@@ -248,7 +287,7 @@ class AlignmentStore(val blocks: DataFrame) {
     */
   def sliceConserved(queries: DataFrame, seqs: DataFrame,
                      pIdentityMinBp: Long, minAlignSize: Long = 1L,
-                     binWidth: Long = 1 << 16): DataFrame =
+                     binWidth: Long = 0L): DataFrame =
     PairAlignment.conservedSegment(slice(queries, binWidth), seqs,
       pIdentityMinBp, minAlignSize, keyCols = Seq("q_id", "block_id"))
 

@@ -229,6 +229,40 @@ class AlignmentStoreSpec extends SparkSuite {
     }
   }
 
+  test("auto bin width: default slice/slice2hop need no width knob, even with containment spans") {
+    // the NCList containment case (intervaldb.c:222-306): one
+    // whole-axis block plus many short ones, and a query window much
+    // longer than the short spans. Any fixed width is wrong for one
+    // of the three span classes; the auto default (multi-resolution
+    // at the store's p95-span base) must return exactly the explicit
+    // single-level result for ANY width, because the binned joins are
+    // width-independent in RESULTS by construction.
+    val coords = (("big", 0L, 100000L), ("lpo", 0L, 100000L, 1)) +:
+      (0 until 64).map(i =>
+        ((s"s$i", 0L, 40L), ("lpo", i * 1500L, i * 1500L + 40L, 1)))
+    val store = AlignmentStore.fromCoords(spark, coords)
+    // p95 span of the store is the short-block span (40) → base 64
+    assert(store.autoBinWidth === 64L,
+      s"autoBinWidth ${store.autoBinWidth} (p95 span should be 40 → 64)")
+    val q = mkQueries((0L, "big", 0L, 100000L))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "dest_id", "dest_start", "block_id")
+        .collect().map(_.toSeq).toSeq
+    val auto = sorted(store.slice(q, indexed = Some(false)))
+    assert(auto.nonEmpty)
+    assert(auto === sorted(store.slice(q, binWidth = 1 << 16, indexed = Some(false))))
+    assert(auto === sorted(store.slice(q, binWidth = 128L, indexed = Some(false))))
+    // two-hop through the shared axis, auto everywhere: equal to the
+    // explicitly-binned runs at two very different widths
+    def sorted2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "dest_id", "block1_id", "block2_id")
+        .collect().map(_.toSeq).toSeq
+    val auto2 = sorted2(store.slice2hop(q))
+    assert(auto2.nonEmpty)
+    assert(auto2 === sorted2(store.slice2hop(q, binWidth = 1 << 16)))
+    assert(auto2 === sorted2(store.slice2hop(q, binWidth = 256L, axisBinWidth = 4096L)))
+  }
+
   test("column view: minus-strand letters complement, coords reflect") {
     import spark.implicits._
     val blocks = Seq(("a", 0L, 4L, "b", 4L, 8L, -1, 0L))
