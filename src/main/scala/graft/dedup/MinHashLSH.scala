@@ -18,6 +18,39 @@ import graft.text.TextFunctions
   */
 object MinHashLSH {
 
+  /** The banded-LSH operating point for a band count: a pair at
+    * Jaccard similarity s becomes a candidate with probability
+    * P(s) = 1 − (1 − s^r)^b, r = k/b — an s-curve whose steep
+    * midpoint sits near (1/b)^(1/r) (the standard banding analysis).
+    * This returns that midpoint: pairs above it are caught with high
+    * probability, pairs below mostly skipped.
+    */
+  def bandThreshold(k: Int, bands: Int): Double = {
+    require(bands >= 1 && k % bands == 0, s"bands $bands must divide k=$k")
+    math.pow(1.0 / bands, bands.toDouble / k)
+  }
+
+  /** Band count for a TARGET Jaccard threshold (the r16 principled-
+    * knob companion to `Salt.recommendBuckets`): among the divisors
+    * of the signature length k, the one whose [[bandThreshold]] lands
+    * closest to the target in log space (thresholds spread
+    * multiplicatively over (0,1)). More bands = lower threshold =
+    * more candidates; ties resolve toward the SMALLER band count
+    * (fewer buckets per doc = cheaper bucket join, and the curve's
+    * miss side is the cheaper error: a missed near-dup survives, a
+    * spurious candidate costs a verification pass anyway). Callers
+    * needing `bandBucketsU`'s injective pairing keep r = 2 (b = k/2)
+    * explicitly; this helper serves the xxhash/md5 band paths that
+    * accept any r.
+    */
+  def recommendBands(k: Int, targetJaccard: Double): Int = {
+    require(k >= 1, s"k $k < 1")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"targetJaccard $targetJaccard not in (0,1)")
+    (1 to k).filter(k % _ == 0)
+      .minBy(b => math.abs(math.log(bandThreshold(k, b)) - math.log(targetJaccard)))
+  }
+
   /** Per-doc minhash signature columns sig0..sig{k-1} over word
     * n-gram shingles of `toksCol`.
     */

@@ -257,4 +257,26 @@ class DedupSpec extends SparkSuite {
       .select("neighbor").as[Long].collect()
     assert(top.toSeq === Seq(100L)) // the scaled clone has cosine 1
   }
+  test("recommendBands hits the textbook banding operating points") {
+    // the standard banding analysis: threshold ~ (1/b)^(1/r), r = k/b.
+    // Classic example k=100: b=20, r=5 -> ~0.549 is the closest
+    // divisor point to a 0.5 target
+    assert(MinHashLSH.recommendBands(k = 100, targetJaccard = 0.5) === 20)
+    assert(math.abs(MinHashLSH.bandThreshold(100, 20) - 0.549) < 0.01)
+    // k=128 at a strict 0.8 target -> b=8 (r=16, threshold ~0.878;
+    // the b=16 point 0.707 is farther in log space)
+    assert(MinHashLSH.recommendBands(k = 128, targetJaccard = 0.8) === 8)
+    assert(math.abs(MinHashLSH.bandThreshold(128, 16) - 0.707) < 0.01)
+    // monotone: more bands = lower threshold, over all divisors
+    val ds = (1 to 128).filter(128 % _ == 0)
+    val ts = ds.map(MinHashLSH.bandThreshold(128, _))
+    assert(ts === ts.sorted.reverse, s"thresholds not decreasing: $ts")
+    // extremes clamp to the all-or-nothing bands (0.99 picks b=2:
+    // its 0.989 point is genuinely closer than b=1's 1.0)
+    assert(MinHashLSH.recommendBands(128, 0.999) === 1)
+    assert(MinHashLSH.recommendBands(128, 0.99) === 2)
+    assert(MinHashLSH.recommendBands(128, 0.01) === 128)
+    assert(intercept[IllegalArgumentException](
+      MinHashLSH.bandThreshold(128, 3)).getMessage.contains("divide"))
+  }
 }
