@@ -39,13 +39,15 @@ class AlignmentStore(val blocks: DataFrame) {
     * three aggregates ride the same pass so adding the lane estimate
     * costs no extra job.
     */
-  private lazy val storeStats: (Long, Long, Long, Long) = {
+  private lazy val storeStats: (Long, Long, Long, Long, Long) = {
     val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id")),
       approx_count_distinct(concat_ws("\u0000",
         col("src_id"), col("dest_id"), col("dest_ori").cast("string"))),
-      expr("approx_percentile(src_end - src_start, 0.95)")).head()
+      expr("approx_percentile(src_end - src_start, 0.95)"),
+      max(col("src_end") - col("src_start"))).head()
     (r.getLong(0), math.max(r.getLong(1), 1L), math.max(r.getLong(2), 1L),
-     if (r.isNullAt(3)) 1L << 16 else math.max(r.getLong(3), 1L))
+     if (r.isNullAt(3)) 1L << 16 else math.max(r.getLong(3), 1L),
+     if (r.isNullAt(4)) 1L << 16 else math.max(r.getLong(4), 1L))
   }
 
   private def keyStats: (Long, Long) = (storeStats._1, storeStats._2)
@@ -61,10 +63,55 @@ class AlignmentStore(val blocks: DataFrame) {
     * `intervaldb.c:222-306`): measure the span distribution once,
     * derive the base, let the level ladder cover the rest.
     */
-  private[graft] lazy val autoBinWidth: Long = {
+  private[graft] lazy val autoBinWidth: Long = pow2ceil(storeStats._4)
+
+  private def pow2ceil(x: Long): Long = {
     var w = 16L
-    while (w < storeStats._4 && w < (1L << 24)) w <<= 1
+    while (w < x && w < (1L << 24)) w <<= 1
     w
+  }
+
+  /** Span tail bound for the single-level auto width: a max span far
+    * above the p95 means some interval walks max/width bins at any
+    * single-level width fine enough to prune — the containment shape
+    * the multi-resolution ladder exists for. */
+  private def tailsBounded(p95: Long, mx: Long): Boolean = mx <= 8L * p95
+
+  /** Block-span tail bound from the cached store stats (hop 2's gate). */
+  private def tailsBounded2: Boolean = tailsBounded(storeStats._4, storeStats._5)
+
+  /** The auto physical choice for a binned overlap join between the
+    * store and `queries` (r16): Some(width) = single-level binned,
+    * None = multi-resolution at [[autoBinWidth]] base.
+    *
+    * Single-level with a TWO-SIDED width wins when both span tails
+    * are bounded: width = pow2ceil(max(shortP95, longP95/4)) keeps
+    * the short side at ≤ 2 bins (no replication of the bulk side)
+    * while the long side walks ≤ ~4-8 bins — as fine as the long
+    * side tolerates, so coordinate pruning stays strong. Measured on
+    * the two-hop fixtures at v2sf1: within 1.15-1.21× of the
+    * hand-tuned widths, where the multi-resolution fallback pays
+    * 2.4× (its coarsest level holds the long side, where a bin spans
+    * the axis and prunes nothing; DRIFT_r16 §7). A heavy tail on
+    * EITHER side (max > 8×p95, e.g. one whole-axis block among short
+    * ones) or a streaming/empty query side falls back to the ladder,
+    * whose cost is bounded by construction for every span mix. The
+    * query-side stats are one tiny agg over the query frame — the
+    * side that is orders of magnitude smaller than the store in
+    * every slice-shaped workload.
+    */
+  private[graft] def autoJoinWidth(queries: DataFrame): Option[Long] = {
+    if (queries.isStreaming || !tailsBounded(storeStats._4, storeStats._5))
+      return None
+    val r = queries.agg(
+      expr("approx_percentile(q_end - q_start, 0.95)"),
+      max(col("q_end") - col("q_start"))).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) return None
+    val (qp95, qmax) = (math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L))
+    if (!tailsBounded(qp95, qmax)) return None
+    val short = math.min(storeStats._4, qp95)
+    val long = math.max(storeStats._4, qp95)
+    Some(pow2ceil(math.max(short, long / 4)))
   }
 
   /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —
@@ -96,13 +143,14 @@ class AlignmentStore(val blocks: DataFrame) {
     * the binned path (the custom exec is batch-only). Explicit
     * `Some(true)`/`Some(false)` overrides.
     *
-    * `binWidth = 0` (the default, r16) removes the width knob: the
-    * binned path runs the MULTI-RESOLUTION join at [[autoBinWidth]]
-    * base — 95% of blocks bin at ≤ 2 rows per level by construction
-    * and arbitrarily long query windows ride the coarser levels, so
-    * no span distribution makes the default explode. An explicit
-    * width keeps the single-level binned join (cheapest when the
-    * caller knows every span ≲ width).
+    * `binWidth = 0` (the default, r16) removes the width knob:
+    * [[autoJoinWidth]] picks a two-sided single-level width when
+    * both span distributions are tame (within 1.15-1.21× of expert
+    * tuning by measurement) and otherwise runs the MULTI-RESOLUTION
+    * join at [[autoBinWidth]] base — ≤ 2 rows per level per interval
+    * by construction, so no span distribution makes the default
+    * explode. An explicit width forces the single-level binned join
+    * at that width.
     */
   def slice(queries: DataFrame, binWidth: Long = 0L,
             indexed: Option[Boolean] = None,
@@ -117,12 +165,14 @@ class AlignmentStore(val blocks: DataFrame) {
           queries.withColumnRenamed("src_id", "__qkey"),
           "src_id", "src_start", "src_end",
           "__qkey", "q_start", "q_end").drop("__qkey")
-      else if (binWidth > 0L) IntervalJoin.binned(
-        blocks, queries, Seq("src_id"),
-        "src_start", "src_end", "q_start", "q_end", binWidth)
-      else IntervalJoin.binnedMulti(
-        blocks, queries, Seq("src_id"),
-        "src_start", "src_end", "q_start", "q_end", autoBinWidth)
+      else (if (binWidth > 0L) Some(binWidth) else autoJoinWidth(queries)) match {
+        case Some(w) => IntervalJoin.binned(
+          blocks, queries, Seq("src_id"),
+          "src_start", "src_end", "q_start", "q_end", w)
+        case None => IntervalJoin.binnedMulti(
+          blocks, queries, Seq("src_id"),
+          "src_start", "src_end", "q_start", "q_end", autoBinWidth)
+      }
     val ns = Intervals.clipStart(col("src_start"), col("q_start"))
     val ne = Intervals.clipEnd(col("src_end"), col("q_end"))
     joined
@@ -201,7 +251,14 @@ class AlignmentStore(val blocks: DataFrame) {
     val joined2 =
       if (w2 > 0L) IntervalJoin.binned(
         h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", w2)
-      else IntervalJoin.binnedMulti( // auto: block spans are axis spans
+      // auto: BOTH hop-2 sides carry the block span distribution
+      // (h1's axis intervals are clipped blocks; h2 is the store), so
+      // the two-sided rule needs no probe of the mid-plan h1 — tame
+      // block tails take the single-level join at the block-span
+      // width, heavy tails take the ladder
+      else if (tailsBounded2) IntervalJoin.binned(
+        h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth)
+      else IntervalJoin.binnedMulti(
         h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth)
     joined2
       .withColumn("x_start", xs).withColumn("x_end", xe)

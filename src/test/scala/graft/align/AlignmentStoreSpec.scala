@@ -261,6 +261,24 @@ class AlignmentStoreSpec extends SparkSuite {
     assert(auto2.nonEmpty)
     assert(auto2 === sorted2(store.slice2hop(q, binWidth = 1 << 16)))
     assert(auto2 === sorted2(store.slice2hop(q, binWidth = 256L, axisBinWidth = 4096L)))
+
+    // the physical choice behind the equalities: this store's span
+    // tail (one 100000-span block among 40-span ones, max > 8×p95)
+    // must refuse the single-level width and take the ladder...
+    assert(store.autoJoinWidth(q).isEmpty,
+      "containment-tailed store must fall back to the multi-resolution join")
+    // ...while a tame store picks the two-sided single-level width:
+    // short side = blocks (p95 40), long side = 1000-span queries →
+    // pow2ceil(max(40, 1000/4)) = 256
+    val tame = AlignmentStore.fromCoords(spark,
+      (0 until 64).map(i => ((s"s${i % 4}", i * 50L, i * 50L + 40L),
+                             ("lpo", i * 50L, i * 50L + 40L, 1))))
+    val tameQ = mkQueries((0L, "s0", 0L, 1000L), (1L, "s1", 500L, 1500L))
+    assert(tame.autoJoinWidth(tameQ) === Some(256L),
+      s"two-sided width: got ${tame.autoJoinWidth(tameQ)}")
+    // and the tame auto slice equals its explicit-width twin too
+    assert(sorted(tame.slice(tameQ, indexed = Some(false))) ===
+      sorted(tame.slice(tameQ, binWidth = 64L, indexed = Some(false))))
   }
 
   test("column view: minus-strand letters complement, coords reflect") {
