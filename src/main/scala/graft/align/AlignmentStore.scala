@@ -85,20 +85,24 @@ class AlignmentStore(val blocks: DataFrame) {
     * None = multi-resolution at [[autoBinWidth]] base.
     *
     * Single-level with a TWO-SIDED width wins when both span tails
-    * are bounded: width = pow2ceil(max(shortP95, longP95/4)) keeps
+    * are bounded: width = pow2ceil(max(shortP95, longP95/16)) keeps
     * the short side at ≤ 2 bins (no replication of the bulk side)
-    * while the long side walks ≤ ~4-8 bins — as fine as the long
-    * side tolerates, so coordinate pruning stays strong. Measured on
-    * the two-hop fixtures at v2sf1: within 1.15-1.21× of the
-    * hand-tuned widths, where the multi-resolution fallback pays
-    * 2.4× (its coarsest level holds the long side, where a bin spans
-    * the axis and prunes nothing; DRIFT_r16 §7). A heavy tail on
-    * EITHER side (max > 8×p95, e.g. one whole-axis block among short
-    * ones) or a streaming/empty query side falls back to the ladder,
-    * whose cost is bounded by construction for every span mix. The
-    * query-side stats are one tiny agg over the query frame — the
-    * side that is orders of magnitude smaller than the store in
-    * every slice-shaped workload.
+    * while the long side walks ≤ ~16-17 bins. The divisor leans FINE
+    * deliberately — the width-cost curve is an asymmetric U
+    * (DRIFT_r16 §7): below the optimum the only cost is linear
+    * replication of the few long intervals, while above it hot keys
+    * pay quadratically in per-bin population, a cliff that STEEPENS
+    * with scale (a /4 rule measured 1.15× of hand-tuned at v2sf1 but
+    * 2.2× at v2sf5; /16 measures 1.15× at sf5). Measured against the
+    * multi-resolution fallback: that ladder pays 2.4× (its coarsest
+    * level holds the long side, where a bin spans the axis and
+    * prunes nothing). A heavy tail on EITHER side (max > 8×p95, e.g.
+    * one whole-axis block among short ones) or a streaming/empty
+    * query side falls back to the ladder, whose cost is bounded by
+    * construction for every span mix. The query-side stats are one
+    * tiny agg over the query frame — the side that is orders of
+    * magnitude smaller than the store in every slice-shaped
+    * workload.
     */
   private[graft] def autoJoinWidth(queries: DataFrame): Option[Long] = {
     if (queries.isStreaming || !tailsBounded(storeStats._4, storeStats._5))
@@ -111,7 +115,7 @@ class AlignmentStore(val blocks: DataFrame) {
     if (!tailsBounded(qp95, qmax)) return None
     val short = math.min(storeStats._4, qp95)
     val long = math.max(storeStats._4, qp95)
-    Some(pow2ceil(math.max(short, long / 4)))
+    Some(pow2ceil(math.max(short, long / 16)))
   }
 
   /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —

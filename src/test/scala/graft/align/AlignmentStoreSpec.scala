@@ -269,12 +269,13 @@ class AlignmentStoreSpec extends SparkSuite {
       "containment-tailed store must fall back to the multi-resolution join")
     // ...while a tame store picks the two-sided single-level width:
     // short side = blocks (p95 40), long side = 1000-span queries →
-    // pow2ceil(max(40, 1000/4)) = 256
+    // pow2ceil(max(40, 1000/16)) = 64 (the divisor leans fine: the
+    // cost curve's hot-key cliff sits above the optimum, DRIFT_r16 §7)
     val tame = AlignmentStore.fromCoords(spark,
       (0 until 64).map(i => ((s"s${i % 4}", i * 50L, i * 50L + 40L),
                              ("lpo", i * 50L, i * 50L + 40L, 1))))
     val tameQ = mkQueries((0L, "s0", 0L, 1000L), (1L, "s1", 500L, 1500L))
-    assert(tame.autoJoinWidth(tameQ) === Some(256L),
+    assert(tame.autoJoinWidth(tameQ) === Some(64L),
       s"two-sided width: got ${tame.autoJoinWidth(tameQ)}")
     // and the tame auto slice equals its explicit-width twin too
     assert(sorted(tame.slice(tameQ, indexed = Some(false))) ===
