@@ -80,6 +80,43 @@ class AlignmentStore(val blocks: DataFrame) {
   /** Block-span tail bound from the cached store stats (hop 2's gate). */
   private def tailsBounded2: Boolean = tailsBounded(storeStats._4, storeStats._5)
 
+  /** Memoized query-side span stats (p95, max) keyed by the
+    * CANONICALIZED query plan, bounded LRU. The auto-width probe is
+    * one eager agg job at plan-construction time whose input lineage
+    * then runs AGAIN inside the join itself (ADVICE r16) — for the
+    * slice-shaped workload (query frame orders of magnitude smaller
+    * than the store) that is noise, but a caller slicing repeatedly
+    * with the same frame should not re-pay even the probe: identical
+    * plans hit this memo. Callers with an EXPENSIVE uncached query
+    * lineage should cache the frame or pass an explicit `binWidth`,
+    * which skips the probe entirely (documented on [[slice]]).
+    */
+  private[graft] val querySpanMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                  Option[(Long, Long)]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                   Option[(Long, Long)]]): Boolean = size > 32
+      })
+
+  /** (p95 span, max span) of the query frame, or None for a streaming
+    * or empty side; memoized per canonicalized plan (see memo doc). */
+  private[graft] def querySpanStats(queries: DataFrame): Option[(Long, Long)] = {
+    if (queries.isStreaming) return None
+    val key = queries.queryExecution.analyzed.canonicalized
+    val hit = querySpanMemo.get(key)
+    if (hit != null) return hit
+    val r = queries.agg(
+      expr("approx_percentile(q_end - q_start, 0.95)"),
+      max(col("q_end") - col("q_start"))).head()
+    val stats =
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L)))
+    querySpanMemo.put(key, stats)
+    stats
+  }
+
   /** The auto physical choice for a binned overlap join between the
     * store and `queries` (r16): Some(width) = single-level binned,
     * None = multi-resolution at [[autoBinWidth]] base.
@@ -107,15 +144,31 @@ class AlignmentStore(val blocks: DataFrame) {
   private[graft] def autoJoinWidth(queries: DataFrame): Option[Long] = {
     if (queries.isStreaming || !tailsBounded(storeStats._4, storeStats._5))
       return None
-    val r = queries.agg(
-      expr("approx_percentile(q_end - q_start, 0.95)"),
-      max(col("q_end") - col("q_start"))).head()
-    if (r.isNullAt(0) || r.isNullAt(1)) return None
-    val (qp95, qmax) = (math.max(r.getLong(0), 1L), math.max(r.getLong(1), 1L))
-    if (!tailsBounded(qp95, qmax)) return None
-    val short = math.min(storeStats._4, qp95)
-    val long = math.max(storeStats._4, qp95)
-    Some(pow2ceil(math.max(short, long / 16)))
+    querySpanStats(queries) match {
+      case Some((qp95, qmax)) if tailsBounded(qp95, qmax) =>
+        val short = math.min(storeStats._4, qp95)
+        val long = math.max(storeStats._4, qp95)
+        Some(pow2ceil(math.max(short, long / 16)))
+      case _ => None
+    }
+  }
+
+  /** Ladder depth for the multi-resolution fallback: the smallest
+    * level count whose coarsest width (autoBinWidth · 16^(levels−1))
+    * covers `maxSpan`, floored at the historical 4 and capped at 8
+    * (coarsest ≥ 2^28 · base — wider than any axis in the fixtures;
+    * a span beyond even that walks coarsest-level bins at
+    * ≤ span/coarsestWidth rows, the honest residual). Each extra
+    * level costs every interval ≤ 2 more exploded rows, so the depth
+    * follows the measured max span instead of a fixed constant
+    * (ADVICE r16: a fixed 4 levels left spans beyond 4096× base
+    * walking coarse bins while the doc claimed a hard per-level
+    * bound).
+    */
+  private[graft] def ladderLevels(maxSpan: Long): Int = {
+    var l = 4
+    while (l < 8 && autoBinWidth * (1L << (4 * (l - 1))) < maxSpan) l += 1
+    l
   }
 
   /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —
@@ -155,6 +208,15 @@ class AlignmentStore(val blocks: DataFrame) {
     * by construction, so no span distribution makes the default
     * explode. An explicit width forces the single-level binned join
     * at that width.
+    *
+    * COST NOTE (ADVICE r16): `binWidth = 0` on the binned path runs
+    * ONE eager stats job over the query frame at plan-construction
+    * time, and the frame's lineage runs again inside the join — fine
+    * for the slice-shaped workload (tiny query side), memoized per
+    * canonicalized plan for repeated slices, but a caller with an
+    * expensive uncached query lineage should cache the frame or pass
+    * an explicit `binWidth` (no probe at all). The indexed path and
+    * hop 2 of [[slice2hop]] never probe the query side.
     */
   def slice(queries: DataFrame, binWidth: Long = 0L,
             indexed: Option[Boolean] = None,
@@ -175,7 +237,9 @@ class AlignmentStore(val blocks: DataFrame) {
           "src_start", "src_end", "q_start", "q_end", w)
         case None => IntervalJoin.binnedMulti(
           blocks, queries, Seq("src_id"),
-          "src_start", "src_end", "q_start", "q_end", autoBinWidth)
+          "src_start", "src_end", "q_start", "q_end", autoBinWidth,
+          levels = ladderLevels(math.max(storeStats._5,
+            querySpanStats(queries).map(_._2).getOrElse(1L))))
       }
     val ns = Intervals.clipStart(col("src_start"), col("q_start"))
     val ne = Intervals.clipEnd(col("src_end"), col("q_end"))
@@ -263,7 +327,10 @@ class AlignmentStore(val blocks: DataFrame) {
       else if (tailsBounded2) IntervalJoin.binned(
         h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth)
       else IntervalJoin.binnedMulti(
-        h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth)
+        h1, h2, Seq("axis_id"), "m1s", "m1e", "s2", "e2", autoBinWidth,
+        // both hop-2 sides carry (clipped) block spans, so the store's
+        // own max span bounds the ladder depth it needs
+        levels = ladderLevels(storeStats._5))
     joined2
       .withColumn("x_start", xs).withColumn("x_end", xe)
       .withColumn("y_start", ys).withColumn("y_end", ye)

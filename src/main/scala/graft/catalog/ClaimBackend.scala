@@ -96,17 +96,36 @@ object AtomicCreateClaim extends ClaimBackend {
   */
 class ConditionalPutClaim(settleMs: Long = 250L) extends ClaimBackend {
 
-  private def readBack(fs: FileSystem, p: Path): Option[Array[Byte]] =
-    try {
-      val in = fs.open(p)
+  /** Claim content, None iff the path does not exist. A TRANSIENT
+    * read error (anything but not-found) is retried briefly and then
+    * RETHROWN — mapping it to "lost the claim" would make a winner
+    * back out while its claim file persists, stalling every writer
+    * for the full corpse deadline (ADVICE r16). The caller can
+    * retry a thrown transient; it must never mis-learn the race's
+    * outcome from one.
+    */
+  private def readBack(fs: FileSystem, p: Path): Option[Array[Byte]] = {
+    var attempt = 0
+    while (true) {
       try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var n = in.read(chunk)
-        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(buf.toByteArray)
-      } finally in.close()
-    } catch { case _: java.io.IOException => None }
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          return Some(buf.toByteArray)
+        } finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    None // unreachable
+  }
 
   def putIfAbsent(fs: FileSystem, p: Path, content: Array[Byte]): Boolean = {
     val out =
@@ -114,10 +133,24 @@ class ConditionalPutClaim(settleMs: Long = 250L) extends ClaimBackend {
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
         case _: java.nio.file.FileAlreadyExistsException => return false
-        case _: java.io.IOException => return false // conditional put rejected at close-side
+        // any other create-time IOException is TRANSIENT (nothing was
+        // put yet, so nothing to back out of) — rethrow for retry
+        // rather than reporting a lost race that never ran (ADVICE
+        // r16: the old blanket `return false` stranded the real
+        // winner's claim behind the corpse deadline)
       }
     try { out.write(content); out.close() }
-    catch { case _: java.io.IOException => return false }
+    catch {
+      case e: java.io.IOException =>
+        // a close-side IOException is EITHER the store rejecting the
+        // conditional put (a competing object exists — we lost) OR a
+        // transient fault on the winning PUT. Ask the store which:
+        readBack(fs, p) match {
+          case Some(c) if c.sameElements(content) => // our PUT landed
+          case Some(_) => return false               // rejected: loser
+          case None => throw e // nothing landed: transient, retryable
+        }
+    }
     // read-back verify: on a lying (HEAD-then-PUT) store a racing
     // writer may have overwritten the claim between our close and now
     if (!readBack(fs, p).exists(_.sameElements(content))) return false

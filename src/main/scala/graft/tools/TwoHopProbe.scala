@@ -33,6 +33,10 @@ case class MergedSpan(q_id: Long, dest_id: String, dest_ori: Int,
   *                      per task (VERDICT r15 #3: does trading hash
   *                      state for a sort beat preshuffle at sf10?)
   *         pairs      — raw slice2hop, no merge (cost floor)
+  *         stats      — no query at all: print the gated store's
+  *                      lane multiplicity and the placement the r16
+  *                      auto gate chooses, then exit (the DRIFT_r16
+  *                      §1 reproduction command)
   *
   * Usage: runMain graft.tools.TwoHopProbe [sfDir] [shape] [variant]
   *          [reps] [binWidth] [axisBinWidth]

@@ -282,6 +282,38 @@ class AlignmentStoreSpec extends SparkSuite {
       sorted(tame.slice(tameQ, binWidth = 64L, indexed = Some(false))))
   }
 
+  test("ladder depth follows the max span; the width probe memoizes per query plan (ADVICE r16)") {
+    val store = AlignmentStore.fromCoords(spark,
+      (("big", 0L, 100000L), ("lpo", 0L, 100000L, 1)) +:
+        (0 until 64).map(i =>
+          ((s"s$i", 0L, 40L), ("lpo", i * 1500L, i * 1500L + 40L, 1))))
+    assert(store.autoBinWidth === 64L)
+    // coarsest width must COVER the max span (the r16 doc claimed a
+    // hard 2-rows-per-level bound that fixed levels=4 couldn't keep):
+    // 64·16^3 = 262144 covers 100000 at the floor depth 4…
+    assert(store.ladderLevels(100000L) === 4)
+    // …a span past 4096×base deepens the ladder until covered…
+    assert(store.ladderLevels(10L * 1000 * 1000) === 6,
+      s"got ${store.ladderLevels(10L * 1000 * 1000)}")
+    assert(64L * (1L << (4 * 5)) >= 10L * 1000 * 1000)
+    // …and the cap at 8 is the honest residual (span/coarsest walk)
+    assert(store.ladderLevels(Long.MaxValue / 4) === 8)
+
+    // memoization: two slices with the SAME query frame probe once —
+    // one memo entry, and the memoized stats match a fresh probe
+    val q = mkQueries((0L, "big", 0L, 100000L))
+    store.querySpanMemo.clear()
+    store.slice(q, indexed = Some(false)).count()
+    store.slice(q, indexed = Some(false)).count()
+    assert(store.querySpanMemo.size === 1,
+      s"expected one memoized probe, got ${store.querySpanMemo.size}")
+    assert(store.querySpanStats(q) === Some((100000L, 100000L)))
+    assert(store.querySpanMemo.size === 1)
+    // a structurally DIFFERENT frame is a new memo entry
+    store.querySpanStats(mkQueries((1L, "s0", 0L, 40L)))
+    assert(store.querySpanMemo.size === 2)
+  }
+
   test("column view: minus-strand letters complement, coords reflect") {
     import spark.implicits._
     val blocks = Seq(("a", 0L, 4L, "b", 4L, 8L, -1, 0L))

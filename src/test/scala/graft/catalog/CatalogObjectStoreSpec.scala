@@ -55,13 +55,101 @@ class CatalogObjectStoreSpec extends SparkSuite {
     ((0 until n).map(results.get(_)), content)
   }
 
+  test("the emulated race window really engages on the claim path (r17 regression guard)") {
+    // r16's mock overrode only the permission-variant create, which
+    // `fs.create(p, false)` never reaches on RawLocalFileSystem — the
+    // races ran on the local FS's natural µs window instead of the
+    // configured one. Pin the engagement: a solo create through the
+    // exact ClaimBackend call path must pay the configured window.
+    initMockFs(windowMs = 300L)
+    val p = new Path(s"${mockDir("window_guard")}/t.gen.1")
+    val fs = p.getFileSystem(hadoopConf)
+    val t0 = System.nanoTime()
+    assert(AtomicCreateClaim.putIfAbsent(fs, p, "w".getBytes("UTF-8")))
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms >= 300L, s"claim create finished in ${ms}ms — the ${300}ms " +
+      "HEAD-then-PUT window did not engage on the claim path")
+  }
+
   test("naive create(overwrite=false) double-wins on a HEAD-then-PUT store") {
-    // both writers pass the HEAD inside the race window, both PUT,
-    // both believe they own the claim — the lost-update class the
-    // catalog refuses bare object stores over
-    val (wins, _) = race(AtomicCreateClaim, n = 2, windowMs = 150L)
-    assert(wins === Seq(true, true),
-      s"expected the naive primitive to double-win under the race, got $wins")
+    // both writers pass the HEAD before either PUTs — enforced by the
+    // mock FS's armed rendezvous, not scheduler luck (ADVICE r16) —
+    // both PUT, both believe they own the claim: the lost-update
+    // class the catalog refuses bare object stores over
+    MockObjectStoreFileSystem.headBarrier =
+      new java.util.concurrent.CyclicBarrier(2)
+    try {
+      val (wins, _) = race(AtomicCreateClaim, n = 2, windowMs = 20L)
+      assert(wins === Seq(true, true),
+        s"expected the naive primitive to double-win under the race, got $wins")
+    } finally MockObjectStoreFileSystem.headBarrier = null
+  }
+
+  test("transient store faults rethrow instead of masquerading as a lost race (ADVICE r16)") {
+    import java.net.URI
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FSDataOutputStream, RawLocalFileSystem}
+    import org.apache.hadoop.util.Progressable
+    val dir = Files.createTempDirectory("claim_transient")
+    val claim = new ConditionalPutClaim(settleMs = 0L)
+
+    // create-time fault: nothing was PUT, so the call must RETHROW
+    // (the caller can retry) — the old blanket `false` left the
+    // caller believing a race it never entered was lost
+    // NB: override the SIX-arg overload — `fs.create(p, false)`
+    // resolves there on RawLocalFileSystem and never reaches the
+    // permission variant (see MockObjectStoreFileSystem's note)
+    val createFails = new RawLocalFileSystem {
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                          replication: Short, blockSize: Long,
+                          progress: Progressable): FSDataOutputStream =
+        throw new java.io.IOException("503 slow down")
+    }
+    createFails.initialize(URI.create("file:///"), new Configuration())
+    val p1 = new Path(s"file:$dir/a.gen.1")
+    intercept[java.io.IOException] {
+      claim.putIfAbsent(createFails, p1, "w".getBytes("UTF-8"))
+    }
+    assert(!dir.resolve("a.gen.1").toFile.exists, "no claim corpse on a create fault")
+
+    // close-time fault AFTER the content landed: the store says this
+    // writer's content owns the claim, so it WON — a transient close
+    // error must not make the winner back out (its claim file would
+    // persist as a corpse stalling every writer for the deadline)
+    val closeThrows = new RawLocalFileSystem {
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                          replication: Short, blockSize: Long,
+                          progress: Progressable): FSDataOutputStream = {
+        val real = super.create(f, overwrite, bufferSize,
+          replication, blockSize, progress)
+        new FSDataOutputStream(new java.io.FilterOutputStream(real) {
+          override def close(): Unit = { super.close(); throw new java.io.IOException("conn reset") }
+        }, null)
+      }
+    }
+    closeThrows.initialize(URI.create("file:///"), new Configuration())
+    val p2 = new Path(s"file:$dir/b.gen.1")
+    assert(claim.putIfAbsent(closeThrows, p2, "winner".getBytes("UTF-8")),
+      "a close fault whose PUT landed is a WIN, not a lost race")
+
+    // close-time fault where a COMPETING content landed: genuine loss
+    val p3 = new Path(s"file:$dir/c.gen.1")
+    java.nio.file.Files.write(dir.resolve("c.gen.1"), "other".getBytes("UTF-8"))
+    val overwriteLies = new RawLocalFileSystem {
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                          replication: Short, blockSize: Long,
+                          progress: Progressable): FSDataOutputStream = {
+        // like an object store mid-race: the create "succeeds"…
+        val sink = new java.io.ByteArrayOutputStream()
+        new FSDataOutputStream(new java.io.FilterOutputStream(sink) {
+          // …but the conditional put is rejected at commit (close)
+          override def close(): Unit = throw new java.io.IOException("412 precondition failed")
+        }, null)
+      }
+    }
+    overwriteLies.initialize(URI.create("file:///"), new Configuration())
+    assert(!claim.putIfAbsent(overwriteLies, p3, "loser".getBytes("UTF-8")),
+      "a rejected conditional put with a competing claim present is a loss")
   }
 
   test("ConditionalPutClaim admits exactly one winner under the same race") {
