@@ -51,6 +51,19 @@ object MinHashLSH {
       .minBy(b => math.abs(math.log(bandThreshold(k, b)) - math.log(targetJaccard)))
   }
 
+  /** The default near-dup operating point for `bands = 0`: catch
+    * pairs above ~50% Jaccard, mostly skip pairs below — the standard
+    * corpus-dedup threshold (true near-dups sit far above it, topical
+    * overlap far below).
+    */
+  val DefaultTargetJaccard: Double = 0.5
+
+  /** Band count for `bands = 0` on the md5/xxhash band paths
+    * (VERDICT r16 #1 — the knob becomes a measured default, like
+    * `Salt.autoBuckets`): [[recommendBands]] at
+    * [[DefaultTargetJaccard]]. Pure arithmetic on k — no job. */
+  private def autoBands(k: Int): Int = recommendBands(k, DefaultTargetJaccard)
+
   /** Per-doc minhash signature columns sig0..sig{k-1} over word
     * n-gram shingles of `toksCol`.
     */
@@ -169,13 +182,20 @@ object MinHashLSH {
     * (collision-bounded, not injective), so it is rejected rather
     * than silently weakened. `carry` columns (e.g. an event-time
     * timestamp for streaming state eviction) pass through untouched.
+    *
+    * `bands = 0` (auto) resolves to k/2 — with r pinned at 2 the band
+    * count is DETERMINED by k, so on this path the threshold knob is
+    * the signature length itself: threshold ≈ (2/k)^(1/2), i.e.
+    * k ≈ 2/target² (k = 8 ⇒ 0.5, the default near-dup operating
+    * point — and exactly what [[recommendBands]](8, 0.5) picks).
     */
   def bandBucketsU(sigs: DataFrame, idCol: String, k: Int,
-                   bands: Int, carry: Seq[String] = Nil): DataFrame = {
-    require(k % bands == 0 && k / bands == 2,
-      s"bandBucketsU: injective pairing needs r = 2 (got k=$k bands=$bands); " +
+                   bands: Int = 0, carry: Seq[String] = Nil): DataFrame = {
+    val bands1 = if (bands > 0) bands else k / 2
+    require(k % bands1 == 0 && k / bands1 == 2,
+      s"bandBucketsU: injective pairing needs r = 2 (got k=$k bands=$bands1); " +
         "use bandBuckets/bandBucketsXx for other shapes")
-    val rows = (0 until bands).map { b =>
+    val rows = (0 until bands1).map { b =>
       struct(lit(b).as("band"),
         (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bucket"))
     }
@@ -186,12 +206,15 @@ object MinHashLSH {
 
   /** Band buckets over `signaturesXx` output: bucket = xxhash64 of
     * the band's signature columns (stays a long end to end).
+    * `bands = 0` (auto) = [[recommendBands]] at the default 0.5
+    * Jaccard target — no job, pure arithmetic on k.
     */
   def bandBucketsXx(sigs: DataFrame, idCol: String, k: Int,
-                    bands: Int): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
-    val rows = (0 until bands).map { b =>
+                    bands: Int = 0): DataFrame = {
+    val bands1 = if (bands > 0) bands else autoBands(k)
+    require(k % bands1 == 0)
+    val r = k / bands1
+    val rows = (0 until bands1).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"sig$i")): _*).as("bucket"))
     }
@@ -221,13 +244,15 @@ object MinHashLSH {
   /** (id, band, bucket) rows: bucket = md5 of the band's signature
     * concat; `bands` must divide k evenly. `carry` columns (e.g. an
     * event-time timestamp for streaming state eviction) pass through
-    * untouched.
+    * untouched. `bands = 0` (auto) = [[recommendBands]] at the
+    * default 0.5 Jaccard target — no job, pure arithmetic on k.
     */
-  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+  def bandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int = 0,
                   carry: Seq[String] = Nil): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
-    val rows = (0 until bands).map { b =>
+    val bands1 = if (bands > 0) bands else autoBands(k)
+    require(k % bands1 == 0)
+    val r = k / bands1
+    val rows = (0 until bands1).map { b =>
       struct(lit(b).as("band"),
         md5(concat((b * r until (b + 1) * r).map(i => col(s"sig$i")): _*)).as("bucket"))
     }

@@ -40,14 +40,36 @@ object Salt {
   /** Two-phase count per key group. Identical results to a direct
     * groupBy().count() — the salt only reshapes the shuffle.
     */
-  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame =
+  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 0): DataFrame =
     saltedAgg(df, keys, buckets)(count(lit(1)).as("__pc"))(sum("__pc").as("n"))
 
   /** Two-phase sum of `valueCol` per key group. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                buckets: Int = 16): DataFrame =
+                buckets: Int = 0): DataFrame =
     saltedAgg(df, keys, buckets)(
       sum(valueCol).as("__ps"))(sum("__ps").as(s"sum_$valueCol"))
+
+  /** The measured bucket count for `buckets = 0` (VERDICT r16 #1 —
+    * the same measure-and-decide default the alignment store already
+    * uses for `indexed = None`, `mapSideMerge = None` and
+    * `binWidth = 0`): estimate the hot key's share from one
+    * deterministic Bernoulli sample ([[heavyHitterShare]], seed-fixed
+    * so retries and re-plans see the same number) and solve the
+    * validated skew model ([[recommendBuckets]]) against the session's
+    * shuffle-partition count. COST NOTE: this is one eager sample job
+    * (a narrow 1% scan + a small agg) at plan-construction time —
+    * callers who already know their skew pass an explicit `buckets`
+    * and pay nothing. Over-estimating the share is the cheap error
+    * side (a few extra buckets), so sampling noise on small frames is
+    * benign; the share estimate concentrates tightly wherever salting
+    * matters, because a key worth salting dominates any sample.
+    */
+  def autoBuckets(df: DataFrame, keys: Seq[String],
+                  targetMaxOverMean: Double = 2.0,
+                  fraction: Double = 0.01): Int = {
+    val tasks = df.sparkSession.sessionState.conf.numShufflePartitions
+    recommendBuckets(heavyHitterShare(df, keys, fraction), tasks, targetMaxOverMean)
+  }
 
   /** General two-phase aggregate: `partial` runs per (keys, salt) group,
     * `final` re-combines per key with the salt dropped. Caller supplies
@@ -61,15 +83,19 @@ object Salt {
     * (any deterministic data-derived expression, as `saltedJoin`
     * takes) when the frame is a narrow projection whose content hash
     * would collapse into few buckets.
+    *
+    * `buckets = 0` (the default) sizes the salt from the data via
+    * [[autoBuckets]] — one eager sample job; see its cost note.
     */
-  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int = 16,
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int = 0,
                 salt: Option[Column] = None)
                (partialAggs: Column*)(finalAggs: Column*): DataFrame = {
     require(partialAggs.nonEmpty && finalAggs.nonEmpty,
       "saltedAgg needs at least one partial and one final aggregate")
+    val b = if (buckets > 0) buckets else autoBuckets(df, keys)
     df.withColumn("__salt",
-        salt.map(s => pmod(coalesce(s.cast("int"), lit(0)), lit(buckets)))
-          .getOrElse(contentSalt(df, buckets)))
+        salt.map(s => pmod(coalesce(s.cast("int"), lit(0)), lit(b)))
+          .getOrElse(contentSalt(df, b)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)
@@ -88,13 +114,21 @@ object Salt {
     * for big-big skewed joins where the dim exceeds broadcast range
     * (when it fits, broadcast instead — salting a broadcastable dim is
     * pure overhead).
+    *
+    * `buckets = 0` (the default) sizes the salt from the FACT side's
+    * measured key skew via [[autoBuckets]] — one eager sample job; a
+    * uniform join key honestly recommends 1 bucket (= the plain join:
+    * salting it would only replicate the dim). Callers modeling a
+    * known-skewed production key on a uniform fixture pass explicit
+    * buckets.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-                 saltExpr: Column, buckets: Int = 16): DataFrame = {
+                 saltExpr: Column, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets else autoBuckets(fact, keys)
     val f = fact.withColumn("__salt",
-      pmod(coalesce(saltExpr, lit(0)), lit(buckets)).cast("int"))
+      pmod(coalesce(saltExpr, lit(0)), lit(b)).cast("int"))
     val d = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode(sequence(lit(0), lit(b - 1))))
     f.join(d, keys :+ "__salt").drop("__salt")
   }
 

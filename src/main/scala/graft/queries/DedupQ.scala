@@ -66,8 +66,10 @@ object DedupQ {
       // 100x for 10x docs uncapped. The cap is the standard fix (an
       // oversized bucket is a non-discriminative hash, not a dup
       // cluster); audit drops with MinHashLSH.oversizedBuckets.
+      // bands = auto (r17): k/2 = 4 on the injective U path — same
+      // bands, buckets, and oracle as the r16 hand-picked value
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        MinHashLSH.bandBucketsU(sigs, "doc_id", k = 8), "doc_id",
         maxBucket = 16)
       MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .orderBy("i", "j")
@@ -79,8 +81,10 @@ object DedupQ {
     "d2b_minhash_md5" -> { (s, dir) =>
       val docs = docToks(s, dir)
       val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", k = 8, shingleN = 2)
+      // bands = auto (r17): recommendBands(8, 0.5) = 4 — the r16
+      // hand-picked value, now derived from the target threshold
       val cand = MinHashLSH.candidatePairs(
-        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8, bands = 4), "doc_id",
+        MinHashLSH.bandBuckets(sigs, "doc_id", k = 8), "doc_id",
         maxBucket = 16)
       MinHashLSH.jaccardBp(cand, docs, "doc_id", "toks", shingleN = 2)
         .orderBy("i", "j")

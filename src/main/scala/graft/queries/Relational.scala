@@ -761,11 +761,13 @@ object Relational {
 
     // X17: skew-salted aggregate — event_type is the canonical hot key
     // (a handful of values over the whole events table, so an unsalted
-    // groupBy funnels ~n/4 rows into ONE reduce task each, at ANY
-    // scale). `Salt.saltedAgg` splits each key across 16 salt buckets
-    // (partial aggregate) and re-combines without the salt; decimal
-    // and long partials are order-independent, so the result is
-    // bit-identical to the direct groupBy the oracle runs.
+    // groupBy funnels ~n/5 rows into ONE reduce task each, at ANY
+    // scale). Rides the AUTO bucket path (r17: buckets = 0 default —
+    // `Salt.autoBuckets` samples the hot share ≈ 0.20 and solves the
+    // validated skew model, recommending 16 at 32 shuffle partitions,
+    // exactly the hand-picked r15 value); decimal and long partials
+    // are order-independent, so the result is bit-identical to the
+    // direct groupBy the oracle runs at ANY bucket count.
     "x17_salted_agg" -> { (s, dir) =>
       val ev = table(s, dir, "events")
         .select(col("event_type"), col("value").cast(dec).as("v"))
@@ -784,7 +786,11 @@ object Relational {
     // retries and AQE replans — never rand()), the dim replicates ×16,
     // and the join key becomes (p_partkey, __salt), spreading a hot
     // partkey's fact rows over 16 reduce tasks. Output — and the
-    // oracle — is the plain unsalted join aggregate.
+    // oracle — is the plain unsalted join aggregate. Buckets stay
+    // EXPLICIT here: the fixture's partkey is uniform (a stand-in for
+    // a skewed production key), so the r17 auto path would honestly
+    // recommend 1 bucket = no salting — correct for this data, but
+    // this query exists to keep the salted plan gated.
     "x18_salted_join" -> { (s, dir) =>
       val l = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
@@ -792,7 +798,7 @@ object Relational {
       val p = table(s, dir, "part").select("p_partkey", "p_size")
       graft.operators.Salt
         .saltedJoin(l, p.hint("shuffle_hash"), Seq("p_partkey"),
-          col("l_orderkey"))
+          col("l_orderkey"), buckets = 16)
         .groupBy("p_size")
         .agg(count(lit(1)).as("n"),
              sum(col("price")).cast("double").as("revenue"))
@@ -882,16 +888,36 @@ object Relational {
     // exact row-index quantiles need a per-stratum sort; the sketch
     // is what a 100 TB profile pass actually runs (mergeable partial
     // summaries, map-side combinable, bounded memory at any scale).
-    // Like x2 the estimate is engine-specific ⇒ rows-gated only; the
-    // spec bounds it against the exact x3-style answer.
+    // TOLERANCE-GATED (r17, VERDICT r16 #4): the estimate itself is
+    // engine-specific, but its GUARANTEE is not — percentile_approx
+    // at accuracy a returns a value whose RANK is within ε·n of the
+    // target rank, ε = 1/a. The gated output is the exact group size
+    // plus per-quantile booleans checking exactly that rank envelope
+    // (rank range of the estimate from exact <·/≤· counts, target
+    // rank p·n, slack ε·n + 1 for the rank-definition off-by-one);
+    // the oracle pins n and TRUE. A sketch regression breaking its
+    // published bound flips the boolean and fails the hash gate. The
+    // exact quantile VALUES stay gated in x3_source_quantiles.
     "x6_approx_quantiles" -> { (s, dir) =>
-      table(s, dir, "orders")
+      val o = table(s, dir, "orders").select("o_orderpriority", "o_totalprice")
+      val est = o.groupBy("o_orderpriority")
+        .agg(expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)")
+          .as("pq"))
+        .select(col("o_orderpriority"),
+          element_at(col("pq"), 1).as("__e50"), element_at(col("pq"), 2).as("__e90"))
+      def okCols(p: Double, e: org.apache.spark.sql.Column,
+                 name: String): Seq[org.apache.spark.sql.Column] = {
+        val n = count(lit(1)).cast("double")
+        val le = sum(when(col("o_totalprice") <= e, 1L).otherwise(0L)).cast("double")
+        val lt = sum(when(col("o_totalprice") < e, 1L).otherwise(0L)).cast("double")
+        val slack = n * 0.001 + 1.0
+        Seq((le >= lit(p) * n - slack && lt <= lit(p) * n + slack).as(name))
+      }
+      o.join(broadcast(est), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)")
-            .as("pq"))
-        .select(col("o_orderpriority"), col("n"),
-          element_at(col("pq"), 1).as("p50"), element_at(col("pq"), 2).as("p90"))
+          (okCols(0.5, col("__e50"), "p50_in_bound") ++
+           okCols(0.9, col("__e90"), "p90_in_bound")): _*)
         .orderBy("o_orderpriority")
     },
 
@@ -899,14 +925,23 @@ object Relational {
     // where exact COUNT(DISTINCT) would shuffle every value (distinct
     // URLs/users per slice). HLL++ register merges are max-commutative,
     // so the estimate is deterministic for fixed data regardless of
-    // partitioning — but it is engine-SPECIFIC, so this query is
-    // rows-gated only (no DuckDB oracle); the spec asserts <5% relative
-    // error against the exact count.
+    // partitioning. TOLERANCE-GATED (r17, VERDICT r16 #4): the
+    // estimate is engine-specific but its accuracy CONTRACT is
+    // public — rsd 0.02 ⇒ relative error within 0.05 (2.5σ) with
+    // overwhelming probability. The gated output is the exact
+    // distinct count (oracle-pinned) plus that bounded check as a
+    // boolean; the raw estimate stays out of the hash. x19's linear-
+    // counting twin keeps a fully value-gated mergeable sketch.
     "x2_approx_distinct" -> { (s, dir) =>
       IntervalsQ.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+        .agg(approx_count_distinct("user_id", rsd = 0.02).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .withColumn("within_bound",
+          abs(col("__approx") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05)
+        .select("event_type", "n", "exact_users", "within_bound")
         .orderBy("event_type")
     }
   )
@@ -958,6 +993,22 @@ object Relational {
         |  CAST(SUM(CASE WHEN days_ago >= 63 THEN 0
         |    ELSE vc // (CAST(1 AS BIGINT) << days_ago) END) AS BIGINT) AS decayed_u
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x2/x6 (r17): the sketch estimates are engine-private, so the
+    // oracle pins the EXACT side of each group plus TRUE for the
+    // bounded-error booleans the Spark side computes in-engine — a
+    // sketch drifting outside its published bound flips a boolean and
+    // fails the hash gate (VERDICT r16 #4).
+    "x2_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x6_approx_quantiles" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "x19_linear_counting" ->
       """WITH e AS (SELECT epoch_ms(ts)//1000//86400 AS day, user_id FROM events),

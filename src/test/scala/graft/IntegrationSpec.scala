@@ -79,13 +79,25 @@ class IntegrationSpec extends SparkSuite {
     assert(loaded.outDegrees.count() === 2)
   }
 
-  test("x6 approx quantiles within 2% relative rank of exact (rows-only gated query)") {
-    import org.apache.spark.sql.functions.{col, expr}
+  // r17 (VERDICT r16 #4): x2/x6 are tolerance-gated now — the gated
+  // output is the exact group stats plus in-engine bounded-error
+  // booleans the DuckDB oracle pins to TRUE. The specs assert the
+  // booleans hold and re-derive the rank/error checks independently.
+  test("x6 approx quantiles: bounded-rank booleans hold against an independent rank check") {
+    import org.apache.spark.sql.functions.{col, expr, element_at}
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("x6_approx_quantiles")(spark, dir).collect()
-      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+      .map(r => (r.getString(0), (r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got.nonEmpty && got.values.forall(v => v._1 && v._2),
+      s"a quantile sketch left its rank envelope: $got")
+    // independent check of the estimates the query computed internally
     val orders = spark.read.parquet(s"$dir/orders.parquet")
-    for ((prio, (p50, p90)) <- got) {
+    val est = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)").as("pq"))
+      .select(col("o_orderpriority"),
+        element_at(col("pq"), 1).as("p50"), element_at(col("pq"), 2).as("p90"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    for ((prio, (p50, p90)) <- est) {
       val vals = orders.where(col("o_orderpriority") === prio)
         .select(expr("o_totalprice")).collect().map(_.getDouble(0)).sorted
       def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
@@ -94,10 +106,10 @@ class IntegrationSpec extends SparkSuite {
     }
   }
 
-  test("x2 HLL approx distinct within 5% of exact (rows-only gated query)") {
+  test("x2 HLL approx distinct: bound boolean holds and exact side matches") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("x2_approx_distinct")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+      .map(r => (r.getString(0), (r.getLong(2), r.getBoolean(3)))).toMap
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val exact = spark.read.parquet(s"$dir/events.parquet")
       .groupBy("event_type")
@@ -105,22 +117,26 @@ class IntegrationSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got.keySet === exact.keySet)
     for ((k, ex) <- exact) {
-      val ap = got(k).toDouble
-      assert(math.abs(ap - ex) / ex < 0.05, s"$k: approx $ap vs exact $ex")
+      assert(got(k)._1 === ex, s"$k: exact side ${got(k)._1} vs recomputed $ex")
+      assert(got(k)._2, s"$k: HLL estimate left its 5% bound")
     }
   }
 
-  // The two rows-only sketch queries are deterministic for fixed data
-  // on a fixed engine version (HLL++ register merges are max-
-  // commutative; GK summaries merge deterministically under Bench's
-  // fixed partitioning) — so pin the EXACT estimates at sf0.01. A
+  // The sketch ESTIMATES are deterministic for fixed data on a fixed
+  // engine version (HLL++ register merges are max-commutative; GK
+  // summaries merge deterministically under fixed partitioning) — so
+  // pin them at sf0.01, recomputed in-spec now that the gated queries
+  // output bounded-error booleans instead of raw estimates (r17). A
   // failure here means the sketch path changed silently (Spark
   // upgrade, rsd/accuracy drift, plan change altering merge order) —
   // re-derive the constants only after explaining the change.
   test("x2 HLL estimates are pinned (engine-deterministic)") {
-    val dir = "/root/testdata/sf0.01"
-    val got = SparkEntry.queries("x2_approx_distinct")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+    import org.apache.spark.sql.functions.approx_count_distinct
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val got = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", rsd = 0.02).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val pinned = Map(
       "click" -> 150L, "error" -> 150L, "purchase" -> 150L,
       "signup" -> 150L, "view" -> 150L)
@@ -128,9 +144,13 @@ class IntegrationSpec extends SparkSuite {
   }
 
   test("x6 GK quantile estimates are pinned (engine-deterministic)") {
-    val dir = "/root/testdata/sf0.01"
-    val got = SparkEntry.queries("x6_approx_quantiles")(spark, dir).collect()
-      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    import org.apache.spark.sql.functions.{col, element_at, expr}
+    val got = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)").as("pq"))
+      .select(col("o_orderpriority"),
+        element_at(col("pq"), 1).as("p50"), element_at(col("pq"), 2).as("p90"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
     val pinned = Map(
       "1-URGENT" -> (256388.54, 452453.7),
       "2-HIGH" -> (252150.18, 454612.93),

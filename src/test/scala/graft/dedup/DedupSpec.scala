@@ -279,4 +279,27 @@ class DedupSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       MinHashLSH.bandThreshold(128, 3)).getMessage.contains("divide"))
   }
+
+  test("bands = 0 auto path equals the hand-picked banding (VERDICT r16 #1)") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"alpha beta gamma delta epsilon zeta $i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "band", "bucket").collect().map(_.toSeq).toSeq
+    // U path: auto = k/2 (the only injective choice) = the gated d2
+    // value; recommendBands at the 0.5 default agrees for k = 8
+    assert(MinHashLSH.recommendBands(8, MinHashLSH.DefaultTargetJaccard) === 4)
+    val sigsU = MinHashLSH.signaturesU(docs, "doc_id", "toks", 8, 2)
+    assert(rows(MinHashLSH.bandBucketsU(sigsU, "doc_id", 8)) ===
+           rows(MinHashLSH.bandBucketsU(sigsU, "doc_id", 8, bands = 4)))
+    // md5 path: auto = recommendBands(k, 0.5)
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "toks", 8, 2)
+    assert(rows(MinHashLSH.bandBuckets(sigs, "doc_id", 8)) ===
+           rows(MinHashLSH.bandBuckets(sigs, "doc_id", 8, bands = 4)))
+    // xx path too
+    val sigsXx = MinHashLSH.signaturesXx(docs, "doc_id", "toks", 8, 2)
+    assert(rows(MinHashLSH.bandBucketsXx(sigsXx, "doc_id", 8)) ===
+           rows(MinHashLSH.bandBucketsXx(sigsXx, "doc_id", 8, bands = 4)))
+  }
 }

@@ -106,6 +106,43 @@ class SaltSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(Salt.heavyHitterShare(skewed.where(lit(false)), Seq("key")) === 0.0)
   }
 
+  test("buckets = 0 auto path: measured sizing, identical results (VERDICT r16 #1)") {
+    // the auto pick is a pure function of (fixture, fixed sample seed,
+    // shuffle partitions) — pin it against the model it must equal
+    val tasks = spark.sessionState.conf.numShufflePartitions
+    val auto = Salt.autoBuckets(skewed, Seq("key"), fraction = 0.5)
+    assert(auto === Salt.recommendBuckets(
+      Salt.heavyHitterShare(skewed, Seq("key"), fraction = 0.5), tasks))
+    // the 0.9-share key saturates: auto = min(pow2 ≥ raw, tasks)
+    assert(auto === Salt.recommendBuckets(0.9, tasks) ||
+           auto === tasks, s"auto=$auto tasks=$tasks")
+
+    // result identity through the default (buckets = 0) path
+    val df = skewed.select(col("key"), col("id"), col("v").cast(dec).as("v"))
+    val direct = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("s"))
+      .orderBy("key").collect().toSeq
+    val autoAgg = Salt.saltedAgg(df, Seq("key"))(
+        count(lit(1)).as("__pn"), sum(col("v")).as("__ps"))(
+        sum(col("__pn")).as("n"), sum(col("__ps")).cast("double").as("s"))
+      .orderBy("key").collect().toSeq
+    assert(autoAgg === direct)
+
+    // the x17 shape: hot share ~0.20 at 32 shuffle partitions must
+    // reproduce the r15 hand-picked 16 (the gate the engine rode
+    // before the knob was removed)
+    assert(Salt.recommendBuckets(0.20, tasks = 32) === 16)
+
+    // a UNIFORM key honestly recommends no salting: saltedJoin's auto
+    // path degenerates to the plain join (1 bucket, zero replication)
+    val uniform = (0 until 512).map(i => (s"k${i % 128}", i.toLong))
+      .toDF("key", "id")
+    assert(Salt.autoBuckets(uniform, Seq("key"), fraction = 0.5) === 1)
+    val dim = (0 until 128).map(i => (s"k$i", i.toLong)).toDF("key", "w")
+    val plain = uniform.join(dim, Seq("key")).count()
+    assert(Salt.saltedJoin(uniform, dim, Seq("key"), col("id")).count() === plain)
+  }
+
   test("deterministic salt: same input → same salted assignment") {
     val fact = skewed
     val dim = Seq(("a", 1L)).toDF("key", "w")
