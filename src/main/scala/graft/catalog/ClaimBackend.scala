@@ -93,6 +93,22 @@ object AtomicCreateClaim extends ClaimBackend {
   *    the default.
   *  - Requires read-after-write consistency for the read-back (S3,
   *    GCS, and ABFS all provide it).
+  *
+  * DEPLOYMENT-BLOCKING CHECK #1 (r17, recorded per VERDICT r16 #6):
+  * this backend is proven against `MockObjectStoreFileSystem` (which
+  * emulates the HEAD-then-PUT race through the exact `create(p,
+  * false)` call path, window verified engaged by timing) and a
+  * cross-JVM wild race — but NOT against a real s3a/gs/abfs
+  * connector: this build environment ships no object-store connector
+  * jars and no store emulator (verified: zero aws/gcs/azure jars in
+  * the Spark jar dir, no MinIO/s3mock binaries, zero egress). Before
+  * first production use on an object store, run
+  * `CatalogObjectStoreSpec`'s race suite against the real connector
+  * (point the scheme's `fs.<scheme>.impl` at it and declare the
+  * scheme via `spark.graft.catalog.conditionalPutSchemes`); the
+  * close-side rejection mapping in [[ConditionalPutClaim.putIfAbsent]]
+  * (412-class rejection vs transient fault, distinguished by
+  * read-back) is the part most worth re-verifying per connector.
   */
 class ConditionalPutClaim(settleMs: Long = 250L) extends ClaimBackend {
 
