@@ -67,6 +67,8 @@ object Salt {
   def autoBuckets(df: DataFrame, keys: Seq[String],
                   targetMaxOverMean: Double = 2.0,
                   fraction: Double = 0.01): Int = {
+    require(!df.isStreaming,
+      "auto salt sizing samples the frame eagerly — pass explicit buckets for a streaming side")
     val tasks = df.sparkSession.sessionState.conf.numShufflePartitions
     recommendBuckets(heavyHitterShare(df, keys, fraction), tasks, targetMaxOverMean)
   }

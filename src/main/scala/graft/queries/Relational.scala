@@ -805,6 +805,31 @@ object Relational {
         .orderBy("p_size")
     },
 
+    // X21 (r17): the AUTO-sized salted join twin — x18 models a
+    // skewed production key on a uniform fixture and therefore keeps
+    // explicit buckets; this query joins on a key that IS skewed in
+    // the fixture (event_type, hot share ≈ 0.20 at every SF), so the
+    // buckets = 0 default measures the skew and solves the r16 model
+    // (16 at 32 shuffle partitions) — the full measure-and-decide
+    // path gated end-to-end. The derived dim (distinct event types +
+    // a length weight) is forced off the broadcast path as in x18;
+    // output and oracle are the plain join aggregate, identical at
+    // any bucket count.
+    "x21_salted_join_auto" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          col("value").cast(dec).as("v"))
+      val dim = ev.select("event_type").distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      graft.operators.Salt
+        .saltedJoin(ev, dim.hint("shuffle_hash"), Seq("event_type"),
+          col("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("v") * col("w")).cast("double").as("weighted_value"))
+        .orderBy("event_type")
+    },
+
     // X19: MERGEABLE distinct-count sketch, oracle-exact — linear
     // counting (Whang et al.): each user hashes to one of m = 65536
     // md5 buckets, a scope's sketch is its distinct-bucket SET, and
@@ -1009,6 +1034,14 @@ object Relational {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x21_salted_join_auto" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |  CAST(LENGTH(event_type) AS BIGINT) AS w FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * w) AS DOUBLE) AS weighted_value
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "x19_linear_counting" ->
       """WITH e AS (SELECT epoch_ms(ts)//1000//86400 AS day, user_id FROM events),
