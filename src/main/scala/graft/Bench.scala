@@ -92,8 +92,11 @@ object Bench {
       "cwd_write_mbs" -> fmt(HostStats.writeMbs(".")),
       "tmp_write_mbs" -> fmt(HostStats.writeMbs(tmpDir))) ++
       // warm order is part of a run's comparability fingerprint
+      // (escaped: a quote/backslash in the env value must not corrupt
+      // the one-line JSON contract)
       sys.env.get("SPARK_GRAFT_WARM_QUERIES").filter(_.nonEmpty)
-        .map(w => "warm_queries" -> ("\"" + w + "\"")).toSeq
+        .map(w => "warm_queries" ->
+          ("\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")).toSeq
     def objJson(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val envJson = objJson(envBlock)
@@ -159,10 +162,13 @@ object Bench {
     // (wall seconds, streaming-engine seconds if the query ran a
     // streaming replay — wall − engine is MemoryStream harness time,
     // and the per-query metrics block)
-    for (w <- warmQs; (n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-           if n.contains(w)) {
+    // each matching query warms ONCE even when warm entries overlap
+    // ("j2,j2d" must not re-pay a multi-minute sf10 pass per entry)
+    val warmNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => warmQs.exists(n.contains))
+    for (n <- warmNames) {
       System.err.println(s"[bench] warm (untimed) $n")
-      try fn(spark, sfDir).count()
+      try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
       scrub()
     }

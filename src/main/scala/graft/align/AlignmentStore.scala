@@ -38,6 +38,12 @@ class AlignmentStore(val blocks: DataFrame) {
     * binned join gate and slice2hopMerged's merge placement. All
     * three aggregates ride the same pass so adding the lane estimate
     * costs no extra job.
+    *
+    * SNAPSHOT SEMANTICS: these stats (and the query-side span memo
+    * below) are cached for the LIFETIME of this store instance. An
+    * AlignmentStore models one fixed alignment set; if the
+    * underlying files are rewritten in place, construct a new store
+    * — the gates would otherwise keep deciding on the old shape.
     */
   private lazy val storeStats: (Long, Long, Long, Long, Long) = {
     val r = blocks.agg(count(lit(1)), approx_count_distinct(col("src_id")),

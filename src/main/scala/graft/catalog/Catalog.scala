@@ -415,8 +415,40 @@ class Catalog(spark: SparkSession, dir: String) {
     onStaged(mine)
     // the atomic claim decides generation ownership BEFORE any marker
     // exists: two markers for one generation can never be created, so
-    // no tie-break ever discards an acknowledged commit
-    if (!claimGeneration(path, gen, id)) {
+    // no tie-break ever discards an acknowledged commit.
+    // TRANSIENT store faults surface as thrown IOExceptions from the
+    // backend (r17 — a fault is NOT a lost race): retry the claim in
+    // place a bounded number of times (nothing of ours landed, so the
+    // retry races the SAME claim with the same id), and on final
+    // failure clean up the staged version before rethrowing — a throw
+    // must not leak the orphaned parquet dir the false-branch cleanup
+    // handles. Residual: if the fault was a persistently failing
+    // read-back AFTER our PUT landed, the retry sees AlreadyExists and
+    // returns false — we then await a "winner" that is our own corpse
+    // claim; safety holds (no second winner possible) and liveness
+    // recovers through the corpse deadline, the same degraded path as
+    // a writer dying mid-commit.
+    val claimed =
+      try {
+        var attempt = 0
+        var won = false
+        var done = false
+        while (!done) {
+          try { won = claimGeneration(path, gen, id); done = true }
+          catch {
+            case e: java.io.IOException =>
+              attempt += 1
+              if (attempt >= 3) throw e
+              Thread.sleep(100L * attempt)
+          }
+        }
+        won
+      } catch {
+        case e: Throwable =>
+          fs.delete(new Path(versionDir(path, id)), true)
+          throw e
+      }
+    if (!claimed) {
       fs.delete(new Path(versionDir(path, id)), true)
       awaitClaimWinner(path, gen)
       return false

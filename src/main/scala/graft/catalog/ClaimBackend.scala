@@ -155,21 +155,23 @@ class ConditionalPutClaim(settleMs: Long = 250L) extends ClaimBackend {
         // r16: the old blanket `return false` stranded the real
         // winner's claim behind the corpse deadline)
       }
+    var verified = false
     try { out.write(content); out.close() }
     catch {
       case e: java.io.IOException =>
         // a close-side IOException is EITHER the store rejecting the
         // conditional put (a competing object exists — we lost) OR a
-        // transient fault on the winning PUT. Ask the store which:
+        // transient fault on the winning PUT. Ask the store which —
+        // and that read IS the read-back verify (no second GET):
         readBack(fs, p) match {
-          case Some(c) if c.sameElements(content) => // our PUT landed
+          case Some(c) if c.sameElements(content) => verified = true
           case Some(_) => return false               // rejected: loser
           case None => throw e // nothing landed: transient, retryable
         }
     }
     // read-back verify: on a lying (HEAD-then-PUT) store a racing
     // writer may have overwritten the claim between our close and now
-    if (!readBack(fs, p).exists(_.sameElements(content))) return false
+    if (!verified && !readBack(fs, p).exists(_.sameElements(content))) return false
     // settle re-check: outlive the longest in-flight competing PUT
     // (bounded by the store's check-to-write window — see envelope)
     if (settleMs > 0L) {

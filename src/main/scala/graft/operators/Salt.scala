@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * a target max/mean task bound), with [[heavyHitterShare]] as the
   * one-sample estimator — see SKEW_r15.json for the probe table the
   * model is validated against.
+  *
+  * BEHAVIOR CHANGE (r17): every entry point defaults to
+  * `buckets = 0` = measure-and-decide via [[autoBuckets]] (was a
+  * fixed 16). The auto path runs one eager sample job at plan
+  * construction and REFUSES streaming frames with a clear error —
+  * streaming callers (and anyone avoiding the probe) pass explicit
+  * buckets.
   */
 object Salt {
 

@@ -957,6 +957,12 @@ object Relational {
     // distinct count (oracle-pinned) plus that bounded check as a
     // boolean; the raw estimate stays out of the hash. x19's linear-
     // counting twin keeps a fully value-gated mergeable sketch.
+    // COST NOTE: the gated form necessarily pays the exact-distinct
+    // shuffle it exists to avoid in production — that exact side IS
+    // the check — so its bench row measures gate + sketch, not the
+    // sketch kernel alone (r16→r17 comparisons should expect the
+    // step); the sketch-only production form is this agg minus the
+    // exact columns.
     "x2_approx_distinct" -> { (s, dir) =>
       IntervalsQ.events(s, dir)
         .groupBy("event_type")
