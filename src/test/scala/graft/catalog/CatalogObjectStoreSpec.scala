@@ -152,6 +152,52 @@ class CatalogObjectStoreSpec extends SparkSuite {
       "a rejected conditional put with a competing claim present is a loss")
   }
 
+  test("a transient claim fault is retried in place and leaks no staged version (r17)") {
+    // the backend throws once (a 503-class blip), then behaves; the
+    // commit path must absorb it — retry the SAME claim in place —
+    // and a persistent fault must not orphan the staged parquet dir
+    val dir = Files.createTempDirectory("cat_flaky").toString
+    val faults = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new ClaimBackend {
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                      content: Array[Byte]): Boolean = {
+        if (faults.getAndIncrement() == 0)
+          throw new java.io.IOException("503 slow down")
+        HardLinkClaim.putIfAbsent(fs, p, content)
+      }
+    }
+    Catalog.registerClaimBackend("file", flaky)
+    try {
+      val c = new Catalog(spark, dir)
+      c.register(Resource("F.a", "table", "parquet", "/tmp/a")) // faulted once
+      c.register(Resource("F.b", "table", "parquet", "/tmp/b"))
+      assert(faults.get() >= 3, s"fault injected + 2 real claims, saw ${faults.get()}")
+      assert(new Catalog(spark, dir).resources.keySet === Set("F.a", "F.b"))
+      // every version dir must belong to a committed generation — the
+      // faulted attempt retried with the SAME staged id, so the two
+      // commits leave at most two resources.v* dirs (GC may prune)
+      val vdirs = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("resources.v")).toSeq
+      assert(vdirs.size <= 2, s"orphaned staged versions: $vdirs")
+
+      // persistent fault: the commit must THROW (not hang, not
+      // corrupt) and clean its staged dir up
+      Catalog.registerClaimBackend("file", new ClaimBackend {
+        def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        content: Array[Byte]): Boolean =
+          throw new java.io.IOException("store down")
+      })
+      val before = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("resources.v")).toSet
+      intercept[java.io.IOException] {
+        new Catalog(spark, dir).register(Resource("F.c", "table", "parquet", "/tmp/c"))
+      }
+      val after = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("resources.v")).toSet
+      assert(after === before, s"staged version leaked: ${after -- before}")
+    } finally Catalog.unregisterClaimBackend("file")
+  }
+
   test("ConditionalPutClaim admits exactly one winner under the same race") {
     // settle (600ms) > race window (150ms) + write time: every
     // contender's settle re-check happens after the last in-flight
