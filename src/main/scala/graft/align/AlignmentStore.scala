@@ -159,23 +159,10 @@ class AlignmentStore(val blocks: DataFrame) {
     }
   }
 
-  /** Ladder depth for the multi-resolution fallback: the smallest
-    * level count whose coarsest width (autoBinWidth · 16^(levels−1))
-    * covers `maxSpan`, floored at the historical 4 and capped at 8
-    * (coarsest ≥ 2^28 · base — wider than any axis in the fixtures;
-    * a span beyond even that walks coarsest-level bins at
-    * ≤ span/coarsestWidth rows, the honest residual). Each extra
-    * level costs every interval ≤ 2 more exploded rows, so the depth
-    * follows the measured max span instead of a fixed constant
-    * (ADVICE r16: a fixed 4 levels left spans beyond 4096× base
-    * walking coarse bins while the doc claimed a hard per-level
-    * bound).
-    */
-  private[graft] def ladderLevels(maxSpan: Long): Int = {
-    var l = 4
-    while (l < 8 && autoBinWidth * (1L << (4 * (l - 1))) < maxSpan) l += 1
-    l
-  }
+  /** See [[AlignmentStore.ladderLevels]] (overflow-guarded, ADVICE
+    * r17); this instance form binds the store's own auto width. */
+  private[graft] def ladderLevels(maxSpan: Long): Int =
+    AlignmentStore.ladderLevels(autoBinWidth, maxSpan)
 
   /** Average blocks per (src_id, dest_id, dest_ori) alignment lane —
     * the store-shape statistic that separates the reference's genome
@@ -485,6 +472,25 @@ class AlignmentStore(val blocks: DataFrame) {
 }
 
 object AlignmentStore {
+
+  /** Ladder depth for the multi-resolution fallback: the smallest
+    * level count whose coarsest width (width · 16^(levels−1)) covers
+    * `maxSpan`, floored at the historical 4 and capped at 8. Each
+    * extra level costs every interval ≤ 2 more exploded rows, so the
+    * depth follows the measured max span instead of a fixed constant
+    * (ADVICE r16). The shift is overflow-guarded (ADVICE r17): for a
+    * very large width the unguarded product wraps negative, which
+    * would deepen the ladder to 8 and make `binnedMulti`'s
+    * `multiplyExact` throw at plan time where the historical fixed
+    * levels=4 planned fine — a coarsest width past Long.MaxValue
+    * already covers any representable span, so stop deepening there.
+    */
+  private[graft] def ladderLevels(width: Long, maxSpan: Long): Int = {
+    var l = 4
+    while (l < 8 && width <= (Long.MaxValue >> (4 * (l - 1))) &&
+           width * (1L << (4 * (l - 1))) < maxSpan) l += 1
+    l
+  }
 
   /** Auto-path threshold: max average build rows per src key for the
     * indexed join (a per-key interval index at ~50 B/row ≈ 200 MB at

@@ -323,6 +323,20 @@ class Catalog(spark: SparkSession, dir: String) {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Horizon after which a claim's CONTENT is definitive for `path`'s
+    * scheme: 2x the declared settle window on a conditional-put
+    * scheme (the [[ConditionalPutClaim]] envelope — every competing
+    * PUT on a lying HEAD-then-PUT store lands within the first PUT's
+    * window), 0 for hard-link/HDFS-family claims, whose content is
+    * definitive at creation. */
+  private def claimSettleFloorMs(path: String): Long = {
+    val scheme = Option(fsFor(new Path(path)).makeQualified(new Path(path))
+      .toUri.getScheme).getOrElse("file")
+    if (conditionalPutSchemes.contains(scheme))
+      2 * spark.conf.get("spark.graft.catalog.conditionalPutSettleMs", "250").toLong
+    else 0L
+  }
+
   /** After losing the claim on `gen`: wait until the winner's commit
     * is READABLE (a marker with generation >= gen), so the caller's
     * re-merge sees the new base instead of burning its retries on the
@@ -343,12 +357,7 @@ class Catalog(spark: SparkSession, dir: String) {
     // the behalf wait is floored at 2x the declared settle (>= window
     // + margin by the ConditionalPutClaim envelope); link/HDFS claims
     // are definitive at creation and keep the fast path.
-    val scheme = Option(fsFor(new Path(path)).makeQualified(new Path(path))
-      .toUri.getScheme).getOrElse("file")
-    val behalfFloorMs =
-      if (conditionalPutSchemes.contains(scheme))
-        2 * spark.conf.get("spark.graft.catalog.conditionalPutSettleMs", "250").toLong
-      else 0L
+    val behalfFloorMs = claimSettleFloorMs(path)
     val deadline = System.nanoTime() + awaitPtrMs * 1000000L
     val behalfAt = System.nanoTime() +
       math.max(publishBehalfAfterMs, behalfFloorMs) * 1000000L
@@ -401,6 +410,20 @@ class Catalog(spark: SparkSession, dir: String) {
         "spark.graft.catalog.acceptNonAtomicClaims=true to bypass the check.")
   }
 
+  /** True iff the claim on `gen` is POSITIVELY not ours: readable
+    * with a foreign id, or absent. An unreadable-but-present claim
+    * returns false — it might carry our id, and the callers use this
+    * to decide whether deleting our staged version dir is safe
+    * (deleting a dir a behalf-publisher is about to reference bricks
+    * the generation; keeping an unreferenced orphan merely waits for
+    * the aged sweep). */
+  private def claimPositivelyForeign(path: String, gen: Long, id: String): Boolean =
+    try {
+      val c = readClaim(path, gen)
+      c.exists(_ != id) ||
+        (c.isEmpty && !fsFor(new Path(path)).exists(claimPath(path, gen)))
+    } catch { case _: Exception => false }
+
   private def swapWriteLocked(df: DataFrame, path: String, baseGen: Long): Boolean = {
     requireAtomicClaims(path)
     val fs = fsFor(new Path(path))
@@ -422,12 +445,14 @@ class Catalog(spark: SparkSession, dir: String) {
     // retry races the SAME claim with the same id), and on final
     // failure clean up the staged version before rethrowing — a throw
     // must not leak the orphaned parquet dir the false-branch cleanup
-    // handles. Residual: if the fault was a persistently failing
-    // read-back AFTER our PUT landed, the retry sees AlreadyExists and
-    // returns false — we then await a "winner" that is our own corpse
-    // claim; safety holds (no second winner possible) and liveness
-    // recovers through the corpse deadline, the same degraded path as
-    // a writer dying mid-commit.
+    // handles, UNLESS the claim actually landed with our content: a
+    // persisting own-content claim must never outlive its version dir
+    // (a peer would behalf-publish a marker at the deleted version —
+    // a bricked generation, ADVICE r17), so the cleanup first checks
+    // whose claim is there and leaves the dir alone when it is (or
+    // might be) ours — an unreferenced orphan ages out through
+    // sweepAgedVersions, while a behalf-published marker keeps it
+    // referenced and the commit becomes live behind the throw.
     val claimed =
       try {
         var attempt = 0
@@ -445,13 +470,46 @@ class Catalog(spark: SparkSession, dir: String) {
         won
       } catch {
         case e: Throwable =>
-          fs.delete(new Path(versionDir(path, id)), true)
+          if (claimPositivelyForeign(path, gen, id))
+            fs.delete(new Path(versionDir(path, id)), true)
           throw e
       }
     if (!claimed) {
-      fs.delete(new Path(versionDir(path, id)), true)
-      awaitClaimWinner(path, gen)
-      return false
+      // a false from the retried claim can still be OUR OWN PUT having
+      // landed (the close faulted, the read-backs faulted, and the
+      // retry then saw AlreadyExists — ADVICE r17's self-corpse). Read
+      // the claim: our own id there, stable across the settle horizon
+      // (after which content is definitive — claimSettleFloorMs), means
+      // we WON the generation; continue through the normal win path so
+      // the version dir stays alive for the marker. The r17 code
+      // deleted the dir here while the own-content claim persisted,
+      // letting a waiting loser behalf-publish a marker at a deleted
+      // version — the behalf-publish TOCTOU this branch now closes.
+      val ownLanded = readClaim(path, gen).contains(id) && {
+        val h = claimSettleFloorMs(path)
+        if (h > 0) Thread.sleep(h)
+        readClaim(path, gen).contains(id)
+      }
+      if (!ownLanded) {
+        if (markersOf(path).exists(m => m.gen == gen && m.id == id)) {
+          // a peer already behalf-published OUR commit: it is live and
+          // readable — deleting the version dir now would brick its
+          // marker. The commit is acknowledged; GC runs on the next
+          // writer.
+          onClaimed(mine)
+          onMarkerCreated(mine)
+          return true
+        }
+        // discard the stage only when the claim is POSITIVELY not ours
+        // (a foreign id, or no claim at all): an unreadable claim might
+        // still carry our id, and a soon-referenced dir deleted here is
+        // a brick while an unreferenced orphan merely ages out through
+        // sweepAgedVersions.
+        if (claimPositivelyForeign(path, gen, id))
+          fs.delete(new Path(versionDir(path, id)), true)
+        awaitClaimWinner(path, gen)
+        return false
+      }
     }
     onClaimed(mine)
     // recycled-claim guard: the claim file of a LONG-superseded

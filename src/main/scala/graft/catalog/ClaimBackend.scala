@@ -159,6 +159,12 @@ class ConditionalPutClaim(settleMs: Long = 250L) extends ClaimBackend {
     try { out.write(content); out.close() }
     catch {
       case e: java.io.IOException =>
+        // release the handle BEFORE deciding win/lose from the
+        // read-back (ADVICE r17): an abandoned stream may still flush
+        // later on some FS implementations, and the leak itself holds
+        // a connection. A secondary close fault carries no new
+        // information — the original exception stays authoritative.
+        try out.close() catch { case _: java.io.IOException => () }
         // a close-side IOException is EITHER the store rejecting the
         // conditional put (a competing object exists — we lost) OR a
         // transient fault on the winning PUT. Ask the store which —

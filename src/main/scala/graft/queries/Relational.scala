@@ -952,8 +952,11 @@ object Relational {
     // so the estimate is deterministic for fixed data regardless of
     // partitioning. TOLERANCE-GATED (r17, VERDICT r16 #4): the
     // estimate is engine-specific but its accuracy CONTRACT is
-    // public — rsd 0.02 ⇒ relative error within 0.05 (2.5σ) with
-    // overwhelming probability. The gated output is the exact
+    // public — rsd 0.02 ⇒ relative error within 0.08 (4σ) except
+    // with negligible probability (~3e-5 per group; the r17 2.5σ /
+    // 0.05 gate left ~1% per group on a fresh fixture or SF, enough
+    // to flip the boolean and spuriously fail the hash gate with
+    // nothing regressed — ADVICE r17). The gated output is the exact
     // distinct count (oracle-pinned) plus that bounded check as a
     // boolean; the raw estimate stays out of the hash. x19's linear-
     // counting twin keeps a fully value-gated mergeable sketch.
@@ -971,7 +974,7 @@ object Relational {
           count(lit(1)).as("n"))
         .withColumn("within_bound",
           abs(col("__approx") - col("exact_users")).cast("double") <=
-            col("exact_users").cast("double") * 0.05)
+            col("exact_users").cast("double") * 0.08)
         .select("event_type", "n", "exact_users", "within_bound")
         .orderBy("event_type")
     }

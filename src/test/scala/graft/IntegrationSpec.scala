@@ -118,7 +118,7 @@ class IntegrationSpec extends SparkSuite {
     assert(got.keySet === exact.keySet)
     for ((k, ex) <- exact) {
       assert(got(k)._1 === ex, s"$k: exact side ${got(k)._1} vs recomputed $ex")
-      assert(got(k)._2, s"$k: HLL estimate left its 5% bound")
+      assert(got(k)._2, s"$k: HLL estimate left its 8% (4-sigma) bound")
     }
   }
 

@@ -198,6 +198,92 @@ class CatalogObjectStoreSpec extends SparkSuite {
     } finally Catalog.unregisterClaimBackend("file")
   }
 
+  test("a landed own-content claim behind faults is a recovered WIN, not a self-corpse (ADVICE r17)") {
+    // the r17 self-corpse: the PUT lands, the close/read-backs fault,
+    // the in-place retry then sees AlreadyExists and reports false —
+    // and the r17 code deleted the staged version dir while the claim
+    // (content = our id) persisted, opening the behalf-publish TOCTOU
+    // (a waiting loser could mint a marker at the deleted version —
+    // a bricked generation). The fix: a false whose claim content is
+    // OUR OWN id is a win — continue through the normal marker path
+    // with the version dir alive.
+    val dir = Files.createTempDirectory("cat_selfcorpse").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val backend = new ClaimBackend {
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                      content: Array[Byte]): Boolean = {
+        calls.incrementAndGet()
+        if (fs.exists(p)) false // the retry sees AlreadyExists
+        else {
+          // the PUT lands…
+          HardLinkClaim.putIfAbsent(fs, p, content)
+          // …but the winner never learns it
+          throw new java.io.IOException("conn reset after landed PUT")
+        }
+      }
+    }
+    Catalog.registerClaimBackend("file", backend)
+    try {
+      val c = new Catalog(spark, dir)
+      c.register(Resource("S.a", "table", "parquet", "/tmp/a"))
+      // the win was RECOVERED from the own-content claim, not re-merged
+      // through a fresh generation: exactly the faulted call + its one
+      // retry, and the commit is readable
+      assert(calls.get() === 2, s"expected fault + retry only, saw ${calls.get()} claim calls")
+      assert(new Catalog(spark, dir).resources.keySet === Set("S.a"))
+      // marker/version consistency: the live marker's version dir exists
+      val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+      val markers = files.filter(_.startsWith("resources.ptr."))
+      assert(markers.size === 1, s"expected one marker, got $markers")
+      val vid = markers.head.split('.').last
+      assert(files.contains(s"resources.v$vid"),
+        s"marker $markers points at a missing version dir (files: $files)")
+    } finally Catalog.unregisterClaimBackend("file")
+  }
+
+  test("a throw after a landed PUT preserves the claim+version pair for behalf-publish (ADVICE r17)") {
+    // total store outage AFTER the first PUT landed: every claim call
+    // faults, the commit path rethrows — and must NOT delete the
+    // staged version out from under the persisting own-content claim.
+    // A later healthy writer then behalf-publishes the pair, making
+    // the throw-reported commit live (the standard fault-after-PUT
+    // ambiguity), instead of finding a claim that points at nothing
+    // and stalling on the corpse deadline.
+    val dir = Files.createTempDirectory("cat_landed_throw").toString
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var healed = false
+    val backend = new ClaimBackend {
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                      content: Array[Byte]): Boolean = {
+        if (healed) return HardLinkClaim.putIfAbsent(fs, p, content)
+        if (puts.getAndIncrement() == 0 && !fs.exists(p))
+          HardLinkClaim.putIfAbsent(fs, p, content) // first PUT lands
+        throw new java.io.IOException("store down")
+      }
+    }
+    Catalog.registerClaimBackend("file", backend)
+    try {
+      val c1 = new Catalog(spark, dir)
+      c1.publishBehalfAfterMs = 200L
+      intercept[java.io.IOException] {
+        c1.register(Resource("T.a", "table", "parquet", "/tmp/a"))
+      }
+      // the pair survives the throw: own-content claim + its version dir
+      val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(files.exists(_.startsWith("resources.gen.")), s"claim missing: $files")
+      val vdirs = files.filter(_.startsWith("resources.v"))
+      assert(vdirs.size === 1, s"staged version not preserved: $files")
+
+      healed = true
+      val c2 = new Catalog(spark, dir)
+      c2.publishBehalfAfterMs = 200L
+      c2.register(Resource("T.b", "table", "parquet", "/tmp/b"))
+      // the healthy writer behalf-published the stalled pair and merged
+      // on top of it: BOTH commits are live, nothing bricked or lost
+      assert(new Catalog(spark, dir).resources.keySet === Set("T.a", "T.b"))
+    } finally Catalog.unregisterClaimBackend("file")
+  }
+
   test("ConditionalPutClaim admits exactly one winner under the same race") {
     // settle (600ms) > race window (150ms) + write time: every
     // contender's settle re-check happens after the last in-flight
