@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * BEHAVIOR CHANGE (r17): every entry point defaults to
   * `buckets = 0` = measure-and-decide via [[autoBuckets]] (was a
   * fixed 16). The auto path runs one eager sample job at plan
-  * construction and REFUSES streaming frames with a clear error —
-  * streaming callers (and anyone avoiding the probe) pass explicit
-  * buckets.
+  * construction; a STREAMING frame cannot be sampled, so it rides
+  * the same model through a declared prior ([[declareHotShare]],
+  * measured on a static bootstrap of the source — r18) and is
+  * refused with a clear error when neither a prior nor explicit
+  * buckets are given.
   */
 object Salt {
 
@@ -74,10 +76,54 @@ object Salt {
   def autoBuckets(df: DataFrame, keys: Seq[String],
                   targetMaxOverMean: Double = 2.0,
                   fraction: Double = 0.01): Int = {
-    require(!df.isStreaming,
-      "auto salt sizing samples the frame eagerly — pass explicit buckets for a streaming side")
     val tasks = df.sparkSession.sessionState.conf.numShufflePartitions
-    recommendBuckets(heavyHitterShare(df, keys, fraction), tasks, targetMaxOverMean)
+    if (df.isStreaming) {
+      // a streaming frame cannot be sampled eagerly, but its skew can
+      // be KNOWN (r18, VERDICT r17 #2): measured from a static
+      // bootstrap of the same source and declared per key set via
+      // [[declareHotShare]]. With no declared prior the refusal
+      // stands — silently guessing a bucket count is worse than
+      // asking for one.
+      val declared = df.sparkSession.conf.getOption(hotShareKey(keys))
+      require(declared.isDefined,
+        s"auto salt sizing samples the frame eagerly, which a streaming side cannot " +
+        s"support — either pass explicit buckets, or declare a measured skew prior for " +
+        s"the key set (Salt.declareHotShare(spark, Seq(${keys.mkString("\"", "\", \"", "\"")}), " +
+        "share) with share from Salt.heavyHitterShare on a static bootstrap of the source)")
+      recommendBuckets(declared.get.toDouble, tasks, targetMaxOverMean)
+    } else
+      recommendBuckets(heavyHitterShare(df, keys, fraction), tasks, targetMaxOverMean)
+  }
+
+  /** Session-conf key carrying a declared hot-key-share prior for a
+    * key set — the streaming route into the `buckets = 0` auto path.
+    */
+  def hotShareKey(keys: Seq[String]): String =
+    "spark.graft.salt.hotShare." + keys.mkString(",")
+
+  /** Declare a measured skew prior so STREAMING frames grouped by
+    * `keys` can ride `buckets = 0` (r18, VERDICT r17 #2): the batch
+    * auto path measures `heavyHitterShare` per plan, which an
+    * unbounded frame cannot do — but production streams have static
+    * bootstraps (yesterday's batch of the same topic), and the skew
+    * model needs only the hot key's share. Typical wiring:
+    * {{{
+    * Salt.declareHotShare(spark, Seq("user_id"),
+    *   Salt.heavyHitterShare(spark.read.parquet(bootstrap), Seq("user_id")))
+    * streamingFrame → Salt.saltedJoin(stream, dim, Seq("user_id"), saltExpr) // buckets = 0
+    * }}}
+    * The prior is per key set and session-scoped; over-declaring the
+    * share errs toward a few extra buckets (the cheap side of the
+    * model). Returns the bucket count the declaration resolves to at
+    * the session's current shuffle-partition count, so callers can
+    * log the decision.
+    */
+  def declareHotShare(spark: org.apache.spark.sql.SparkSession, keys: Seq[String],
+                      share: Double, targetMaxOverMean: Double = 2.0): Int = {
+    require(share >= 0.0 && share <= 1.0, s"hot share $share not in [0,1]")
+    spark.conf.set(hotShareKey(keys), share.toString)
+    recommendBuckets(share, spark.sessionState.conf.numShufflePartitions,
+      targetMaxOverMean)
   }
 
   /** General two-phase aggregate: `partial` runs per (keys, salt) group,

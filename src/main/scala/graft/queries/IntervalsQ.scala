@@ -574,6 +574,46 @@ object IntervalsQ {
       s.table(name).orderBy("event_id", "wnd_id")
     },
 
+    // ST15 (r18, VERDICT r17 #2): the STREAMING salted join riding
+    // the buckets = 0 auto path through a DECLARED skew prior. A
+    // stream cannot be sampled at plan time, so the skew model takes
+    // the hot key's share from a static bootstrap of the same source
+    // (here the batch table; in production, yesterday's partition)
+    // via Salt.declareHotShare. event_type is the genuinely hot key
+    // (share ~ 0.20 at every SF — the same measurement the batch twin
+    // x21 makes in-plan), so the declared prior solves to the same 16
+    // buckets at 32 shuffle partitions; the dim replicates x buckets
+    // per micro-batch, the join itself is stateless stream-static,
+    // and the output — and oracle — is the plain equi-join, identical
+    // at any bucket count.
+    "st15_stream_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Salt
+      implicit val sqlCtx = s.sqlContext
+      val ev = events(s, dir).select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      Salt.declareHotShare(s, Seq("event_type"),
+        Salt.heavyHitterShare(ev, Seq("event_type"), fraction = 0.1))
+      val dim = ev.select("event_type").distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      val rows = ev.as[(Long, String, Double)].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val name = "st15_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val joined = Salt.saltedJoin(
+          in.toDF().toDF("event_id", "event_type", "value"),
+          dim.hint("shuffle_hash"), Seq("event_type"), col("event_id"))
+        .select("event_id", "event_type", "value", "w")
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          graft.streaming.StreamOps.scratchCheckpoint("st15"))
+        .start()
+      try { in.addData(rows.toSeq); q.processAllAvailable() }
+      finally { graft.streaming.StreamMeter.record(q); q.stop() }
+      s.table(name).orderBy("event_id")
+    },
+
     // ST5: stream-STREAM interval join — clicks and purchases replay
     // as two independent streams; each click matches the purchases by
     // the same user in the preceding 10 minutes (the attribution
@@ -1300,6 +1340,13 @@ object IntervalsQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "st15_stream_salted_join" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |  CAST(length(event_type) AS BIGINT) AS w FROM events)
+        |SELECT e.event_id, e.event_type, e.value, d.w
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "st4_stream_static_join" ->
       s"""WITH w AS ($wndSql),

@@ -153,4 +153,99 @@ class SaltSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(a === b)
     assert(a.size === 900)
   }
+
+  test("streaming auto path: refused without a prior, rides a declared one (r18)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val stream = in.toDF().toDF("key", "id", "v")
+
+    // no prior declared: the refusal stands, and the message routes the
+    // caller to BOTH escapes (explicit buckets / declared prior)
+    spark.conf.unset(Salt.hotShareKey(Seq("key")))
+    val err = intercept[IllegalArgumentException] {
+      Salt.autoBuckets(stream, Seq("key"))
+    }
+    assert(err.getMessage.contains("explicit buckets"))
+    assert(err.getMessage.contains("declareHotShare"))
+
+    // declared prior (the static-bootstrap measurement): the streaming
+    // frame resolves to the same bucket count the model gives a batch
+    // frame with that measured share
+    val tasks = spark.sessionState.conf.numShufflePartitions
+    val share = Salt.heavyHitterShare(skewed, Seq("key"), fraction = 0.5)
+    val resolved = Salt.declareHotShare(spark, Seq("key"), share)
+    try {
+      assert(resolved === Salt.recommendBuckets(share, tasks))
+      assert(Salt.autoBuckets(stream, Seq("key")) === resolved)
+
+      // end-to-end: a streaming salted JOIN through buckets = 0 equals
+      // the batch join row-for-row (the stateless stream-static shape
+      // st15 gates against the oracle; here against the batch twin)
+      val dim = Seq(("a", 10L), ("k0", 1L), ("k1", 2L), ("k3", 3L))
+        .toDF("key", "w")
+      val name = "salt_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = Salt.saltedJoin(stream, dim, Seq("key"), col("id"))
+        .select("key", "id", "v", "w")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        in.addData(skewed.as[(String, Long, Double)].collect().toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).orderBy("key", "id").collect().toSeq
+      val want = skewed.join(dim, Seq("key")).select("key", "id", "v", "w")
+        .orderBy("key", "id").collect().toSeq
+      assert(got === want)
+    } finally spark.conf.unset(Salt.hotShareKey(Seq("key")))
+  }
+
+  test("streaming salted WINDOWED aggregate: chained partial/final aggs equal the batch form (r18)") {
+    // the stream-stream aggregate shape the prior route exists for: a
+    // salted tumbling count — groupBy(window, key, salt) partials
+    // chained into groupBy(window, key) finals, both stateful, append
+    // mode with a watermark (Spark supports chained windowed aggs).
+    // Results must equal the plain batch windowed aggregate.
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    val evs = (0 until 600).map { i =>
+      val key = if (i % 5 != 4) "hot" else s"cold${i % 3}"
+      (new java.sql.Timestamp((base + (i % 7200)) * 1000L), key, 1L)
+    }
+    val share = 0.8 // known fixture share: 4 of 5 rows are "hot"
+    Salt.declareHotShare(spark, Seq("key"), share)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Long)]
+      val stream = in.toDF().toDF("ts", "key", "one")
+      val b = Salt.autoBuckets(stream, Seq("key"))
+      assert(b > 1, s"the declared 0.8 share must salt (got $b buckets)")
+      val salted = stream
+        .withWatermark("ts", "0 seconds")
+        .withColumn("__salt", pmod(hash(col("one") + col("ts").cast("long")), lit(b)))
+        .groupBy(window(col("ts"), "1 hour"), col("key"), col("__salt"))
+        .agg(count(lit(1)).as("__pn"))
+        .groupBy(col("window"), col("key"))
+        .agg(sum("__pn").as("n"))
+        .select(col("window.start").cast("long").as("wstart"), col("key"), col("n"))
+      val name = "salt_swin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = salted.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        in.addData(evs)
+        q.processAllAvailable()
+        // advance the watermark past every window so finals emit
+        in.addData(Seq((new java.sql.Timestamp((base + 86400L) * 1000L), "flush", 1L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).where(col("key") =!= "flush")
+        .orderBy("wstart", "key").collect().toSeq
+      val want = evs.toDF("ts", "key", "one")
+        .groupBy(window(col("ts"), "1 hour"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("wstart"), col("key"), col("n"))
+        .orderBy("wstart", "key").collect().toSeq
+      assert(got === want)
+    } finally spark.conf.unset(Salt.hotShareKey(Seq("key")))
+  }
 }
