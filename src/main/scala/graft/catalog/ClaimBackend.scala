@@ -94,12 +94,16 @@ object AtomicCreateClaim extends ClaimBackend {
   *  - Requires read-after-write consistency for the read-back (S3,
   *    GCS, and ABFS all provide it).
   *
-  * DEPLOYMENT-BLOCKING CHECK #1 (r17, recorded per VERDICT r16 #6):
-  * this backend is proven against `MockObjectStoreFileSystem` (which
-  * emulates the HEAD-then-PUT race through the exact `create(p,
-  * false)` call path, window verified engaged by timing) and a
-  * cross-JVM wild race — but NOT against a real s3a/gs/abfs
-  * connector: this build environment ships no object-store connector
+  * DEPLOYMENT-BLOCKING CHECK #1 (r17, recorded per VERDICT r16 #6;
+  * deferral re-confirmed r18): this backend is proven against
+  * `MockObjectStoreFileSystem` (which emulates the HEAD-then-PUT race
+  * through the exact `create(p, false)` call path, window verified
+  * engaged by timing), a cross-JVM wild race, and — r18 — an 8-writer
+  * commit STORM with injected claim-to-marker stalls past the behalf
+  * deadline (`CatalogObjectStoreSpec` "commit storm": every
+  * acknowledged commit readable, staged version dirs exactly the
+  * marker-referenced set afterwards) — but NOT against a real
+  * s3a/gs/abfs connector: this build environment ships no object-store connector
   * jars and no store emulator (verified: zero aws/gcs/azure jars in
   * the Spark jar dir, no MinIO/s3mock binaries, zero egress). Before
   * first production use on an object store, run
