@@ -523,6 +523,13 @@ class Catalog(spark: SparkSession, dir: String) {
     // version out from under the marker).
     if (markersOf(path).exists(m => m.gen >= gen && m.id != id)) {
       fs.delete(claimPath(path, gen), false)
+      // disclaim COMPLETELY (r18): a peer may have behalf-published our
+      // (gen, id) marker while we stalled — deleting the version but
+      // leaving that marker would dangle it at nothing. The commit was
+      // never acknowledged to our caller (we return false and re-merge),
+      // so marker, version, and claim all go; a reader mid-resolve on
+      // the doomed marker retries through readLive's poll.
+      fs.delete(new Path(s"$path.ptr.$gen.$id"), false)
       fs.delete(new Path(versionDir(path, id)), true)
       return false
     }
