@@ -105,6 +105,69 @@ class CatalogSpec extends SparkSuite {
     assert(names === want, s"lost entries under concurrency: ${want -- names}")
   }
 
+  test("recycled-claim backout disclaims a behalf-published marker of its own commit (r18)") {
+    // the r18 residual: a writer that wins a RECYCLED generation claim
+    // (its gen's claim file was GC'd by two later commits landing
+    // between its stage and its claim) backs out when it sees the
+    // foreign newer marker — and if a peer behalf-published the
+    // writer's own (gen, id) marker while it stalled, that marker must
+    // be removed WITH the version dir, not left dangling at nothing.
+    val dir = Files.createTempDirectory("catalog_recycle").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val c1 = new Catalog(spark, dir)
+    c1.register(Resource("R.seed", "table", "parquet", "/tmp/seed")) // gen1
+    val stale = new Catalog(spark, dir)
+    val firstStage = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // ONE-SHOT hooks on the stale writer's first attempt:
+    //  - after it stages (base = gen1, so it will claim gen2), two
+    //    competing commits land: gen2 and gen3 — gen3's GC deletes
+    //    gen2's claim file, arming the recycled window (the path lock
+    //    is reentrant on this thread, so in-hook registers are safe);
+    //  - after it then WINS the recycled gen2 claim, simulate a peer's
+    //    behalf-publish of its own (gen2, id) marker.
+    stale.onStaged = m =>
+      if (firstStage.compareAndSet(null, s"${m.gen}.${m.id}")) {
+        c1.register(Resource("R.c1a", "table", "parquet", "/tmp/a")) // gen2
+        c1.register(Resource("R.c1b", "table", "parquet", "/tmp/b")) // gen3, GCs gen2 claim
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/resources.gen.${m.gen}")),
+          "recycled window not armed: the stale gen's claim file still exists")
+      }
+    stale.onClaimed = m =>
+      if (s"${m.gen}.${m.id}" == firstStage.get)
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$dir/resources.ptr.${m.gen}.${m.id}"), false).close()
+    // the decisive observation point is BETWEEN backout and the retry
+    // commit (the retry's own GC would eventually sweep a dangling
+    // sub-max marker, so the end state can't distinguish the fix):
+    // at the second attempt's start the behalf marker must already be
+    // gone — the backout itself disclaimed it, not later housekeeping
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val danglingAtRetry = new java.util.concurrent.atomic.AtomicBoolean(false)
+    stale.onBeforeCommit = () =>
+      if (attempts.incrementAndGet() == 2 && firstStage.get != null)
+        danglingAtRetry.set(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/resources.ptr.${firstStage.get}")))
+    stale.register(Resource("R.stale", "table", "parquet", "/tmp/s"))
+    assert(attempts.get() >= 2, "backout/retry never happened — scenario not armed")
+    assert(!danglingAtRetry.get,
+      "behalf-published marker still dangled after the backout (pre-r18 behavior)")
+    // everything committed: the stale writer re-merged after backout
+    assert(new Catalog(spark, dir).resources.keySet ===
+      Set("R.seed", "R.c1a", "R.c1b", "R.stale"))
+    // the disclaimed behalf marker is GONE (pre-r18 it dangled at a
+    // deleted version dir), and the warehouse converged to one live
+    // marker whose version dir exists
+    assert(firstStage.get != null, "scenario never armed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/resources.ptr.${firstStage.get}")),
+      s"dangling behalf marker resources.ptr.${firstStage.get} survived the backout")
+    val markers = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/resources.ptr.*"))
+    assert(markers.length === 1, s"expected one live marker, got ${markers.length}")
+    val vid = markers.head.getPath.getName.split('.').last
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/resources.v$vid")))
+  }
+
   test("reader polling through a slow writer's commits never sees empty, no sleeps") {
     val dir = Files.createTempDirectory("catalog_poll").toString
     new Catalog(spark, dir).register(
