@@ -140,4 +140,43 @@ object SliceProps extends Properties("graft.slice") {
       }.toSet
       got == want
     }
+
+  property("slice2hopMerged == grouped bounds of the pair oracle, both merge placements") =
+    forAll(blocksGen, queriesGen) { (bs0, qs) =>
+      val bs = bs0.distinct
+      val st = store(bs)
+      // mergeSeq bounds per (q, target, ori) over the two-hop pairs
+      // (cnestedlist.pyx:324-347 consuming :537-539) — the operator a
+      // user actually gets from a two-hop query; the map-side and
+      // reduce-side placements must agree with each other AND the
+      // oracle (the placement is a physical choice, DRIFT_r15 §1)
+      val pairOracle = (for {
+        (qid, si, s1, _, axis, m1s, m1e, ori1, _) <- sliceOracle(bs, qs).toSeq
+        (b2, _) <- bs.zipWithIndex
+        if b2.si == axis && b2.ss < m1e && m1s < b2.se
+      } yield {
+        val ms = math.max(m1s, b2.ss); val me = math.min(m1e, b2.se)
+        val (xs, xe) =
+          if (ori1 >= 0) (s1 + (ms - m1s), s1 + (me - m1s))
+          else (s1 + (m1e - me), s1 + (m1e - ms))
+        val (ys, ye) =
+          if (b2.ori >= 0) (b2.ds + (ms - b2.ss), b2.ds + (me - b2.ss))
+          else (b2.ds + (b2.se - me), b2.ds + (b2.se - ms))
+        (qid, si, xs, xe, b2.di, ys, ye, ori1 * b2.ori)
+      }).filter { case (_, si, xs, _, yId, ys, _, _) => yId != si || xs != ys }
+      val want = pairOracle.groupBy(p => (p._1, p._5, p._8)).map {
+        case ((qid, did, ori), ps) =>
+          (qid, did, ori, ps.map(_._3).min, ps.map(_._4).max,
+            ps.map(_._6).min, ps.map(_._7).max, ps.size.toLong)
+      }.toSet
+      def run(mapSide: Boolean) = st
+        .slice2hopMerged(mkQ(qs), mapSideMerge = Some(mapSide))
+        .select("q_id", "dest_id", "dest_ori", "src_start", "src_end",
+          "dest_start", "dest_end", "n_blocks")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSet
+      run(mapSide = true) == want && run(mapSide = false) == want
+    }
 }
