@@ -182,4 +182,98 @@ object SourcesProps extends Properties("graft.sources") {
         got == expect.result().sorted
       } finally java.nio.file.Files.deleteIfExists(f)
     }
+
+  // ---- BLAST text report fuzz (S6) -------------------------------
+
+  private case class BHsp(plus: Boolean, hasStrandLine: Boolean,
+                          qStart0: Long, sLo0: Long, wrap: Int,
+                          bits: Double, evalue: String,
+                          nid: Long, segs: List[Seg])
+
+  private val bHspGen: Gen[BHsp] = for {
+    plus <- Gen.oneOf(true, false)
+    // blastp-style reports carry no Strand line (plus implied)
+    strandLine <- Gen.oneOf(true, false)
+    qs <- Gen.choose(0L, 200L)
+    ss <- Gen.choose(0L, 200L)
+    wrap <- Gen.choose(5, 14)
+    bits10 <- Gen.choose(10, 9999)
+    ev <- Gen.oneOf("2e-07", "0.004", "1e-100", "3.2")
+    nid <- Gen.choose(1L, 50L)
+    mid <- segsGen
+    h <- Gen.choose(1, 4); t <- Gen.choose(1, 4)
+  } yield BHsp(plus, plus && strandLine, qs, ss, wrap,
+    bits10 / 10.0, ev, nid, M(h) +: mid :+ M(t))
+
+  private val bReportGen: Gen[List[(String, List[(String, List[BHsp])])]] = for {
+    nq <- Gen.choose(1, 2)
+    qs <- Gen.listOfN(nq, for {
+      nh <- Gen.choose(1, 2)
+      hits <- Gen.listOfN(nh, Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, bHspGen)))
+    } yield hits)
+  } yield qs.zipWithIndex.map { case (hits, qi) =>
+    s"q$qi" -> hits.zipWithIndex.map { case (hs, hi) => (s"subj${qi}_$hi", hs) }
+  }
+
+  /** Render one HSP's wrapped Query:/Sbjct: chunk pairs with BLAST's
+    * coordinate bookkeeping: 1-based inclusive letter positions,
+    * ascending on the query, DESCENDING on a minus-strand subject. */
+  private def renderHsp(sb: StringBuilder, h: BHsp): Unit = {
+    // Double.toString is locale-independent ("54.3"); an %f format
+    // could print a comma under a non-US default locale
+    sb.append(s" Score = ${h.bits} bits (${(h.bits * 2).toLong}), Expect = ${h.evalue}\n")
+    val total = h.segs.map(_.len).sum
+    sb.append(s" Identities = ${h.nid}/$total (88%)\n")
+    if (h.hasStrandLine) sb.append(" Strand = Plus / Plus\n")
+    if (!h.plus) sb.append(" Strand = Plus / Minus\n")
+    sb.append("\n")
+    val (qTxt, sTxt) = render(h.segs)
+    val sLetters = sTxt.count(_ != '-')
+    var qPos = h.qStart0 // letters consumed on q
+    var sPos = if (h.plus) h.sLo0 else h.sLo0 + sLetters // minus: descend from the top
+    var i = 0
+    while (i < qTxt.length) {
+      val end = math.min(i + h.wrap, qTxt.length)
+      val qc = qTxt.substring(i, end); val sc = sTxt.substring(i, end)
+      val qn = qc.count(_ != '-'); val sn = sc.count(_ != '-')
+      sb.append(s"Query: ${qPos + 1} $qc ${qPos + qn}\n")
+      if (h.plus) sb.append(s"Sbjct: ${sPos + 1} $sc ${sPos + sn}\n\n")
+      else sb.append(s"Sbjct: $sPos $sc ${sPos - sn + 1}\n\n")
+      qPos += qn
+      sPos = if (h.plus) sPos + sn else sPos - sn
+      i = end
+    }
+  }
+
+  property("BLAST report render -> parseRunLines == per-HSP run expectation") =
+    forAll(bReportGen) { report =>
+      val sb = new StringBuilder("BLASTN 2.2.26\n\n")
+      val expect = Seq.newBuilder[(String, String, Long, Long, Long, Long, Int, Double, String, Long)]
+      report.foreach { case (q, hits) =>
+        sb.append(s"Query= $q\n         (50 letters)\n\n")
+        hits.foreach { case (hid, hsps) =>
+          sb.append(s">$hid\n          Length = 500\n\n")
+          hsps.foreach { h =>
+            renderHsp(sb, h)
+            // subject letters: columns where the SUBJECT has a base —
+            // matches (M) and query-gap columns (GA, '-' on the q side)
+            val sLetters = h.segs.collect { case M(n) => n.toLong case GA(n) => n.toLong }.sum
+            val sHi = h.sLo0 + sLetters // half-open top of the subject span
+            runsOf(h.segs).foreach { case (qo, so, len) =>
+              val (ss, se) =
+                if (h.plus) (h.sLo0 + so, h.sLo0 + so + len)
+                else (sHi - so - len, sHi - so)
+              expect += ((q, hid, h.qStart0 + qo, h.qStart0 + qo + len,
+                ss, se, if (h.plus) 1 else -1, h.bits, h.evalue, h.nid))
+            }
+          }
+        }
+      }
+      // Tuple10 has no default Ordering — compare as multisets
+      val got = BlastText.parseRunLines(sb.toString.split("\n").iterator)
+        .map(r => (r.query_id, r.hit_id, r.q_start, r.q_end,
+          r.s_start, r.s_end, r.ori, r.bits, r.evalue_str, r.n_ident))
+        .toSeq.groupBy(identity).map { case (k, v) => (k, v.size) }
+      got == expect.result().groupBy(identity).map { case (k, v) => (k, v.size) }
+    }
 }
