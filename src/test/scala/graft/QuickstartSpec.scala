@@ -109,6 +109,34 @@ class QuickstartSpec extends SparkSuite {
       assert(spark.table(qn).count() === 2)
     }
 
+    // §5 streaming skew-salting through a declared prior (r18): the
+    // bootstrap measurement + declaration lets the stream ride
+    // buckets = 0; the joined rows equal the batch join
+    {
+      import graft.operators.Salt
+      implicit val sqlCtx = spark.sqlContext
+      val boot = (0 until 400).map(i =>
+        (if (i % 5 != 4) 7L else i.toLong, i.toLong)).toDF("user_id", "click_id")
+      Salt.declareHotShare(spark, Seq("user_id"),
+        Salt.heavyHitterShare(boot, Seq("user_id"), fraction = 0.5))
+      try {
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val userDim = Seq((7L, "hot"), (3L, "cold")).toDF("user_id", "tier")
+        val qn = "quickstart_salted"
+        val q = Salt.saltedJoin(in.toDF().toDF("user_id", "click_id"), userDim,
+            Seq("user_id"), saltExpr = col("click_id"))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .start()
+        try {
+          in.addData((0 until 400).map(i =>
+            (if (i % 5 != 4) 7L else i.toLong, i.toLong)))
+          q.processAllAvailable()
+        } finally q.stop()
+        assert(spark.table(qn).count() === 320) // the 320 hot-user clicks
+      } finally spark.conf.unset(Salt.hotShareKey(Seq("user_id")))
+    }
+
     // §6 catalog
     val wh = Files.createTempDirectory("quickstart_cat").toString
     blocks.write.mode("overwrite").parquet(s"$dir/genes")
