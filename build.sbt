@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A session that plans the whole 207-query suite compiles ~65k
+  // nmethods; the JDK-17 default 240m code cache saturates its
+  // non-profiled segment mid-suite and the flusher then evicts hot
+  // loops at random — one query per run collapsed 10-37x to the
+  // interpreter and the whole suite paid ~2x task CPU (DRIFT_r18 §8,
+  // three-run A/B at v2sf1). 512m leaves the segment at ~47%.
+  // Production spark-submit wants the same flag on driver AND
+  // executors (QUICKSTART "JVM sizing").
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
