@@ -122,12 +122,20 @@ object MotifQuery {
       .agg(collect_set("__src").as("__chunk"))
     val a = chunks.select(col("__dst"), col("__ci").as("__ca_i"), col("__chunk").as("__ca"))
     val b = chunks.select(col("__dst"), col("__ci").as("__cb_i"), col("__chunk").as("__cb"))
+    // Double-explode + codegen'd WHERE, NOT explode(filter(cb, x >
+    // s1)): the HOF lambda runs interpreted per array ELEMENT
+    // (DRIFT_r12 §8's ~10× + JIT-lottery class — this was the last
+    // unlisted HOF on a hot path, invisible to the sf0.001 plan audit
+    // because AQE's empty-side propagation erases the hot branch
+    // there). The where emits the same pair set — cross-chunk cells
+    // whole, same-chunk cells upper-triangle — and the surplus
+    // same-chunk rows die map-side in the same codegen stage, before
+    // the pair exchange.
     val hotPairs = a.join(b, Seq("__dst")).where(col("__ca_i") <= col("__cb_i"))
       .repartition(col("__dst"), col("__ca_i"), col("__cb_i"))
       .select(col("__ca_i"), col("__cb_i"), col("__cb"), explode(col("__ca")).as("s1"))
-      .select(col("s1"),
-        explode(when(col("__ca_i") < col("__cb_i"), col("__cb"))
-          .otherwise(filter(col("__cb"), x => x > col("s1")))).as("s2"))
+      .select(col("__ca_i"), col("__cb_i"), col("s1"), explode(col("__cb")).as("s2"))
+      .where(col("__ca_i") < col("__cb_i") || col("s2") > col("s1"))
       // salt chunks are not value-ordered: canonicalize cross-chunk
       // pairs (each unordered pair is still emitted exactly once per
       // shared hub — cross-chunk pairs only in their one (ci,cj)

@@ -137,6 +137,14 @@ class PlanAuditSpec extends SparkSuite {
     val offenders = Seq.newBuilder[String]
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, dir)
+      // HOF sweep of the plan BEFORE execution: AQE's runtime
+      // empty-side propagation can erase a whole branch on this small
+      // fixture (u2's chunked coloc leg never goes hot at sf0.001, so
+      // its interpreted-HOF pair expansion was invisible here while
+      // running hot at sf1 — r18). Pre-execution,
+      // AdaptiveSparkPlanExec.executedPlan is the initial physical
+      // plan with every branch intact.
+      val hofPre = hofFindings(collectNodes(df.queryExecution.executedPlan))
       val nodes = nodesOf(df)
       val gw = nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -148,7 +156,7 @@ class PlanAuditSpec extends SparkSuite {
       if (cp.nonEmpty)
         offenders += s"$name: ${cp.size} CartesianProductExec\n" +
           df.queryExecution.executedPlan.toString
-      val hof = hofFindings(nodes)
+      val hof = (hofPre ++ hofFindings(nodes)).distinct
       if (hof.nonEmpty && !hofAllowed.contains(name))
         offenders += s"$name: ${hof.size} interpreted-HOF site(s):\n  " +
           hof.distinct.mkString("\n  ")
