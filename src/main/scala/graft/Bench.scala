@@ -243,8 +243,27 @@ object Bench {
               // an even-multiplicity row duplication leaves the hash
               // unchanged — the count moves when multiplicity does
               // (ADVICE r14)
-              val row = df.select(xxhash64(to_json(
-                  struct(df.columns.map(col): _*))).as("__h"))
+              // native column hash, NOT xxhash64(to_json(struct(…))):
+              // to_json is CodegenFallback — interpreted per row — so
+              // the old form was the rig's largest interpreted surface
+              // and drew the §10-class JIT lottery into mat_cpu (u2's
+              // mat pass drew 759 CPU s against a 243 s engine pass at
+              // v2sf1). to_json remains only where it is load-bearing:
+              // Spark's hash family rejects MapType (map iteration
+              // order would make the hash nondeterministic), so
+              // map-bearing outputs keep the JSON canonicalization.
+              def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+                case _: org.apache.spark.sql.types.MapType => true
+                case s: org.apache.spark.sql.types.StructType =>
+                  s.fields.exists(f => hasMap(f.dataType))
+                case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+                case _ => false
+              }
+              val h0 =
+                if (df.schema.fields.exists(f => hasMap(f.dataType)))
+                  xxhash64(to_json(struct(df.columns.map(col): _*)))
+                else xxhash64(df.columns.map(col): _*)
+              val row = df.select(h0.as("__h"))
                 .agg(expr("bit_xor(__h)").as("h"),
                      expr("count(1)").as("n")).collect()(0)
               Some((if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1)))
