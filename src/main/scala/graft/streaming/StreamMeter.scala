@@ -68,6 +68,26 @@ object StreamMeter {
     * batches — every replay here feeds far fewer waves than that.
     */
   def record(q: StreamingQuery): Unit = {
+    // SPARK_GRAFT_STREAM_DEBUG=1: dump every micro-batch's durationMs
+    // breakdown (triggerExecution = addBatch + walCommit + planning +
+    // state commit + ...) so engine seconds can be attributed to a
+    // phase instead of guessed at. Diagnostic only — no timing effect
+    // when unset.
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")) {
+      q.recentProgress.foreach { p =>
+        val durs = {
+          val it = p.durationMs.entrySet().iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) { val e = it.next(); b += s"${e.getKey}=${e.getValue}" }
+          b.result().sorted.mkString(" ")
+        }
+        val st = Option(p.stateOperators).map(_.iterator.map(o =>
+          s"commit=${o.allUpdatesTimeMs}+${o.commitTimeMs}ms rows=${o.numRowsTotal}")
+          .mkString(" | ")).getOrElse("")
+        System.err.println(
+          s"[stream-debug] ${p.name} batch=${p.batchId} rows=${p.numInputRows} $durs [$st]")
+      }
+    }
     val ms = q.recentProgress.iterator.map { p =>
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     }.sum

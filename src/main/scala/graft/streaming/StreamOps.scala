@@ -110,11 +110,41 @@ object StreamOps {
       provider: String = "")(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val skey = "spark.sql.streaming.stateStore.providerClass"
+    // Spark 4.1 ships checkpoint-file checksums ON by default: every
+    // state-store delta/snapshot close() blocks on a sidecar-checksum
+    // future (ChecksumCancellableFSDataOutputStream.close awaits it),
+    // so EVERY store commit pays a fixed await even when the delta is
+    // empty — thread dumps of a minimal 8-store keyed count showed all
+    // task threads parked in that await, and an A/B on the same query
+    // measured 10.7 s → 3.2 s wall for 5 micro-batches with checksums
+    // off (OPTIMIZATION_r18.md §streaming). The replay harness
+    // checkpoints to scratch tmpfs with NO recovery contract (see
+    // scratchCheckpoint), so integrity sidecars protect nothing here.
+    // Durable production checkpoints should keep the default and size
+    // ...fileChecksum.numThreads to their store count instead.
+    val ckey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    // Changelog checkpointing uploads per-batch CHANGE files instead
+    // of zipped SST snapshots — the documented low-commit-latency mode
+    // for RocksDB state stores (snapshots move to the background
+    // maintenance thread). Same A/B harness: first-batch commit sums
+    // dropped ~3x on the probe; end-state identical (scratch
+    // checkpoints are never restarted from).
+    val lkey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.get(key)
     val sprev = s.conf.get(skey)
+    val cprev = s.conf.getOption(ckey)
+    val lprev = s.conf.getOption(lkey)
     s.conf.set(key, n.toString)
     s.conf.set(skey, if (provider.isEmpty) stateStoreProvider else provider)
-    try body finally { s.conf.set(key, prev); s.conf.set(skey, sprev) }
+    s.conf.set(ckey, "false")
+    s.conf.set(lkey, "true")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    try body finally {
+      s.conf.set(key, prev); s.conf.set(skey, sprev)
+      restore(ckey, cprev); restore(lkey, lprev)
+    }
   }
 
   /** Provider for CHURN-DOMINATED, small-live-state operators — the
