@@ -44,6 +44,22 @@ object Bench {
       // exactly this (w2c: 2.5 s → 9.0 s with unchanged code). Size
       // the cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE's partition coalescing targets max(bytes/parallelism,
+      // minPartitionSize) — a pure BYTE model. Compute-dense stages
+      // with byte-small inputs (LSH band joins, motif pair expansion,
+      // dedup verify) shuffle well under 32 MB here, so the default
+      // 1 MB floor coalesces them to 1-4 tasks and the stage runs
+      // near-serial while 28+ cores idle (StageProbe-attributed;
+      // full-suite A/B at sf0.1: 273 s → 236 s wall, solo
+      // steady-state REPEAT=3 on the affected set: 28.5 s → 23.7 s
+      // wall with task-CPU flat, OPTIMIZATION_r18.md §2). The floor
+      // is a LOWER bound on the coalesce target only: at production
+      // scale bytes/parallelism >> 1 MB and this setting is inert —
+      // it is NOT a local[32] tuning, it widens exactly the stages
+      // whose bytes under-represent their compute. Env-overridable
+      // for A/B sweeps.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256kb"))
     // (measured non-lever: lowering spark.sql.files.maxPartitionBytes
     // to 8 MB left task counts unchanged — the driver-written sf
     // tables are single-row-group files and parquet splits cannot

@@ -101,12 +101,36 @@ object MotifQuery {
     // subtree (ReuseExchange does not collapse it — the r9 lesson);
     // the window is one exchange on __src over rows the plan already
     // streams
-    val e =
+    val e1 =
       if (minShared <= 1L) e0
       else e0.withColumn("__sdeg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("__src")))
         .where(col("__sdeg") >= minShared)
         .drop("__sdeg")
+    // Pin the edge set ONCE: every branch below (degree agg, hot
+    // anti-join probe AND build, chunk agg) consumes `e`, and Spark
+    // has no cross-branch CSE for DataFrame lineage — the broadcast
+    // build sides in particular cannot reuse the distinct's shuffle
+    // exchange, so the executed plan re-ran scan→distinct up to 5×
+    // per call (u2's formatted plan showed two full copies for the
+    // cold self-join alone; steady-state stage attribution at sf0.1
+    // put ~40% of task-CPU in the duplicated subtrees). One
+    // materialization of the distinct edge rows is strictly smaller
+    // than ONE of the re-evaluations it removes (each re-run pays the
+    // scan plus the distinct's exchange). Same trade SetSimJoin
+    // already makes for its element stream; like there, lineage
+    // truncation means a lost executor re-runs the query, not the
+    // partition — acceptable for a derived intermediate.
+    // The explicit hub-keyed repartition matters: a bare checkpoint
+    // freezes whatever layout AQE coalesced the distinct down to
+    // (4 byte-sized partitions at sf0.1), and the pair-expansion
+    // compute below would inherit that near-serial width (measured:
+    // u2 wall 2.9 s → 8.3 s from exactly this). AQE honors
+    // user-numbered repartitions, and the exchange is not an extra
+    // cost at any scale — every REMOVED re-evaluation carried its own
+    // full exchange of the same rows inside the duplicated distinct.
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = e1.repartition(parts, col("__dst")).localCheckpoint()
     val deg = e.groupBy("__dst").agg(count(lit(1)).as("__deg"))
     val hot = deg.where(col("__deg") > thr)
 
@@ -225,6 +249,13 @@ object MotifQuery {
     }
     val carried = col("__src") +: col("__sz") +:
       (0 until k).map(i => col(s"sig$i"))
+    // (r18 opt note: the band-bucket self-join below evaluates `bb` on
+    // both sides, which locally re-runs the k-minhash aggregation in
+    // the broadcast build. Pinning bb (repartition + localCheckpoint,
+    // the sharedNeighbors treatment) measured wall-flat at sf0.1 and
+    // would ADD an exchange at scale, where the two sides shuffle the
+    // identical subtree on (band, bucket) and ReuseExchange already
+    // evaluates it once — so bb stays as lineage.)
     val bb = sigs.select(carried :+ explode(array(bucketRows: _*)).as("bb"): _*)
       .select(carried ++ Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
     val a = bb.select(col("__src").as("i") +: col("band") +: col("bucket") +:

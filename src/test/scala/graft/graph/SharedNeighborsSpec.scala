@@ -79,19 +79,28 @@ class SharedNeighborsSpec extends SparkSuite {
   }
 
   test("hot-hub pair join runs on chunk lists above the salt-chunk aggregate") {
-    // force every hub hot: every inner join must sit above aggregates
-    // on both sides, so a hot hub contributes (d/C)^2 chunk rows to
-    // the pair join instead of d^2 pair rows in one task, and no
-    // aggregation buffer exceeds ~chunkSize elements
+    // force every hub hot: the pair-generating join must sit above the
+    // salt-chunk collect_set aggregates on BOTH sides, so a hot hub
+    // contributes (d/C)^2 chunk rows to the pair join instead of d^2
+    // pair rows in one task, and no aggregation buffer exceeds
+    // ~chunkSize elements. (The r18 edge-set pin truncates lineage at
+    // a LogicalRDD, so the old proxy — "every inner join sees the
+    // distinct()'s Aggregate below it" — no longer holds; assert the
+    // chunk-list join directly instead.)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet}
     val plan = MotifQuery.sharedNeighbors(skewedEdges, chunkSize = 64, hotDegree = 1L)
       .queryExecution.optimizedPlan
-    val innerJoins = plan.collect {
-      case j: Join if j.joinType.sql == "INNER" => j
+    def hasChunkAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectSet]
+          case _ => false
+        }) => a
+      }.isDefined
+    val chunkJoins = plan.collect {
+      case j: Join if j.joinType.sql == "INNER" && j.children.forall(hasChunkAgg) => j
     }
-    assert(innerJoins.nonEmpty)
-    innerJoins.foreach { j =>
-      assert(j.children.forall(_.collectFirst { case a: Aggregate => a }.isDefined),
-        s"inner join over raw edges found:\n$j")
-    }
+    assert(chunkJoins.nonEmpty,
+      s"no inner join over chunk-list aggregates on both sides:\n$plan")
   }
 }
