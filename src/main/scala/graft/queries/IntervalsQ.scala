@@ -303,7 +303,8 @@ object IntervalsQ {
       // instance + commit per batch) dominates long before per-store
       // sort volume does; scaling store count is a CLUSTER lever
       // (stores spread across executors), not a single-JVM one.
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(rows.length.toLong)) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",
@@ -340,7 +341,7 @@ object IntervalsQ {
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[StreamOps.Ev]
       val name = "st10b_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      StreamOps.replaySized(s, 8) {
+      StreamOps.replaySized(s, StreamOps.stateParts(rows.length.toLong)) {
         val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
           .writeStream.outputMode("append").format("memory").queryName(name)
           .option("checkpointLocation", StreamOps.scratchCheckpoint("st10b"))
@@ -440,7 +441,7 @@ object IntervalsQ {
         .as[(Long, Long)].collect()
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev]
       val name = "st3_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      StreamOps.replaySized(s, 8) {
+      StreamOps.replaySized(s, StreamOps.stateParts(evs.length.toLong)) {
         val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L, timeoutMs = 0L)
           .writeStream.outputMode("append").format("memory").queryName(name)
           .option("checkpointLocation",
@@ -479,7 +480,8 @@ object IntervalsQ {
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
       val name = "st12_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      StreamOps.replaySized(s, 8) {
+      StreamOps.replaySized(s,
+          StreamOps.stateParts(table(s, dir, "events").count())) {
         val stream = s.readStream.schema(sch).json(drop)
           .select(timestamp_seconds(col("t")).as("ts"),
             col("event_type"), col("value"))
@@ -526,7 +528,8 @@ object IntervalsQ {
         org.apache.spark.sql.types.StructField("sec",
           org.apache.spark.sql.types.LongType)))
       val name = "st13_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      StreamOps.replaySized(s, 8) {
+      StreamOps.replaySized(s,
+          StreamOps.stateParts(table(s, dir, "events").count())) {
         val stream = s.readStream.schema(sch).json(drop).as[StreamOps.Ev]
         val q = StreamOps.sessionize(stream, gapSec = 1800L, timeoutMs = 0L)
           .writeStream.outputMode("append").format("memory").queryName(name)
@@ -649,7 +652,10 @@ object IntervalsQ {
           clicks, purchases, "user_id", "c_ts", "p_ts",
           horizon = "30 minutes", windowSec = 600L)
         .select("click_id", "purchase_id", "user_id", "c_t", "p_t")
-      graft.streaming.StreamOps.replaySized(s, 8,
+      val cs = side("click")
+      val ps = side("purchase")
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(cs.length.toLong + ps.length),
           graft.streaming.StreamOps.smallStateProvider) { // churn-heavy, tiny live state (see smallStateProvider)
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name)
@@ -657,8 +663,6 @@ object IntervalsQ {
             graft.streaming.StreamOps.scratchCheckpoint(name.take(5)))
           .start()
         try {
-          val cs = side("click")
-          val ps = side("purchase")
           val all = cs.map(_._3) ++ ps.map(_._3)
           val k = graft.streaming.StreamOps.waveCount(all.length.toLong)
           for ((lo, hi) <- graft.streaming.StreamOps.timeCuts(all, k)) {
@@ -745,7 +749,8 @@ object IntervalsQ {
         StructField(idName, LongType), StructField("user_id", LongType),
         StructField(tName, LongType)))
       val name = "st5b_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8,
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(mm.getLong(2)),
           graft.streaming.StreamOps.smallStateProvider) { // churn-heavy, tiny live state (see smallStateProvider)
         val clicks = s.readStream.schema(sch("click_id", "c_t")).json(cDrop)
           .withColumn("c_ts", col("c_t").cast("timestamp"))
@@ -798,7 +803,8 @@ object IntervalsQ {
       val out = graft.streaming.StreamOps.tumblingCounts(
         src, "ts", "event_type", 3600L, watermark = Some("7201 seconds"))
       val name = "st6_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(rows.length.toLong)) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",

@@ -548,7 +548,8 @@ object Relational {
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Double)]
       val src = in.toDF().toDF("custkey", "price")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(rows.length.toLong)) {
         val q = src.writeStream.outputMode("append")
           .option("checkpointLocation",
             graft.streaming.StreamOps.scratchCheckpoint("st9"))
@@ -595,7 +596,8 @@ object Relational {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("price",
           org.apache.spark.sql.types.DoubleType)))
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(table(s, dir, "orders").count())) {
         val src = s.readStream.schema(sch).json(drop)
         val q = src.writeStream.outputMode("append")
           .option("checkpointLocation",

@@ -1581,7 +1581,8 @@ object TextQ {
       val out = src.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("h")
       val name = "st11_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(inst.length.toLong)) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",
@@ -1619,7 +1620,8 @@ object TextQ {
           timestamp_seconds(lit(1000000L)).as("ts"))
       val out = graft.streaming.StreamOps.dedupeByContent(src, "ts", "key5")
       val name = "st7_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(docs.length.toLong)) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",
@@ -1658,7 +1660,8 @@ object TextQ {
       val out = graft.streaming.StreamOps.neardupCandidatesStream(
         src, "ts", "doc_id", "text")
       val name = "st8_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.StreamOps.replaySized(s, 8) {
+      graft.streaming.StreamOps.replaySized(s,
+          graft.streaming.StreamOps.stateParts(docs.length.toLong)) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name)
           .option("checkpointLocation",
@@ -1695,7 +1698,8 @@ object TextQ {
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
       val name = "st14_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      StreamOps.replaySized(s, 8) {
+      StreamOps.replaySized(s,
+          StreamOps.stateParts(table(s, dir, "documents").count())) {
         val src = s.readStream.schema(sch).json(drop)
           .select(col("doc_id"), col("text"),
             timestamp_seconds(lit(1000000L)).as("ts"))

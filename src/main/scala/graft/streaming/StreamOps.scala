@@ -75,6 +75,21 @@ object StreamOps {
     * in the row count only. */
   def waveCount(n: Long): Int = math.max(2L, math.min(8L, n / 25000L)).toInt
 
+  /** State partition count for a replay of `n` rows — `waveCount`'s
+    * store-count sibling, and the same right-size-the-loop contract
+    * as `EdgeGraph.sizedShuffle`. A stateful operator instantiates
+    * (and commits, EVERY micro-batch) one state store per shuffle
+    * partition per internal store type — a stream-stream join holds
+    * four per partition — and with the r18 checksum fix the per-store
+    * commit is the dominant fixed cost of a small replay (REPEAT=3
+    * min-pass A/B at sf0.1: st5 task-CPU 3.6 → 1.1 s, st10 6.4 →
+    * 2.5 s going 8 → 2 partitions; engine wall follows on a quiet
+    * host). Deterministic in the row count only; saturates at the
+    * measured single-host cap of 8 (store count beyond that is a
+    * CLUSTER lever — stores spread across executors — not a
+    * single-JVM one; see st10's sf10 measurement). */
+  def stateParts(n: Long): Int = math.max(2L, math.min(8L, n / 25000L)).toInt
+
   /** A fresh scratch directory REGISTERED FOR CLEANUP at JVM exit —
     * the one way harness-side temp dirs (file-source drop zones,
     * checkpoint roots) get created, so repeated bench/verify runs
@@ -135,7 +150,12 @@ object StreamOps {
     val sprev = s.conf.get(skey)
     val cprev = s.conf.getOption(ckey)
     val lprev = s.conf.getOption(lkey)
-    s.conf.set(key, n.toString)
+    // SPARK_GRAFT_REPLAY_PARTS: A/B override for the replay's state
+    // partition count (store count = partitions × stores-per-operator;
+    // commit cost scales with it). Measurement hook only.
+    val n1 = sys.env.get("SPARK_GRAFT_REPLAY_PARTS")
+      .flatMap(_.toIntOption).getOrElse(n)
+    s.conf.set(key, n1.toString)
     s.conf.set(skey, if (provider.isEmpty) stateStoreProvider else provider)
     s.conf.set(ckey, "false")
     s.conf.set(lkey, "true")
