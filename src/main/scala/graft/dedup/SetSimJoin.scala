@@ -140,7 +140,16 @@ object SetSimJoin {
     // its task's doc count — no repartition, no fallback cliff.
     val arrs = el.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_el"))).as("_lex"))
-    cand.repartition(parts, col("q"))
+    // (q, o) — the full pair key — not q alone: dup-cluster sizes are
+    // power-law, so the head cluster's probe doc carries a constant
+    // fraction of ALL candidate pairs, and a q-keyed exchange hashes
+    // that probe's entire verify work into ONE task (d14 at sf0.1:
+    // one 5.6 s task owned the whole stage while 31 cores idled —
+    // StageProbe). The pair key is unique per row, so the exchange
+    // spreads evenly at every scale; the verify joins don't rely on
+    // this partitioning (set side broadcasts here, re-shuffles at
+    // scale either way).
+    cand.repartition(parts, col("q"), col("o"))
       .join(arrs.select(col(idCol).as("q"), col("_lex").as("_aq")), "q")
       .join(arrs.select(col(idCol).as("o"), col("_lex").as("_ao")), "o")
       .select(col("q"), col("o"),
