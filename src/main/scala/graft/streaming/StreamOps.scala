@@ -132,7 +132,7 @@ object StreamOps {
     // empty — thread dumps of a minimal 8-store keyed count showed all
     // task threads parked in that await, and an A/B on the same query
     // measured 10.7 s → 3.2 s wall for 5 micro-batches with checksums
-    // off (OPTIMIZATION_r18.md §streaming). The replay harness
+    // off (OPTIMIZATION_r18.md §1). The replay harness
     // checkpoints to scratch tmpfs with NO recovery contract (see
     // scratchCheckpoint), so integrity sidecars protect nothing here.
     // Durable production checkpoints should keep the default and size
