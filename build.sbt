@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the driver that invokes
+// `sbt "runMain graft.Bench"` parses the bench's one-line JSON from a
+// bounded stdout tail, and the logger's "[info] " prefix has broken
+// that parse in every round to date ("parsed": null in BENCH_rNN).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

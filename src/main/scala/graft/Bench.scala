@@ -44,22 +44,19 @@ object Bench {
       // exactly this (w2c: 2.5 s → 9.0 s with unchanged code). Size
       // the cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // AQE's partition coalescing targets max(bytes/parallelism,
-      // minPartitionSize) — a pure BYTE model. Compute-dense stages
-      // with byte-small inputs (LSH band joins, motif pair expansion,
-      // dedup verify) shuffle well under 32 MB here, so the default
-      // 1 MB floor coalesces them to 1-4 tasks and the stage runs
-      // near-serial while 28+ cores idle (StageProbe-attributed;
-      // full-suite A/B at sf0.1: 273 s → 236 s wall, solo
-      // steady-state REPEAT=3 on the affected set: 28.5 s → 23.7 s
-      // wall with task-CPU flat, OPTIMIZATION_r18.md §2). The floor
-      // is a LOWER bound on the coalesce target only: at production
-      // scale bytes/parallelism >> 1 MB and this setting is inert —
-      // it is NOT a local[32] tuning, it widens exactly the stages
-      // whose bytes under-represent their compute. Env-overridable
-      // for A/B sweeps.
+      // AQE coalesce minPartitionSize: Spark's default (1 MB) STANDS.
+      // r18 shipped a 256 kb floor here to widen compute-dense
+      // byte-small stages; the r18 driver measurement (cold JVM, full
+      // suite, local[32], sf0.1) showed it regresses the canonical
+      // config — 215→324 s wall, 208→1241 task-CPU s — because every
+      // first-pass stage then runs its interpreted/uncompiled code
+      // 32-wide, multiplying warm-up CPU by the width (VERDICT r18).
+      // The solo REPEAT=3 "task-CPU flat" evidence measured steady
+      // state, which the single-pass driver methodology never reaches.
+      // The env override remains for A/B sweeps only; unset = Spark
+      // default.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256kb"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1mb"))
     // (measured non-lever: lowering spark.sql.files.maxPartitionBytes
     // to 8 MB left task counts unchanged — the driver-written sf
     // tables are single-row-group files and parquet splits cannot
@@ -175,6 +172,41 @@ object Bench {
     // SPARK_GRAFT_MATERIALIZE=0 disables (drift sweeps keep the old
     // cost shape and half the runtime).
     val doMat = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "1") != "0"
+    // The materializing force, as ONE helper shared by the warm loop
+    // and the timed pass: warming with `count()` alone leaves the mat
+    // aggregate's codegen uncompiled, so its first (timed) run paid
+    // interpreted first-pass CPU multiplied by the stage width
+    // (VERDICT r18 #6). Returns (bit_xor hash, row count).
+    def matRow(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.functions.{col, expr, struct, to_json, xxhash64}
+      // native column hash, NOT xxhash64(to_json(struct(…))): to_json
+      // is CodegenFallback — interpreted per row — so the old form was
+      // the rig's largest interpreted surface (u2's mat pass drew 759
+      // CPU s against a 243 s engine pass at v2sf1). to_json remains
+      // only where it is load-bearing: Spark's hash family rejects
+      // MapType (map iteration order would make the hash
+      // nondeterministic), so map-bearing outputs keep the JSON
+      // canonicalization.
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val h0 =
+        if (df.schema.fields.exists(f => hasMap(f.dataType)))
+          xxhash64(to_json(struct(df.columns.map(col): _*)))
+        else xxhash64(df.columns.map(col): _*)
+      // bit_xor, not sum: ANSI mode (Spark 4 default) makes sum(hash)
+      // overflow on >2 rows; xor is order-independent and never
+      // overflows. mat_rows beside mat_hash: bit_xor cancels pairwise,
+      // so an even-multiplicity row duplication leaves the hash
+      // unchanged — the count moves when multiplicity does (ADVICE r14)
+      val row = df.select(h0.as("__h"))
+        .agg(expr("bit_xor(__h)").as("h"), expr("count(1)").as("n")).collect()(0)
+      ((if (row.isNullAt(0)) 0L else row.getLong(0)), row.getLong(1))
+    }
     // (wall seconds, streaming-engine seconds if the query ran a
     // streaming replay — wall − engine is MemoryStream harness time,
     // and the per-query metrics block)
@@ -187,6 +219,14 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
       scrub()
+      // warm the SAME plan shapes the timed region runs: the mat pass
+      // compiles different codegen than count(), so a count-only warm
+      // left first-pass interpretation inside the timed region
+      if (doMat) {
+        try { matRow(SparkEntry.queries(n)(spark, sfDir)); () }
+        catch { case e: Throwable => System.err.println(s"[bench] warm-mat $n failed: $e") }
+        scrub()
+      }
     }
     val results: Seq[(String, (Double, Option[Double], Seq[(String, String)], Boolean))] =
       selected.map { case (name, fn) =>
@@ -246,44 +286,11 @@ object Bench {
         val err = if (succeeded) None else lastErr
         err.foreach { cls => metr = metr :+ ("err" -> ("\"" + cls + "\"")) }
         if (doMat) {
-          import org.apache.spark.sql.functions.{col, expr, struct, to_json, xxhash64}
           drain(); listener.snapshotAndReset()
           val t0 = System.nanoTime()
           val hash =
-            try {
-              val df = fn(spark, sfDir)
-              // bit_xor, not sum: ANSI mode (Spark 4 default) makes
-              // sum(hash) overflow on >2 rows; xor is order-independent
-              // and never overflows
-              // mat_rows beside mat_hash: bit_xor cancels pairwise, so
-              // an even-multiplicity row duplication leaves the hash
-              // unchanged — the count moves when multiplicity does
-              // (ADVICE r14)
-              // native column hash, NOT xxhash64(to_json(struct(…))):
-              // to_json is CodegenFallback — interpreted per row — so
-              // the old form was the rig's largest interpreted surface
-              // and drew the §10-class JIT lottery into mat_cpu (u2's
-              // mat pass drew 759 CPU s against a 243 s engine pass at
-              // v2sf1). to_json remains only where it is load-bearing:
-              // Spark's hash family rejects MapType (map iteration
-              // order would make the hash nondeterministic), so
-              // map-bearing outputs keep the JSON canonicalization.
-              def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-                case _: org.apache.spark.sql.types.MapType => true
-                case s: org.apache.spark.sql.types.StructType =>
-                  s.fields.exists(f => hasMap(f.dataType))
-                case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-                case _ => false
-              }
-              val h0 =
-                if (df.schema.fields.exists(f => hasMap(f.dataType)))
-                  xxhash64(to_json(struct(df.columns.map(col): _*)))
-                else xxhash64(df.columns.map(col): _*)
-              val row = df.select(h0.as("__h"))
-                .agg(expr("bit_xor(__h)").as("h"),
-                     expr("count(1)").as("n")).collect()(0)
-              Some((if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1)))
-            } catch { case e: Throwable =>
+            try Some(matRow(fn(spark, sfDir)))
+            catch { case e: Throwable =>
               // named, not silent: a query the materializing force
               // cannot run is itself a blind spot worth seeing
               System.err.println(s"[bench] $name mat-forcing failed: $e")
@@ -366,9 +373,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_s":${fmt(cpuTotalS)},"queries":${toJson(flat)},"metrics":$metricsJson,"env":$envJson,"sf":$sfNum}"""
     // a SPARK_GRAFT_QUERIES subset run must not clobber the committed
     // full-map artifact (it did once in r8 — a 5-query dedup probe
-    // overwrote the 173-query map): subsets default to their own file
+    // overwrote the 173-query map): subsets default to their own file.
+    // The core count is part of the name because the driver runs the
+    // bench at BOTH 32 and a lower count in one session — the r18
+    // 8-core rerun overwrote the 32-core full map (VERDICT r18 #2).
     val defaultOut =
-      if (subset.isDefined) "BENCH_local_subset.json" else "BENCH_local_full.json"
+      if (subset.isDefined) s"BENCH_local_subset_c$cpus.json"
+      else s"BENCH_local_full_c$cpus.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     // the stdout line is the contract: a failed write must NOT leave a
     // stale file from an earlier run advertised as this run's output —
@@ -384,7 +395,19 @@ object Bench {
     val fullField = if (wrote) "\"" + outPath + "\"" else "null"
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_s":${fmt(cpuTotalS)},"queries":${toJson(lineQs)},"env":$envJson,"sf":$sfNum,"full":$fullField}"""
+    // belt-and-braces for the stdout contract: the exact stdout line
+    // also lands in a sidecar file, so a truncated/prefixed stdout
+    // capture can still be reconciled against a parseable copy
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_stdout_c$cpus.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // stop BEFORE the final print: shutdown may log to stderr, and
+    // with raw (unbuffered, interleaved) forked output those lines
+    // could otherwise land between the JSON line and the driver's
+    // bounded tail capture. A failed stop must not eat the line.
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -118,9 +118,14 @@ object MotifQuery {
     // materialization of the distinct edge rows is strictly smaller
     // than ONE of the re-evaluations it removes (each re-run pays the
     // scan plus the distinct's exchange). Same trade SetSimJoin
-    // already makes for its element stream; like there, lineage
-    // truncation means a lost executor re-runs the query, not the
-    // partition — acceptable for a derived intermediate.
+    // already makes for its element stream. Fault-tolerance cost,
+    // stated honestly: localCheckpoint TRUNCATES lineage, so a lost
+    // executor makes the pinned blocks unrecoverable and the JOB
+    // fails (Spark cannot recompute them) — the caller must resubmit
+    // the query. Acceptable for a cheap derived intermediate in local
+    // mode; on a long-lived cluster at scale, prefer
+    // persist(MEMORY_AND_DISK_2) or reliable `checkpoint` into
+    // spark.graft.checkpointDir, which survive single-executor loss.
     // The explicit hub-keyed repartition matters: a bare checkpoint
     // freezes whatever layout AQE coalesced the distinct down to
     // (4 byte-sized partitions at sf0.1), and the pair-expansion

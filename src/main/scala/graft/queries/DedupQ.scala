@@ -141,7 +141,11 @@ object DedupQ {
       // truth feeds BOTH the recall semi-join and the per-probe
       // totals; it is pair-count-sized (≈ the near-dup pair list), so
       // pin it once instead of re-running candidate generation per
-      // consumer
+      // consumer. localCheckpoint truncates lineage: executor loss
+      // makes the pinned blocks unrecoverable and fails the job (the
+      // caller resubmits) — fine for this small derived set locally;
+      // at cluster scale use persist(MEMORY_AND_DISK_2) or a reliable
+      // checkpoint instead.
       // Hashed element sets (sorted distinct 2-gram hashes, the native
       // ShingleHashes kernel): the string-set form spent ~70% of the
       // query's task-CPU at v2sf5 on corpus-wide string machinery —
