@@ -88,9 +88,23 @@ object MotifQuery {
     * supplier→part set has min outdeg ≥ 8, so the gated j5/u2 leave
     * it off; the seeded random fixture in SharedNeighborsSpec has the
     * tail and shows the pair-stream reduction).
+    *
+    * `rowsHint` (optional, 0 = off): an UPPER BOUND on the edge count,
+    * used to size the pinned edge set's partition count as
+    * min(session shuffle partitions, rows/65536 + 1) — the
+    * `EdgeGraph.sizedShuffle` contract. Without it the pin runs at the
+    * session width even when the edge set is tiny, and every
+    * downstream stage pays (width × first-pass-JIT) task-CPU for work
+    * that fits in a handful of partitions (suite-context j5 at sf0.1:
+    * ~34 task-CPU s at width 32 for ~2 s of steady-state compute). On
+    * a big edge set the min() leaves the session value in charge — the
+    * at-scale behavior is unchanged. Callers with a cheap bound (e.g.
+    * a parquet-metadata row count of the pre-distinct edge source)
+    * should pass it.
     */
   def sharedNeighbors(edges: DataFrame, chunkSize: Int = 1024,
-                      hotDegree: Long = 0L, minShared: Long = 1L): DataFrame = {
+                      hotDegree: Long = 0L, minShared: Long = 1L,
+                      rowsHint: Long = 0L): DataFrame = {
     require(chunkSize > 0)
     require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
     val thr = if (hotDegree > 0L) hotDegree else chunkSize.toLong
@@ -134,7 +148,10 @@ object MotifQuery {
     // user-numbered repartitions, and the exchange is not an extra
     // cost at any scale — every REMOVED re-evaluation carried its own
     // full exchange of the same rows inside the duplicated distinct.
-    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sess = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = if (rowsHint > 0L)
+      math.max(1L, math.min(sess.toLong, rowsHint / 65536L + 1L)).toInt
+    else sess
     val e = e1.repartition(parts, col("__dst")).localCheckpoint()
     val deg = e.groupBy("__dst").agg(count(lit(1)).as("__deg"))
     val hot = deg.where(col("__deg") > thr)
@@ -212,7 +229,8 @@ object MotifQuery {
     * against exact Jaccard on a fixture.
     */
   def sharedNeighborsSketch(edges: DataFrame, k: Int = 16,
-                            bands: Int = 4, hasher: String = "xx"): DataFrame = {
+                            bands: Int = 4, hasher: String = "xx",
+                            rowsHint: Long = 0L): DataFrame = {
     require(hasher == "xx" || hasher == "md5", s"unknown hasher: $hasher")
     require(k % bands == 0)
     val Array(s, d) = edges.columns.take(2)
@@ -242,7 +260,32 @@ object MotifQuery {
       if (hasher == "xx") min(xxhash64(lit(i), col("sh"))).as(s"sig$i")
       else min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")
     } :+ count(lit(1)).cast("long").as("__sz")
-    val sigs = sh.groupBy("__src").agg(sigAggs.head, sigAggs.tail: _*)
+    // The k-minhash aggregation is the sketch's dominant compute
+    // (k hashes per distinct edge) and the band-bucket self-join
+    // below consumes it on BOTH sides: when one side broadcasts —
+    // the local/sf0.1 plan — ReuseExchange cannot fire and the whole
+    // scan→distinct→k-hash subtree executed TWICE (StageProbe at
+    // sf0.1: one 5-task stage owned 88 of the query's ~100 task-CPU
+    // s). Pin the agg output once — it is node-count-sized, orders
+    // of magnitude smaller than the edge set. The explicit
+    // data-sized repartition (same contract as sharedNeighbors'
+    // rowsHint) both widens the hash work beyond AQE's byte-based
+    // coalescing of the tiny distinct output AND gives the pin a
+    // layout that is not the near-serial one AQE would freeze.
+    // localCheckpoint truncates lineage: executor loss makes the
+    // pinned blocks unrecoverable and fails the job (caller
+    // resubmits) — same trade as sharedNeighbors' edge pin, but on a
+    // node-count-sized frame. At cluster scale, where the join
+    // shuffles both sides and ReuseExchange would have covered the
+    // double evaluation anyway, the pin's cost is one extra exchange
+    // of node-sized sig rows — noise next to the E×k hash work.
+    val sess = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = if (rowsHint > 0L)
+      math.max(1L, math.min(sess.toLong, rowsHint / 65536L + 1L)).toInt
+    else sess
+    val sigs = sh.repartition(parts, col("__src"))
+      .groupBy("__src").agg(sigAggs.head, sigAggs.tail: _*)
+      .localCheckpoint()
     // bucket expressions bit-identical to MinHashLSH.bandBuckets{,Xx}
     // (the DuckDB oracle reproduces the md5 form's buckets)
     val r = k / bands
@@ -254,13 +297,11 @@ object MotifQuery {
     }
     val carried = col("__src") +: col("__sz") +:
       (0 until k).map(i => col(s"sig$i"))
-    // (r18 opt note: the band-bucket self-join below evaluates `bb` on
-    // both sides, which locally re-runs the k-minhash aggregation in
-    // the broadcast build. Pinning bb (repartition + localCheckpoint,
-    // the sharedNeighbors treatment) measured wall-flat at sf0.1 and
-    // would ADD an exchange at scale, where the two sides shuffle the
-    // identical subtree on (band, bucket) and ReuseExchange already
-    // evaluates it once — so bb stays as lineage.)
+    // bb stays as LINEAGE (the r18 probe measured pinning it
+    // wall-flat): with sigs pinned above, re-evaluating bb on both
+    // join sides only re-runs the bucket explode over node-sized
+    // pinned rows — cheap — while pinning bb would freeze the larger
+    // post-explode frame for no measured gain.
     val bb = sigs.select(carried :+ explode(array(bucketRows: _*)).as("bb"): _*)
       .select(carried ++ Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
     val a = bb.select(col("__src").as("i") +: col("band") +: col("bucket") +:

@@ -62,7 +62,10 @@ object GraphQ {
       // fixtures, DRIFT_r14 §2), so the prune removes nothing and its
       // windowed degree count costs ~29% extra CPU at v2sf1. The
       // parameter exists for edge sets with a real low-degree tail.
-      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+      // rowsHint: parquet-metadata count of the pre-distinct edge
+      // source (no column scan) — bounds the pin width by data
+      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir),
+          rowsHint = table(s, dir, "lineitem").count())
         .where(col("n_shared") >= 5)
         .orderBy("s1", "s2")
     },
@@ -76,7 +79,8 @@ object GraphQ {
     // (SketchHashParitySpec bounds it against exact Jaccard).
     "j5b_motif_sketch" -> { (s, dir) =>
       MotifQuery.sharedNeighborsSketch(suppPartEdgesRaw(s, dir), k = 16,
-          bands = 4, hasher = "md5")
+          bands = 4, hasher = "md5",
+          rowsHint = table(s, dir, "lineitem").count())
         .where(col("n_shared_est") >= 5)
         .orderBy("s1", "s2")
     },
@@ -108,11 +112,13 @@ object GraphQ {
     // The nation hubs are inherently hot (25 hubs × all suppliers) —
     // exactly the shape the chunked pair generation spreads out.
     "u2_motif_union" -> { (s, dir) =>
-      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
+      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir),
+          rowsHint = table(s, dir, "lineitem").count())
         .where(col("n_shared") >= 8).select("s1", "s2") // minShared off: no low-degree tail here (see j5)
       val sn = table(s, dir, "supplier").select(
         col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))
-      val coloc = MotifQuery.sharedNeighbors(sn, chunkSize = 256)
+      val coloc = MotifQuery.sharedNeighbors(sn, chunkSize = 256,
+          rowsHint = table(s, dir, "supplier").count())
         .select("s1", "s2")
       shared.union(coloc).distinct().orderBy("s1", "s2")
     },

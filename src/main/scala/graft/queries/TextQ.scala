@@ -1233,22 +1233,44 @@ object TextQ {
         .orderBy(col("score_u").desc, col("doc_id")).limit(10)
         .select("doc_id")
       val d = docToks(s, dir)
+      // pinned: fbTerms feeds the match-pass vocabulary (evaluated
+      // eagerly below) AND the expansion scoring — as lineage, the
+      // whole bm25Scores→top-10→feedback-vocabulary chain would run
+      // twice. It is a 10-doc vocabulary — a handful of rows.
       val fbTerms = d.join(broadcast(fb), "doc_id")
         .select(explode(array_distinct(col("toks"))).as("term"))
         .where(not(col("term").isin(bm25Terms: _*)) && length(col("term")) >= 3)
         .groupBy("term").agg(count(lit(1)).as("df_fb"))
         .where(col("df_fb") >= 2)
-      val corpusDf = d
+        .localCheckpoint()
+      // ONE corpus tokenize+explode pass serves BOTH the corpus-df
+      // count and the final re-rank (they used to be two full passes,
+      // and the re-rank's pass could not even START until the
+      // expansion chain finished — the whole query ran as a serial
+      // chain of single-task corpus scans on the single-row-group
+      // fixture). The match list is (doc_id, term) for terms in
+      // fbTerms ∪ query terms — candidate-sized, far smaller than the
+      // corpus — and the two sets are disjoint by fbTerms'
+      // construction, so filtering the pin reproduces each original
+      // pass exactly. localCheckpoint truncates lineage: executor
+      // loss fails the job (caller resubmits); at cluster scale the
+      // pin is the smaller of (match list) vs (a second full corpus
+      // tokenize pass), the same trade the other query pins make.
+      val vocab = fbTerms.select("term")
+        .unionByName(bm25Terms.toDF("term"))
+      val matches = d
         .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
-        .join(broadcast(fbTerms.select("term")), "term")
+        .join(broadcast(vocab), "term")
+        .localCheckpoint()
+      val corpusDf = matches
+        .where(not(col("term").isin(bm25Terms: _*)))
         .groupBy("term").agg(count(lit(1)).as("df_corpus"))
       val expansion = fbTerms.join(corpusDf, "term")
         .withColumn("exp_u", expr("(df_fb * 1000000) div (df_corpus + 1)"))
         .orderBy(col("exp_u").desc, col("term")).limit(5)
       val qterms = expansion.select(col("term"), lit(1L).as("w"))
         .unionByName(bm25Terms.toDF("term").withColumn("w", lit(2L)))
-      val hits = d
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      val hits = matches
         .join(broadcast(qterms), "term")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hit"), sum("w").as("score"))

@@ -30,7 +30,8 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class St(var n: Int = 0, var run: Long = 0L, var cpu: Long = 0L,
-                  var maxRun: Long = 0L, var rows: Long = 0L)
+                  var maxRun: Long = 0L, var rows: Long = 0L,
+                  var name: String = "")
     val stages = mutable.LinkedHashMap.empty[Int, St]
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
@@ -43,6 +44,13 @@ object StageProbe {
           s.rows += m.outputMetrics.recordsWritten
         }
       }
+      // stage name (first line of the callsite) — maps a stage id back
+      // to the operator that owns it
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        synchronized {
+          stages.getOrElseUpdate(e.stageInfo.stageId, St()).name =
+            e.stageInfo.name.takeWhile(_ != '\n').take(60)
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     spark.read.parquet(s"$dir/lineitem.parquet").count()
@@ -54,9 +62,9 @@ object StageProbe {
       try org.apache.spark.graft.GraftSparkHooks.drainListenerBus(spark.sparkContext)
       catch { case _: Throwable => () }
       println(f"\n=== $n wall=$wall%.2f s ===")
-      println(f"${"stage"}%6s ${"tasks"}%6s ${"run_ms"}%8s ${"cpu_ms"}%8s ${"max_ms"}%7s")
+      println(f"${"stage"}%6s ${"tasks"}%6s ${"run_ms"}%8s ${"cpu_ms"}%8s ${"max_ms"}%7s name")
       stages.toSeq.sortBy(-_._2.run).take(20).foreach { case (id, s) =>
-        println(f"$id%6d ${s.n}%6d ${s.run}%8d ${s.cpu}%8d ${s.maxRun}%7d")
+        println(f"$id%6d ${s.n}%6d ${s.run}%8d ${s.cpu}%8d ${s.maxRun}%7d ${s.name}")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
