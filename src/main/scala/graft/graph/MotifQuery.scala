@@ -229,8 +229,7 @@ object MotifQuery {
     * against exact Jaccard on a fixture.
     */
   def sharedNeighborsSketch(edges: DataFrame, k: Int = 16,
-                            bands: Int = 4, hasher: String = "xx",
-                            rowsHint: Long = 0L): DataFrame = {
+                            bands: Int = 4, hasher: String = "xx"): DataFrame = {
     require(hasher == "xx" || hasher == "md5", s"unknown hasher: $hasher")
     require(k % bands == 0)
     val Array(s, d) = edges.columns.take(2)
@@ -260,32 +259,18 @@ object MotifQuery {
       if (hasher == "xx") min(xxhash64(lit(i), col("sh"))).as(s"sig$i")
       else min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")
     } :+ count(lit(1)).cast("long").as("__sz")
-    // The k-minhash aggregation is the sketch's dominant compute
-    // (k hashes per distinct edge) and the band-bucket self-join
-    // below consumes it on BOTH sides: when one side broadcasts —
-    // the local/sf0.1 plan — ReuseExchange cannot fire and the whole
-    // scan→distinct→k-hash subtree executed TWICE (StageProbe at
-    // sf0.1: one 5-task stage owned 88 of the query's ~100 task-CPU
-    // s). Pin the agg output once — it is node-count-sized, orders
-    // of magnitude smaller than the edge set. The explicit
-    // data-sized repartition (same contract as sharedNeighbors'
-    // rowsHint) both widens the hash work beyond AQE's byte-based
-    // coalescing of the tiny distinct output AND gives the pin a
-    // layout that is not the near-serial one AQE would freeze.
-    // localCheckpoint truncates lineage: executor loss makes the
-    // pinned blocks unrecoverable and fails the job (caller
-    // resubmits) — same trade as sharedNeighbors' edge pin, but on a
-    // node-count-sized frame. At cluster scale, where the join
-    // shuffles both sides and ReuseExchange would have covered the
-    // double evaluation anyway, the pin's cost is one extra exchange
-    // of node-sized sig rows — noise next to the E×k hash work.
-    val sess = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = if (rowsHint > 0L)
-      math.max(1L, math.min(sess.toLong, rowsHint / 65536L + 1L)).toInt
-    else sess
-    val sigs = sh.repartition(parts, col("__src"))
-      .groupBy("__src").agg(sigAggs.head, sigAggs.tail: _*)
-      .localCheckpoint()
+    // sigs stays as LINEAGE (r19 null result, four configs measured
+    // solo cold-JVM at sf0.1 — task-CPU, the stable currency across
+    // these draws: un-pinned 12.0 s; localCheckpoint pin 13.1;
+    // pin behind repartition(10, __src) 17.5; pin at session width 32
+    // 25-27. Wall differences were inside the draw noise, suite
+    // context showed the pin wall-flat with +3 CPU. The band-bucket
+    // self-join does evaluate this subtree twice when one side
+    // broadcasts, but evaluating twice-narrow-COMPILED beats
+    // once-wide-interpreted in the cold-JVM single-pass methodology,
+    // and at cluster scale both sides shuffle and ReuseExchange
+    // covers the double evaluation anyway.)
+    val sigs = sh.groupBy("__src").agg(sigAggs.head, sigAggs.tail: _*)
     // bucket expressions bit-identical to MinHashLSH.bandBuckets{,Xx}
     // (the DuckDB oracle reproduces the md5 form's buckets)
     val r = k / bands

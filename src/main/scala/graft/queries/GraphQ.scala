@@ -62,10 +62,14 @@ object GraphQ {
       // fixtures, DRIFT_r14 §2), so the prune removes nothing and its
       // windowed degree count costs ~29% extra CPU at v2sf1. The
       // parameter exists for edge sets with a real low-degree tail.
-      // rowsHint: parquet-metadata count of the pre-distinct edge
-      // source (no column scan) — bounds the pin width by data
-      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir),
-          rowsHint = table(s, dir, "lineitem").count())
+      // NO rowsHint here (measured): the lineitem edge set's chunked
+      // pair expansion is compute-dense — suite-context A/B at sf0.1
+      // showed the data-sized pin (10 parts) cutting task-CPU 34→22 s
+      // but LENGTHENING wall 3.1→6.3 s once shared kernels are
+      // JIT-warm; the session width is the right trade for the
+      // driver's wall-primary methodology. The hint stays for
+      // genuinely tiny edge sets (u2's supplier→nation side).
+      MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
         .where(col("n_shared") >= 5)
         .orderBy("s1", "s2")
     },
@@ -79,8 +83,7 @@ object GraphQ {
     // (SketchHashParitySpec bounds it against exact Jaccard).
     "j5b_motif_sketch" -> { (s, dir) =>
       MotifQuery.sharedNeighborsSketch(suppPartEdgesRaw(s, dir), k = 16,
-          bands = 4, hasher = "md5",
-          rowsHint = table(s, dir, "lineitem").count())
+          bands = 4, hasher = "md5")
         .where(col("n_shared_est") >= 5)
         .orderBy("s1", "s2")
     },
@@ -112,8 +115,7 @@ object GraphQ {
     // The nation hubs are inherently hot (25 hubs × all suppliers) —
     // exactly the shape the chunked pair generation spreads out.
     "u2_motif_union" -> { (s, dir) =>
-      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir),
-          rowsHint = table(s, dir, "lineitem").count())
+      val shared = MotifQuery.sharedNeighbors(suppPartEdgesRaw(s, dir))
         .where(col("n_shared") >= 8).select("s1", "s2") // minShared off: no low-degree tail here (see j5)
       val sn = table(s, dir, "supplier").select(
         col("s_suppkey").as("src"), (col("s_nationkey") + 2 * POFF).as("dst"))
